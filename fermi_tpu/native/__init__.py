@@ -1,0 +1,61 @@
+"""ctypes loader for the native host-side library (RLD codec etc.).
+
+The library is built on demand with the Makefile in this directory and cached
+in native/build/. Native code covers the inherently serial, byte-exact pieces
+(the on-disk RLD\\2 codec); all compute-heavy work lives in JAX/Pallas.
+"""
+
+import ctypes
+import os
+import subprocess
+import threading
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_HERE, "build", "libfermi_native.so")
+_lock = threading.Lock()
+_lib = None
+
+
+def _build() -> None:
+    subprocess.run(["make", "-s", "-C", _HERE], check=True)
+
+
+def _sources_newer() -> bool:
+    if not os.path.exists(_LIB_PATH):
+        return True
+    lib_mtime = os.path.getmtime(_LIB_PATH)
+    for fn in os.listdir(_HERE):
+        if fn.endswith((".cpp", ".h")) and os.path.getmtime(os.path.join(_HERE, fn)) > lib_mtime:
+            return True
+    return False
+
+
+def get_lib() -> ctypes.CDLL:
+    global _lib
+    with _lock:
+        if _lib is None:
+            if _sources_newer():
+                _build()
+            lib = ctypes.CDLL(_LIB_PATH)
+            lib.frld_encode_file.restype = ctypes.c_int
+            lib.frld_encode_file.argtypes = [
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int64,
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.c_char_p,
+            ]
+            lib.frld_decode_file.restype = ctypes.c_int
+            lib.frld_decode_file.argtypes = [
+                ctypes.c_char_p,
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_uint64),
+                ctypes.POINTER(ctypes.c_int),
+            ]
+            lib.frld_free.restype = None
+            lib.frld_free.argtypes = [ctypes.c_void_p]
+            _lib = lib
+    return _lib
