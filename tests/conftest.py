@@ -7,12 +7,19 @@ multi-chip sharding without real chips).
 import os
 import subprocess
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+# The axon terminal's sitecustomize registers its TPU plugin at interpreter
+# start and force-sets jax_platforms="axon,cpu", so the env var alone is not
+# enough — override the config again here (before any computation runs).
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
