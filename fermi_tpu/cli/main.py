@@ -1,0 +1,161 @@
+"""fermi-compatible command-line interface.
+
+Subcommand surface mirrors reference main.c:74-98; output formats match the
+reference so pipelines (and parity tests) can swap binaries.
+"""
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def _add_build(sub):
+    p = sub.add_parser("build", help="generate FMD-index from FASTA/FASTQ")
+    p.add_argument("-b", dest="sbits", type=int, default=3,
+                   help="small block marker per 2^(INT+3) bytes")
+    p.add_argument("-f", dest="force", action="store_true",
+                   help="overwrite output")
+    p.add_argument("-o", dest="out", default="-", help="output file")
+    p.add_argument("-l", dest="max_len", type=int, default=0,
+                   help="trim reads to INT bp (0: no trim)")
+    p.add_argument("-O", dest="no_trim_pal", action="store_true",
+                   help="do not 1bp-trim reads equal to own revcomp")
+    p.add_argument("fastx")
+    p.set_defaults(func=cmd_build)
+
+
+def cmd_build(args):
+    import os
+    from fermi_tpu.core import dna, fastx
+    from fermi_tpu.construct import suffix
+    from fermi_tpu import rld
+
+    if args.out != "-" and not args.force and os.path.exists(args.out):
+        sys.stderr.write(f"[E::build] File `{args.out}' exists. Use -f to overwrite.\n")
+        return 1
+    seqs = []
+    for rec in fastx.read_fastx(args.fastx):
+        s = dna.encode(rec.seq)
+        if args.max_len and len(s) > args.max_len:
+            s = s[: args.max_len]
+        seqs.append(s)
+    text = suffix.build_text(seqs, trim_palindrome=not args.no_trim_pal)
+    bwt = suffix.multistring_bwt(text)
+    runs = rld.Runs.from_bwt(bwt)
+    rld.write_fmd(runs, args.out, sbits=args.sbits)
+    return 0
+
+
+def _add_unpack(sub):
+    p = sub.add_parser("unpack", help="retrieve DNA sequences from an index")
+    p.add_argument("-i", dest="ids", type=int, action="append", default=[])
+    p.add_argument("-M", dest="mmap", action="store_true")  # accepted, no-op
+    p.add_argument("fmd")
+    p.set_defaults(func=cmd_unpack)
+
+
+def cmd_unpack(args):
+    from fermi_tpu.core import dna
+    from fermi_tpu.index.fmd import FMDIndex
+    from fermi_tpu.search import extend as se
+
+    idx = FMDIndex.restore(args.fmd)
+    n = int(np.asarray(idx.n_seqs))
+    ids = [i for i in args.ids if i < n] if args.ids else range(n)
+    ids = np.fromiter(ids, dtype=np.int64)
+    for lo in range(0, len(ids), 4096):
+        chunk = ids[lo: lo + 4096]
+        seqs, ranks = se.retrieve_strings(idx, chunk, max_len=1 << 16)
+        for s, k in zip(seqs, ranks):
+            sys.stdout.write(f"{dna.decode(s)}\t{int(k)}\n")
+    return 0
+
+
+def _add_exact(sub):
+    p = sub.add_parser("exact", help="find exact (supermaximal) matches")
+    p.add_argument("-M", dest="mmap", action="store_true")
+    p.add_argument("-s", dest="self_match", action="store_true")
+    p.add_argument("fmd")
+    p.add_argument("fastx")
+    p.set_defaults(func=cmd_exact)
+
+
+def cmd_exact(args):
+    from fermi_tpu.core import dna, fastx
+    from fermi_tpu.index.fmd import FMDIndex
+    from fermi_tpu.search import smem as sm
+
+    idx = FMDIndex.restore(args.fmd)
+    recs = list(fastx.read_fastx(args.fastx))
+    seqs = [dna.encode(r.seq) for r in recs]
+    batch = 4096
+    out = sys.stdout
+    for lo in range(0, len(recs), batch):
+        chunk = seqs[lo: lo + batch]
+        matches = sm.smem_all(idx, chunk, self_match=args.self_match)
+        for rec, s, mems in zip(recs[lo: lo + batch], chunk, matches):
+            out.write(f"SQ\t{rec.name}\t{len(s)}\t{len(mems)}\n")
+            for m in mems:
+                out.write("EM\t" + sm.format_smem(idx, m) + "\n")
+            out.write("//\n")
+    return 0
+
+
+def _add_chkbwt(sub):
+    p = sub.add_parser("chkbwt", help="validate the FMD-index")
+    p.add_argument("-M", dest="mmap", action="store_true")
+    p.add_argument("-r", dest="check_rank", action="store_true")
+    p.add_argument("-p", dest="plain", action="store_true")
+    p.add_argument("fmd")
+    p.set_defaults(func=cmd_chkbwt)
+
+
+def cmd_chkbwt(args):
+    import jax.numpy as jnp
+    from fermi_tpu import rld
+    from fermi_tpu.core import dna
+    from fermi_tpu.index.fmd import FMDIndex
+
+    runs = rld.read_fmd(args.fmd)
+    mc = ", ".join(str(int(x)) for x in runs.mcnt)
+    sys.stderr.write(f"[M::chkbwt] marginal counts: ({mc})\n")
+    bwt = runs.expand()
+    idx = FMDIndex.from_bwt(bwt)
+    if args.check_rank:
+        n = bwt.size
+        expect = np.zeros((n, 6), np.int64)
+        for c in range(6):
+            expect[:, c] = np.cumsum(bwt == c)
+        step = 1 << 20
+        for lo in range(0, n, step):
+            ks = np.arange(lo, min(lo + step, n), dtype=np.int64)
+            got = np.asarray(idx.rank6(jnp.asarray(ks + 1)))
+            if not np.array_equal(got, expect[lo: lo + step]):
+                bad = np.argwhere(got != expect[lo: lo + step])[0]
+                sys.stderr.write(
+                    f"[E::chkbwt] rank({bad[1]},{lo+bad[0]}) mismatch\n")
+                return 1
+        if not np.array_equal(expect[-1], np.asarray(runs.mcnt[1:7], dtype=np.int64)):
+            sys.stderr.write("[E::chkbwt] marginal count mismatch\n")
+            return 1
+        sys.stderr.write("[M::chkbwt] rank check passed\n")
+    if args.plain:
+        sys.stdout.write(dna.decode(bwt))
+        sys.stdout.write("\n")
+    return 0
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        prog="fermi-tpu",
+        description="TPU-native FMD-index assembler (fermi-compatible CLI)")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    for add in (_add_build, _add_unpack, _add_exact, _add_chkbwt):
+        add(sub)
+    args = ap.parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

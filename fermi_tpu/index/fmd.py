@@ -146,16 +146,16 @@ class FMDIndex:
         tk = self.rank6(primary)                # [B, 6]
         tl = self.rank6(primary + sz)
         osz = tl - tk
-        out_primary = self.cnt[:6][None, :] + tk
+        out_primary = self.cnt[:6] + tk
         # opposite-strand starts via the complement-ordering identity:
         # symbols on the other strand appear in the order 0,4,3,2,1,5
         other_base = kf if is_back else kb
         o0 = other_base
-        o4 = o0 + osz[:, 0]
-        o3 = o4 + osz[:, 4]
-        o2 = o3 + osz[:, 3]
-        o1 = o2 + osz[:, 2]
-        o5 = o1 + osz[:, 1]
+        o4 = o0 + osz[..., 0]
+        o3 = o4 + osz[..., 4]
+        o2 = o3 + osz[..., 3]
+        o1 = o2 + osz[..., 2]
+        o5 = o1 + osz[..., 1]
         other = jnp.stack([o0, o1, o2, o3, o4, o5], axis=-1)
         if is_back:
             return out_primary, other, osz

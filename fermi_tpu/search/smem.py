@@ -1,0 +1,263 @@
+"""Batched supermaximal-exact-match (SMEM) search.
+
+Reimplements the bidirectional SMEM algorithm of reference smem.c:13-80
+(fm6_smem1_core) as a fixed-shape JAX program: one read per vmap lane, the
+variable-length interval lists of the reference become masked fixed-width
+buffers, and every fm6_extend of the backward sweep is batched across the
+whole interval set and across all reads at once. Overflow of the fixed
+buffers is detected per read and those reads are re-run with wider buffers,
+so results are exact for any input.
+
+Output fields per match mirror fm6_write_smem (smem.c:412-419): [start, end)
+on the read, interval size, left-closed flag, and forward-strand start (for
+the 'T'/'O' full-length flag).
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fermi_tpu.index.fmd import FMDIndex
+
+
+def _comp6(c):
+    return jnp.where((c >= 1) & (c <= 4), 5 - c, c)
+
+
+@partial(jax.jit, static_argnames=("self_match", "max_len", "maxi", "maxm"))
+def _smem1_batch(index: FMDIndex, q, l, x, self_match: bool, max_len: int,
+                 maxi: int, maxm: int):
+    """One SMEM pass from start position x for every read in the batch.
+
+    q: uint8 [B, max_len]; l, x: int32 [B].
+    Returns (mem_*: [B, maxm] fields, mem_n [B], ret [B] next start, ovf [B]).
+    """
+    idt = index.idtype
+    n_seqs = index.mcnt[1]
+
+    def one_read(q, l, x):
+        c0 = q[x]
+        kb, kf, sz = index.set_intv(c0)
+        # interval buffers: kb, kf, sz, end
+        bkb = jnp.zeros(maxi, idt)
+        bkf = jnp.zeros(maxi, idt)
+        bsz = jnp.zeros(maxi, idt)
+        bnfo = jnp.zeros(maxi, jnp.int32)
+        n = jnp.int32(0)
+        ovf = jnp.bool_(False)
+
+        def push(bufs, n, ovf, vals):
+            bkb, bkf, bsz, bnfo = bufs
+            at = jnp.minimum(n, maxi - 1)
+            kb, kf, sz, nfo = vals
+            bkb = bkb.at[at].set(kb.astype(idt))
+            bkf = bkf.at[at].set(kf.astype(idt))
+            bsz = bsz.at[at].set(sz.astype(idt))
+            bnfo = bnfo.at[at].set(nfo.astype(jnp.int32))
+            return (bkb, bkf, bsz, bnfo), n + 1, ovf | (n >= maxi)
+
+        # ---- forward sweep --------------------------------------------
+        def fwd_cond(st):
+            i, alive, *_ = st
+            return alive & (i < l)
+
+        def fwd_body(st):
+            i, alive, kb, kf, sz, bufs, n, ovf, broke_at = st
+            c = _comp6(q[i]).astype(jnp.int32)
+            KB, KF, SZ = index.extend6(kb, kf, sz, is_back=False)
+            okc_sz = SZ[c]
+            ok0_sz = SZ[0]
+            size_changed = okc_sz != sz
+            push_ik = size_changed & (sz != ok0_sz)
+            bufs2, n2, ovf2 = push(bufs, n, ovf, (kb, kf, sz, i))
+            bufs, n, ovf = jax.tree_util.tree_map(
+                partial(jnp.where, push_ik), (bufs2, n2, ovf2), (bufs, n, ovf))
+            push_s = size_changed & (not self_match) & (ok0_sz != 0)
+            bufs2, n2, ovf2 = push(bufs, n, ovf, (KB[0], KF[0], ok0_sz, i))
+            bufs, n, ovf = jax.tree_util.tree_map(
+                partial(jnp.where, push_s), (bufs2, n2, ovf2), (bufs, n, ovf))
+            dead = (okc_sz < 2) if self_match else (okc_sz == 0)
+            kb = jnp.where(dead, kb, KB[c])
+            kf = jnp.where(dead, kf, KF[c])
+            sz = jnp.where(dead, sz, okc_sz)
+            broke_at = jnp.where(dead & alive, i, broke_at)
+            return (i + 1, alive & ~dead, kb, kf, sz, bufs, n, ovf, broke_at)
+
+        st = (x + 1, jnp.bool_(True), kb, kf, sz,
+              (bkb, bkf, bsz, bnfo), n, ovf, jnp.int32(-1))
+        i, alive, kb, kf, sz, bufs, n, ovf, broke_at = jax.lax.while_loop(
+            fwd_cond, fwd_body, st)
+
+        # reached the end: push the last interval (+ sentinel-closed variant)
+        def at_end(args):
+            kb, kf, sz, bufs, n, ovf = args
+            bufs, n, ovf = push(bufs, n, ovf, (kb, kf, sz, l))
+            if not self_match:
+                KB, KF, SZ = index.extend6(kb, kf, sz, is_back=False)
+                bufs2, n2, ovf2 = push(bufs, n, ovf, (KB[0], KF[0], SZ[0], l))
+                bufs, n, ovf = jax.tree_util.tree_map(
+                    partial(jnp.where, SZ[0] != 0), (bufs2, n2, ovf2),
+                    (bufs, n, ovf))
+            return bufs, n, ovf
+
+        bufs, n, ovf = jax.lax.cond(
+            alive, at_end, lambda a: (a[3], a[4], a[5]),
+            (kb, kf, sz, bufs, n, ovf))
+        bkb, bkf, bsz, bnfo = bufs
+        # reverse first n entries so smaller intervals come first
+        ridx = jnp.where(jnp.arange(maxi) < n,
+                         jnp.maximum(n - 1 - jnp.arange(maxi), 0),
+                         jnp.arange(maxi))
+        bkb, bkf, bsz, bnfo = (bkb[ridx], bkf[ridx], bsz[ridx], bnfo[ridx])
+        ret = jnp.where(alive, l,
+                        jnp.where(n > 0, jnp.maximum(broke_at, x + 1), x + 1))
+        # reference: ret = curr->a[0].info — last pushed element's end
+        ret = jnp.where(n > 0, bnfo[0], ret)
+
+        # ---- backward sweep -------------------------------------------
+        mkb = jnp.zeros(maxm, idt)
+        mkf = jnp.zeros(maxm, idt)
+        msz = jnp.zeros(maxm, idt)
+        mend = jnp.zeros(maxm, jnp.int32)
+        mstart = jnp.zeros(maxm, jnp.int32)
+        mclosed = jnp.zeros(maxm, bool)
+        mn = jnp.int32(0)
+
+        def bwd_cond(st):
+            i, pn, *_ = st
+            return (i >= -1) & (pn > 0)
+
+        def bwd_body(st):
+            (i, pn, pkb, pkf, psz, pnfo,
+             mkb, mkf, msz, mend, mstart, mclosed, mn, last_mstart, ovf) = st
+            c = jnp.where(i < 0, 0, q[jnp.maximum(i, 0)]).astype(jnp.int32)
+            # batched backward extension of the whole interval set
+            KB, KF, SZ = index.extend6(pkb, pkf, psz, is_back=True)  # [maxi,6]
+            okc_kb = KB[:, c]
+            okc_kf = KF[:, c]
+            okc_sz = SZ[:, c]
+            ok0_sz = SZ[:, 0]
+            fl = (ok0_sz != 0) & (pkf < n_seqs)
+            if self_match:
+                cont = okc_sz > 1
+            else:
+                cont = okc_sz != 0
+            keep = (~cont) | fl | (i == -1)
+
+            def scan_j(carry, j):
+                (ckb, ckf, csz, cnfo, cn, last_csz,
+                 mkb, mkf, msz, mend, mstart, mclosed, mn, last_mstart,
+                 ovf) = carry
+                valid = j < pn
+                do_keep = keep[j] & valid & ((cn == 0) | fl[j])
+                do_mem = do_keep & (fl[j] | (mn == 0) | (i + 1 < last_mstart))
+                at = jnp.minimum(mn, maxm - 1)
+                mkb = jnp.where(do_mem, mkb.at[at].set(pkb[j]), mkb)
+                mkf = jnp.where(do_mem, mkf.at[at].set(pkf[j]), mkf)
+                msz = jnp.where(do_mem, msz.at[at].set(psz[j]), msz)
+                mend = jnp.where(do_mem, mend.at[at].set(pnfo[j]), mend)
+                mstart = jnp.where(do_mem, mstart.at[at].set(i + 1), mstart)
+                mclosed = jnp.where(do_mem,
+                                    mclosed.at[at].set(ok0_sz[j] != 0), mclosed)
+                ovf = ovf | (do_mem & (mn >= maxm))
+                mn = mn + do_mem
+                last_mstart = jnp.where(do_mem, i + 1, last_mstart)
+                do_curr = cont[j] & valid & (
+                    (pkf[j] < n_seqs) | (cn == 0) | (okc_sz[j] != last_csz))
+                cat = jnp.minimum(cn, maxi - 1)
+                ckb = jnp.where(do_curr, ckb.at[cat].set(okc_kb[j]), ckb)
+                ckf = jnp.where(do_curr, ckf.at[cat].set(okc_kf[j]), ckf)
+                csz = jnp.where(do_curr, csz.at[cat].set(okc_sz[j]), csz)
+                cnfo = jnp.where(do_curr, cnfo.at[cat].set(pnfo[j]), cnfo)
+                ovf = ovf | (do_curr & (cn >= maxi))
+                cn = cn + do_curr
+                last_csz = jnp.where(do_curr, okc_sz[j], last_csz)
+                return (ckb, ckf, csz, cnfo, cn, last_csz,
+                        mkb, mkf, msz, mend, mstart, mclosed, mn, last_mstart,
+                        ovf), None
+
+            init = (jnp.zeros(maxi, idt), jnp.zeros(maxi, idt),
+                    jnp.zeros(maxi, idt), jnp.zeros(maxi, jnp.int32),
+                    jnp.int32(0), idt.type(-1),
+                    mkb, mkf, msz, mend, mstart, mclosed, mn, last_mstart, ovf)
+            (ckb, ckf, csz, cnfo, cn, _, mkb, mkf, msz, mend, mstart, mclosed,
+             mn, last_mstart, ovf), _ = jax.lax.scan(
+                scan_j, init, jnp.arange(maxi, dtype=jnp.int32))
+            return (i - 1, cn, ckb, ckf, csz, cnfo,
+                    mkb, mkf, msz, mend, mstart, mclosed, mn, last_mstart, ovf)
+
+        st = (x - 1, n, bkb, bkf, bsz, bnfo,
+              mkb, mkf, msz, mend, mstart, mclosed, mn, jnp.int32(0), ovf)
+        (_, _, _, _, _, _, mkb, mkf, msz, mend, mstart, mclosed, mn, _,
+         ovf) = jax.lax.while_loop(bwd_cond, bwd_body, st)
+
+        # reverse mems so they are sorted by start coordinate
+        ridx = jnp.where(jnp.arange(maxm) < mn,
+                         jnp.maximum(mn - 1 - jnp.arange(maxm), 0),
+                         jnp.arange(maxm))
+        return (mkb[ridx], mkf[ridx], msz[ridx], mend[ridx], mstart[ridx],
+                mclosed[ridx], mn, ret, ovf)
+
+    return jax.vmap(one_read)(q, l, x)
+
+
+def smem_all(index: FMDIndex, seqs: list[np.ndarray], self_match=False,
+             maxi: int = 16, maxm: int = 64):
+    """All SMEMs for a list of nt6 reads (host driver over the batched kernel).
+
+    Returns per read a list of (start, end, size, left_closed, kf) tuples, in
+    the same order the reference fm6_smem emits them.
+    """
+    B = len(seqs)
+    if B == 0:
+        return []
+    max_len = max(len(s) for s in seqs)
+    q = np.zeros((B, max_len), np.uint8)
+    lens = np.zeros(B, np.int32)
+    for i, s in enumerate(seqs):
+        q[i, : len(s)] = s
+        lens[i] = len(s)
+    qd = jnp.asarray(q)
+    ld = jnp.asarray(lens)
+    results = [[] for _ in range(B)]
+    x = np.zeros(B, np.int32)
+    active = lens > 0
+    while active.any():
+        out = _smem1_batch(index, qd, ld, jnp.asarray(np.maximum(x, 0)),
+                           self_match, max_len, maxi, maxm)
+        mkb, mkf, msz, mend, mstart, mclosed, mn, ret, ovf = map(np.asarray, out)
+        ret = ret.astype(np.int32).copy()
+        redo = ovf & active
+        if redo.any():
+            # exact re-run for overflowed lanes with guaranteed-size buffers
+            sel = np.flatnonzero(redo)
+            big = _smem1_batch(index, qd[sel], ld[sel],
+                               jnp.asarray(np.maximum(x[sel], 0)), self_match,
+                               max_len, 2 * max_len + 4, 2 * max_len + 4)
+            bkb, bkf, bsz, bend, bstart, bclosed, bmn, bret, bovf = map(
+                np.asarray, big)
+            assert not bovf.any(), "SMEM buffer overflow at guaranteed size"
+            for t, b in enumerate(sel):
+                k = int(bmn[t])
+                results[b].extend(
+                    (int(bstart[t, u]), int(bend[t, u]), int(bsz[t, u]),
+                     bool(bclosed[t, u]), int(bkf[t, u])) for u in range(k))
+            ret[sel] = bret
+        for b in np.flatnonzero(active & ~redo):
+            k = int(mn[b])
+            results[b].extend(
+                (int(mstart[b, u]), int(mend[b, u]), int(msz[b, u]),
+                 bool(mclosed[b, u]), int(mkf[b, u])) for u in range(k))
+        x = np.where(active, ret, x)
+        active = active & (x < lens)
+    return results
+
+
+def format_smem(index: FMDIndex, match) -> str:
+    """fm6_write_smem text line: start, end, size (u32-clamped), flags."""
+    start, end, size, closed, kf = match
+    size = min(size, 0xFFFFFFFF)
+    n_seqs = int(index.mcnt[1])
+    return f"{start}\t{end}\t{size}\t{'OT'[int(closed)]}{'OT'[int(kf < n_seqs)]}"

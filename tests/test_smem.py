@@ -1,0 +1,85 @@
+"""SMEM search parity: our batched kernel vs reference `fermi exact`."""
+
+import subprocess
+
+import numpy as np
+import pytest
+
+from fermi_tpu.core import dna
+from fermi_tpu.construct import suffix
+from fermi_tpu.index.fmd import FMDIndex
+from fermi_tpu.search import smem as sm
+
+from util import random_reads, write_fasta, build_my_fmd
+
+
+def _ref_exact(ref_fermi, fmd, fa, self_match=False):
+    cmd = [ref_fermi, "exact"] + (["-s"] if self_match else []) + [fmd, fa]
+    return subprocess.run(cmd, capture_output=True, check=True).stdout.decode()
+
+
+def _my_exact(idx, reads, names, self_match=False):
+    seqs = [dna.encode(s) for s in reads]
+    matches = sm.smem_all(idx, seqs, self_match=self_match)
+    out = []
+    for name, s, mems in zip(names, seqs, matches):
+        out.append(f"SQ\t{name}\t{len(s)}\t{len(mems)}")
+        for m in mems:
+            out.append("EM\t" + sm.format_smem(idx, m))
+        out.append("//")
+    return "\n".join(out) + "\n"
+
+
+@pytest.mark.parametrize("self_match", [False, True])
+def test_exact_parity_genome_reads(tmp_path, ref_fermi, self_match):
+    # index from genome-sampled reads; query with other reads from the same
+    # genome so there are real multi-read SMEMs
+    idx_reads = random_reads(150, seed=5, with_genome=True, genome_len=4000)
+    qry_reads = random_reads(60, seed=6, with_genome=True, genome_len=4000)
+    # make some queries contain mismatches (split SMEMs)
+    rng = np.random.default_rng(9)
+    qry = []
+    for s in qry_reads:
+        b = list(s)
+        for _ in range(rng.integers(0, 3)):
+            b[rng.integers(0, len(b))] = "ACGT"[rng.integers(0, 4)]
+        qry.append("".join(b))
+
+    fmd = str(tmp_path / "i.fmd")
+    build_my_fmd(idx_reads, fmd)
+    fa = str(tmp_path / "q.fa")
+    write_fasta(fa, qry)
+    ref_out = _ref_exact(ref_fermi, fmd, fa, self_match)
+
+    idx = FMDIndex.restore(fmd)
+    names = [f"r{i}" for i in range(len(qry))]
+    my_out = _my_exact(idx, qry, names, self_match)
+    assert my_out == ref_out
+
+
+def test_exact_parity_self(tmp_path, ref_fermi):
+    # query the index with its own reads (the unitig/seqsort workload shape)
+    reads = random_reads(100, seed=12, with_genome=True, genome_len=2500)
+    fmd = str(tmp_path / "i.fmd")
+    build_my_fmd(reads, fmd)
+    fa = str(tmp_path / "q.fa")
+    write_fasta(fa, reads[:40])
+    ref_out = _ref_exact(ref_fermi, fmd, fa, self_match=True)
+    idx = FMDIndex.restore(fmd)
+    my_out = _my_exact(idx, reads[:40], [f"r{i}" for i in range(40)],
+                       self_match=True)
+    assert my_out == ref_out
+
+
+def test_exact_parity_random_queries(tmp_path, ref_fermi):
+    # queries unrelated to the index: mostly short/no matches
+    idx_reads = random_reads(100, seed=1)
+    qry = random_reads(50, seed=2, min_len=10, max_len=40)
+    fmd = str(tmp_path / "i.fmd")
+    build_my_fmd(idx_reads, fmd)
+    fa = str(tmp_path / "q.fa")
+    write_fasta(fa, qry)
+    ref_out = _ref_exact(ref_fermi, fmd, fa)
+    idx = FMDIndex.restore(fmd)
+    my_out = _my_exact(idx, qry, [f"r{i}" for i in range(len(qry))])
+    assert my_out == ref_out
