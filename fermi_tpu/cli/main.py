@@ -146,12 +146,42 @@ def cmd_chkbwt(args):
     return 0
 
 
+def _add_correct(sub):
+    p = sub.add_parser("correct", help="error-correct reads against an index")
+    p.add_argument("-M", dest="mmap", action="store_true")
+    p.add_argument("-K", dest="keep_bad", action="store_true")
+    p.add_argument("-t", dest="n_threads", type=int, default=1)
+    p.add_argument("-k", dest="w", type=int, default=-1)
+    p.add_argument("-v", dest="verbose", type=int, default=4)
+    p.add_argument("-O", dest="min_occ", type=int, default=3)
+    p.add_argument("-p", dest="is_paired", action="store_true")
+    p.add_argument("-C", dest="max_corr", type=float, default=0.3)
+    p.add_argument("-l", dest="trim_l", type=int, default=0)
+    p.add_argument("-s", dest="step", type=int, default=5)
+    p.add_argument("fmd")
+    p.add_argument("fastx")
+    p.set_defaults(func=cmd_correct)
+
+
+def cmd_correct(args):
+    from fermi_tpu.index.fmd import FMDIndex
+    from fermi_tpu.algos import correct as ec
+
+    idx = FMDIndex.restore(args.fmd)
+    ec.ec_correct(idx, args.fastx, sys.stdout, w=args.w,
+                  min_occ=args.min_occ, keep_bad=args.keep_bad,
+                  is_paired=args.is_paired, max_corr=args.max_corr,
+                  trim_l=args.trim_l, step=args.step,
+                  n_threads=args.n_threads)
+    return 0
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(
         prog="fermi-tpu",
         description="TPU-native FMD-index assembler (fermi-compatible CLI)")
     sub = ap.add_subparsers(dest="cmd", required=True)
-    for add in (_add_build, _add_unpack, _add_exact, _add_chkbwt):
+    for add in (_add_build, _add_unpack, _add_exact, _add_chkbwt, _add_correct):
         add(sub)
     args = ap.parse_args(argv)
     return args.func(args)

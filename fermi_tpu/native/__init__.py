@@ -57,5 +57,23 @@ def get_lib() -> ctypes.CDLL:
             ]
             lib.frld_free.restype = None
             lib.frld_free.argtypes = [ctypes.c_void_p]
+            lib.fec_create.restype = ctypes.c_void_p
+            lib.fec_create.argtypes = [
+                ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint32),
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int64),
+            ]
+            lib.fec_destroy.restype = None
+            lib.fec_destroy.argtypes = [ctypes.c_void_p]
+            lib.fec_fix.restype = ctypes.c_uint64
+            lib.fec_fix.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int,
+            ]
             _lib = lib
     return _lib

@@ -127,7 +127,7 @@ int ec_fix1(const Ctx& ctx, const Opt& opt, uint8_t* s, int sl, uint8_t* qual,
   const int shift = (opt.w - 1) << 1;
   const uint32_t suf_mask = ctx.suf_num - 1;
   int i, q, l, n_rst = 0, no_hits = 1, score_diff;
-  State z, rst[2];
+  State z, rst[2] = {{0, 0}, {0, 0}};
 
   if (sl <= opt.w) return 0xffff;
   while (!fa->heap.empty()) fa->heap.pop();
@@ -216,7 +216,7 @@ int ec_fix1(const Ctx& ctx, const Opt& opt, uint8_t* s, int sl, uint8_t* qual,
   while (sp) {
     uint64_t el = fa->stack[sp];
     i = (int)(el >> 32);
-    if (s[i] - 1 != ((uint32_t)el >> 29)) {
+    if ((uint32_t)(s[i] - 1) != ((uint32_t)el >> 29)) {
       s[i] = (uint8_t)(((uint32_t)el >> 29) + 1);
       qsum += qual[i] - 33;
     } else if (((uint32_t)el >> 28 & 1) && qual[i] < 37) qual[i] = 37;
