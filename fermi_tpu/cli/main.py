@@ -176,12 +176,31 @@ def cmd_correct(args):
     return 0
 
 
+def _add_seqsort(sub):
+    for name in ("seqsort", "seqrank"):
+        p = sub.add_parser(name, help="compute the rank of sequences")
+        p.add_argument("-t", dest="n_threads", type=int, default=1)
+        p.add_argument("fmd")
+        p.set_defaults(func=cmd_seqsort)
+
+
+def cmd_seqsort(args):
+    from fermi_tpu.index.fmd import FMDIndex
+    from fermi_tpu.algos.seqsort import seqsort
+
+    idx = FMDIndex.restore(args.fmd)
+    arr = seqsort(idx)
+    sys.stdout.buffer.write(arr.tobytes())
+    return 0
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(
         prog="fermi-tpu",
         description="TPU-native FMD-index assembler (fermi-compatible CLI)")
     sub = ap.add_subparsers(dest="cmd", required=True)
-    for add in (_add_build, _add_unpack, _add_exact, _add_chkbwt, _add_correct):
+    for add in (_add_build, _add_unpack, _add_exact, _add_chkbwt, _add_correct,
+                _add_seqsort):
         add(sub)
     args = ap.parse_args(argv)
     return args.func(args)

@@ -68,8 +68,12 @@ def retrieve(index: FMDIndex, x: jnp.ndarray, max_len: int):
     length = jnp.zeros(B, dtype=jnp.int32)
     done = jnp.zeros(B, dtype=bool)
 
-    def body(i, carry):
-        k, out, length, done = carry
+    def cond(carry):
+        i, k, out, length, done = carry
+        return (i < max_len) & ~jnp.all(done)
+
+    def body(carry):
+        i, k, out, length, done = carry
         # index.lf gives k' = cnt[c] + rank6(k)[c], which equals the
         # reference's cnt[c] + rank_inclusive(k)[c] - 1 (exact.c:66)
         c, kp = index.lf(k)
@@ -79,11 +83,77 @@ def retrieve(index: FMDIndex, x: jnp.ndarray, max_len: int):
         length = length + emit.astype(jnp.int32)
         k = jnp.where(done, k, kp)
         done = done | hit_end
-        return k, out, length, done
+        return i + 1, k, out, length, done
 
-    k, out, length, done = jax.lax.fori_loop(0, max_len, body,
-                                             (k, out, length, done))
+    _, k, out, length, done = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), k, out, length, done))
     return out, length, k
+
+
+@partial(jax.jit, static_argnames=("max_len",))
+def retrieve2(index: FMDIndex, x: jnp.ndarray, max_len: int):
+    """Batched fm6_retrieve (exact.c:100-127): LF-walk from sentinel rank x
+    while tracking the bi-interval of the read-so-far; ends with sentinel
+    extensions that detect containment.
+
+    Returns (seq_rev, length, k, kb, kf, sz, contained):
+    k — the read's own sentinel rank; (kb, kf, sz) — bi-interval of the full
+    read bounded by sentinels; contained — bit1: left-, bit2: right-contained.
+    """
+    B = x.shape[0]
+    idt = index.idtype
+    k = x.astype(idt)
+    out = jnp.zeros((B, max_len), dtype=jnp.uint8)
+    length = jnp.zeros(B, dtype=jnp.int32)
+    done = jnp.zeros(B, dtype=bool)
+    kb = jnp.zeros(B, idt)
+    kf = jnp.zeros(B, idt)
+    sz = jnp.zeros(B, idt)
+
+    def cond(carry):
+        i, k, out, length, done, kb, kf, sz = carry
+        return (i < max_len) & ~jnp.all(done)
+
+    def body(carry):
+        i, k, out, length, done, kb, kf, sz = carry
+        c, kp = index.lf(k)
+        ci = c.astype(jnp.int32)
+        hit_end = c == 0
+        emit = ~done & ~hit_end
+        out = out.at[:, i].set(jnp.where(emit, c, 0))
+        length = length + emit.astype(jnp.int32)
+        # interval update for emitting lanes
+        first = length == 1  # this step emitted the first symbol
+        skb, skf, ssz = index.set_intv(ci)
+        KB, KF, SZ = index.extend6(kb, kf, sz, is_back=True)
+        ekb = jnp.take_along_axis(KB, ci[:, None], axis=1)[:, 0]
+        ekf = jnp.take_along_axis(KF, ci[:, None], axis=1)[:, 0]
+        esz = jnp.take_along_axis(SZ, ci[:, None], axis=1)[:, 0]
+        one = sz == 1
+        nkb = jnp.where(first, skb, jnp.where(one, kp, ekb))
+        nkf = jnp.where(first, skf, jnp.where(one, kf, ekf))
+        nsz = jnp.where(first, ssz, jnp.where(one, sz, esz))
+        kb = jnp.where(emit, nkb, kb)
+        kf = jnp.where(emit, nkf, kf)
+        sz = jnp.where(emit, nsz, sz)
+        k = jnp.where(done, k, kp)
+        done = done | hit_end
+        return i + 1, k, out, length, done, kb, kf, sz
+
+    _, k, out, length, done, kb, kf, sz = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), k, out, length, done, kb, kf, sz))
+    # final sentinel extensions (left containment then right)
+    contained = jnp.zeros(B, jnp.int32)
+    KB, KF, SZ = index.extend6(kb, kf, sz, is_back=True)
+    left = (SZ[:, 0] != sz) & (sz != 1)
+    kb2 = jnp.where(sz == 1, k, KB[:, 0])
+    kf2 = jnp.where(sz == 1, kf, KF[:, 0])
+    sz2 = jnp.where(sz == 1, sz, SZ[:, 0])
+    contained = contained | left.astype(jnp.int32)
+    KB, KF, SZ = index.extend6(kb2, kf2, sz2, is_back=False)
+    right = SZ[:, 0] != sz2
+    contained = contained | (right.astype(jnp.int32) << 1)
+    return out, length, k, KB[:, 0], KF[:, 0], SZ[:, 0], contained
 
 
 def retrieve_strings(index: FMDIndex, ids, max_len: int = 512):
