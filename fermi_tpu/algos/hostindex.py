@@ -1,0 +1,90 @@
+"""Host (numpy) mirror of the blocked-occ FMD-index.
+
+Used by host-side graph algorithms (unitig construction, scaffolding) whose
+control flow is too irregular for one device program but whose interval-set
+extensions are still vectorized numpy calls. Shares the exact layout of
+index.fmd.FMDIndex.
+"""
+
+import numpy as np
+
+BLOCK_BITS = 7
+BLOCK = 1 << BLOCK_BITS
+
+
+class HostIndex:
+    def __init__(self, bwt: np.ndarray):
+        bwt = np.asarray(bwt, dtype=np.uint8)
+        n = bwt.size
+        nb = (n + BLOCK - 1) // BLOCK
+        padded = np.full((nb + 1) * BLOCK, 6, dtype=np.uint8)
+        padded[:n] = bwt
+        self.blocks = padded.reshape(nb + 1, BLOCK)
+        hist = np.zeros((nb + 1, 6), np.int64)
+        for c in range(6):
+            hist[:, c] = (self.blocks == c).sum(axis=1)
+        self.occ = np.zeros_like(hist)
+        np.cumsum(hist[:-1], axis=0, out=self.occ[1:])
+        self.mcnt = np.zeros(7, np.int64)
+        self.mcnt[0] = n
+        self.mcnt[1:] = np.bincount(bwt, minlength=6)[:6]
+        self.cnt = np.zeros(7, np.int64)
+        self.cnt[1:] = np.cumsum(self.mcnt[1:7])
+
+    @property
+    def n_seqs(self) -> int:
+        return int(self.mcnt[1])
+
+    def rank6(self, k):
+        """Counts of symbols 0..5 in BWT[0..k-1]; k scalar or [B] -> [B,6]."""
+        k = np.asarray(k, dtype=np.int64)
+        scalar = k.ndim == 0
+        k = np.atleast_1d(k)
+        blk = k >> BLOCK_BITS
+        off = k & (BLOCK - 1)
+        rows = self.blocks[blk]                      # [B, BLOCK]
+        mask = np.arange(BLOCK) < off[:, None]
+        out = self.occ[blk].copy()
+        for c in range(6):
+            out[:, c] += ((rows == c) & mask).sum(axis=1)
+        return out[0] if scalar else out
+
+    def extend6(self, kb, kf, sz, is_back: bool):
+        """Vectorized fm6_extend over interval arrays -> ([B,6],)*3."""
+        kb = np.atleast_1d(np.asarray(kb, np.int64))
+        kf = np.atleast_1d(np.asarray(kf, np.int64))
+        sz = np.atleast_1d(np.asarray(sz, np.int64))
+        primary = kb if is_back else kf
+        tk = self.rank6(primary)
+        tl = self.rank6(primary + sz)
+        osz = tl - tk
+        outp = self.cnt[:6][None, :] + tk
+        other_base = kf if is_back else kb
+        other = np.empty_like(outp)
+        other[:, 0] = other_base
+        other[:, 4] = other[:, 0] + osz[:, 0]
+        other[:, 3] = other[:, 4] + osz[:, 4]
+        other[:, 2] = other[:, 3] + osz[:, 3]
+        other[:, 1] = other[:, 2] + osz[:, 2]
+        other[:, 5] = other[:, 1] + osz[:, 1]
+        if is_back:
+            return outp, other, osz
+        return other, outp, osz
+
+    def set_intv(self, c: int):
+        comp = 5 - c if 1 <= c <= 4 else c
+        return (int(self.cnt[c]), int(self.cnt[comp]),
+                int(self.cnt[c + 1] - self.cnt[c]))
+
+    def retrieve(self, x: int):
+        """Sequence (forward order, nt6) of the x-th read + final rank."""
+        k = int(x)
+        out = []
+        while True:
+            r = self.rank6(np.array([k, k + 1]))
+            row = self.blocks[k >> BLOCK_BITS]
+            c = int(row[k & (BLOCK - 1)])
+            k = int(self.cnt[c] + r[0, c])
+            if c == 0:
+                return np.array(out[::-1], dtype=np.uint8), k
+            out.append(c)

@@ -194,13 +194,37 @@ def cmd_seqsort(args):
     return 0
 
 
+def _add_unitig(sub):
+    p = sub.add_parser("unitig", help="construct unitigs")
+    p.add_argument("-M", dest="mmap", action="store_true")
+    p.add_argument("-l", dest="min_match", type=int, default=30)
+    p.add_argument("-t", dest="n_threads", type=int, default=1)
+    p.add_argument("-r", dest="rank_file", default=None)
+    p.add_argument("fmd")
+    p.set_defaults(func=cmd_unitig)
+
+
+def cmd_unitig(args):
+    from fermi_tpu import rld
+    from fermi_tpu.algos.hostindex import HostIndex
+    from fermi_tpu.algos.unitig import fm6_unitig
+
+    runs = rld.read_fmd(args.fmd)
+    e = HostIndex(runs.expand())
+    sorted_arr = None
+    if args.rank_file:
+        sorted_arr = np.fromfile(args.rank_file, np.uint64, e.n_seqs)
+    fm6_unitig(e, args.min_match, sys.stdout, sorted_arr)
+    return 0
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(
         prog="fermi-tpu",
         description="TPU-native FMD-index assembler (fermi-compatible CLI)")
     sub = ap.add_subparsers(dest="cmd", required=True)
     for add in (_add_build, _add_unpack, _add_exact, _add_chkbwt, _add_correct,
-                _add_seqsort):
+                _add_seqsort, _add_unitig):
         add(sub)
     args = ap.parse_args(argv)
     return args.func(args)

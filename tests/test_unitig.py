@@ -1,0 +1,75 @@
+"""Unitig construction parity vs reference `fermi unitig` (t=1)."""
+
+import io
+import subprocess
+
+import numpy as np
+import pytest
+
+from fermi_tpu import rld
+from fermi_tpu.algos.hostindex import HostIndex
+from fermi_tpu.algos.unitig import fm6_unitig
+from fermi_tpu.algos.seqsort import seqsort
+from fermi_tpu.index.fmd import FMDIndex
+
+from util import random_reads, build_my_fmd
+
+
+def _run_both(tmp_path, ref_fermi, reads, min_match, use_rank=False):
+    fmd = str(tmp_path / "i.fmd")
+    build_my_fmd(reads, fmd)
+    cmd = [ref_fermi, "unitig", "-l", str(min_match)]
+    rank_args = []
+    if use_rank:
+        rank = subprocess.run([ref_fermi, "seqsort", fmd], capture_output=True,
+                              check=True).stdout
+        rf = str(tmp_path / "i.rank")
+        open(rf, "wb").write(rank)
+        rank_args = ["-r", rf]
+    ref = subprocess.run(cmd + rank_args + [fmd], capture_output=True,
+                         check=True).stdout.decode()
+
+    runs = rld.read_fmd(fmd)
+    e = HostIndex(runs.expand())
+    sorted_arr = None
+    if use_rank:
+        sorted_arr = np.frombuffer(rank, np.uint64)
+    buf = io.StringIO()
+    fm6_unitig(e, min_match, buf, sorted_arr)
+    return ref, buf.getvalue()
+
+
+def test_unitig_parity_simple_overlaps(tmp_path, ref_fermi):
+    # tiled reads from one genome -> a few clean unitigs
+    rng = np.random.default_rng(31)
+    genome = "".join("ACGT"[c] for c in rng.integers(0, 4, 3000))
+    reads = []
+    for pos in range(0, 2900, 17):
+        reads.append(genome[pos:pos + 80])
+    ref, mine = _run_both(tmp_path, ref_fermi, reads, 40)
+    assert mine == ref
+
+
+def test_unitig_parity_genome_reads(tmp_path, ref_fermi):
+    reads = random_reads(400, seed=33, with_genome=True, genome_len=4000,
+                         min_len=60, max_len=100)
+    ref, mine = _run_both(tmp_path, ref_fermi, reads, 30)
+    assert mine == ref
+
+
+def test_unitig_parity_with_rank(tmp_path, ref_fermi):
+    reads = random_reads(300, seed=35, with_genome=True, genome_len=2500,
+                         min_len=60, max_len=100)
+    ref, mine = _run_both(tmp_path, ref_fermi, reads, 30, use_rank=True)
+    assert mine == ref
+
+
+def test_unitig_parity_repetitive(tmp_path, ref_fermi):
+    # repeats to force bifurcations / bend bits / loops
+    rng = np.random.default_rng(37)
+    core = "".join("ACGT"[c] for c in rng.integers(0, 4, 400))
+    genome = core + "".join("ACGT"[c] for c in rng.integers(0, 4, 600)) + core \
+        + "".join("ACGT"[c] for c in rng.integers(0, 4, 500))
+    reads = [genome[p:p + 70] for p in range(0, len(genome) - 70, 9)]
+    ref, mine = _run_both(tmp_path, ref_fermi, reads, 35)
+    assert mine == ref
