@@ -1,0 +1,150 @@
+"""Benchmark: SMEM search throughput (reads/s) vs the reference fermi binary.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Dataset: deterministic synthetic genome + error-bearing reads; the index is
+built once and cached under /tmp/fermi_tpu_bench. Our side runs the batched
+SMEM kernel on the default JAX device (the TPU under the driver); the
+baseline is the reference `fermi exact` (single-threaded C, as shipped) on
+the same index and query set.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+GENOME_LEN = 2_000_000
+N_INDEX_READS = 60_000
+N_QUERY_READS = 20_000
+READ_LEN = 100
+ERR = 0.01
+SEED = 1234
+CACHE = "/tmp/fermi_tpu_bench"
+REF_BIN = "/tmp/ref_build/fermi"
+REF_SRC = "/root/reference"
+
+
+def log(msg):
+    sys.stderr.write(f"[bench] {msg}\n")
+    sys.stderr.flush()
+
+
+def make_dataset():
+    rng = np.random.default_rng(SEED)
+    genome = rng.integers(0, 4, GENOME_LEN).astype(np.int8)
+
+    def sample(n, with_err):
+        pos = rng.integers(0, GENOME_LEN - READ_LEN, n)
+        reads = np.empty((n, READ_LEN), np.int8)
+        for i, p in enumerate(pos):
+            reads[i] = genome[p:p + READ_LEN]
+        if with_err:
+            nerr = rng.binomial(READ_LEN, ERR, n)
+            for i in range(n):
+                for _ in range(nerr[i]):
+                    j = rng.integers(0, READ_LEN)
+                    reads[i, j] = (reads[i, j] + 1 + rng.integers(0, 3)) % 4
+        flip = rng.random(n) < 0.5
+        reads[flip] = 3 - reads[flip, ::-1]
+        return reads
+
+    return sample(N_INDEX_READS, False), sample(N_QUERY_READS, True)
+
+
+def ensure_files():
+    os.makedirs(CACHE, exist_ok=True)
+    fmd = os.path.join(CACHE, f"idx_{SEED}_{N_INDEX_READS}.fmd")
+    qfa = os.path.join(CACHE, f"qry_{SEED}_{N_QUERY_READS}.fa")
+    if os.path.exists(fmd) and os.path.exists(qfa):
+        return fmd, qfa
+    log("generating dataset...")
+    idx_reads, qry_reads = make_dataset()
+    t0 = time.time()
+    from fermi_tpu.construct import suffix
+    from fermi_tpu import rld
+
+    seqs = [r.astype(np.uint8) + 1 for r in idx_reads]
+    text = suffix.build_text(seqs)
+    log(f"building BWT over {text.size/1e6:.1f}M symbols...")
+    bwt = suffix.multistring_bwt(text)
+    rld.write_fmd(rld.Runs.from_bwt(bwt), fmd)
+    log(f"index built in {time.time()-t0:.1f}s -> {fmd}")
+    with open(qfa, "w") as f:
+        for i, r in enumerate(qry_reads):
+            f.write(f">q{i}\n{''.join('ACGT'[c] for c in r)}\n")
+    return fmd, qfa
+
+
+def ensure_ref():
+    if os.path.exists(REF_BIN):
+        return REF_BIN
+    if not os.path.isdir(REF_SRC):
+        return None
+    subprocess.run(f"cp -r {REF_SRC} /tmp/ref_build && make -s -C /tmp/ref_build -j8",
+                   shell=True, check=True, capture_output=True)
+    return REF_BIN
+
+
+def bench_mine(fmd, qfa):
+    import jax
+    from fermi_tpu.core import dna, fastx
+    from fermi_tpu.index.fmd import FMDIndex
+    from fermi_tpu.search import smem as sm
+
+    log(f"JAX backend: {jax.default_backend()}, devices: {jax.devices()}")
+    t0 = time.time()
+    idx = FMDIndex.restore(fmd)
+    log(f"index loaded to device in {time.time()-t0:.1f}s")
+    seqs = [dna.encode(r.seq) for r in fastx.read_fastx(qfa)]
+    # warmup (compile)
+    t0 = time.time()
+    sm.smem_all(idx, seqs[:2048])
+    log(f"warmup (compile) in {time.time()-t0:.1f}s")
+    t0 = time.time()
+    n_matches = 0
+    B = 8192
+    for lo in range(0, len(seqs), B):
+        res = sm.smem_all(idx, seqs[lo: lo + B])
+        n_matches += sum(len(r) for r in res)
+    dt = time.time() - t0
+    log(f"mine: {len(seqs)} reads in {dt:.2f}s -> {len(seqs)/dt:.0f} reads/s "
+        f"({n_matches} SMEMs)")
+    return len(seqs) / dt, n_matches
+
+
+def bench_ref(ref, fmd, qfa):
+    t0 = time.time()
+    res = subprocess.run([ref, "exact", fmd, qfa], capture_output=True,
+                         check=True)
+    dt = time.time() - t0
+    n_matches = res.stdout.count(b"\nEM\t") + res.stdout.startswith(b"EM\t")
+    n_reads = res.stdout.count(b"SQ\t")
+    log(f"reference: {n_reads} reads in {dt:.2f}s -> {n_reads/dt:.0f} reads/s "
+        f"({n_matches} SMEMs)")
+    return n_reads / dt, n_matches
+
+
+def main():
+    fmd, qfa = ensure_files()
+    mine_rps, mine_m = bench_mine(fmd, qfa)
+    ref = ensure_ref()
+    vs = None
+    if ref:
+        ref_rps, ref_m = bench_ref(ref, fmd, qfa)
+        if mine_m != ref_m:
+            log(f"WARNING: SMEM count mismatch mine={mine_m} ref={ref_m}")
+        vs = mine_rps / ref_rps
+    print(json.dumps({
+        "metric": "SMEM search throughput",
+        "value": round(mine_rps, 1),
+        "unit": "reads/s/chip",
+        "vs_baseline": round(vs, 3) if vs is not None else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -257,13 +257,139 @@ def cmd_clean(args):
     return 0
 
 
+def _add_merge(sub):
+    p = sub.add_parser("merge", help="merge multiple FMD-indexes")
+    p.add_argument("-f", dest="force", action="store_true")
+    p.add_argument("-t", dest="n_threads", type=int, default=1)
+    p.add_argument("-o", dest="out", default="-")
+    p.add_argument("fmds", nargs="+")
+    p.set_defaults(func=cmd_merge)
+
+
+def cmd_merge(args):
+    import os
+    from fermi_tpu import rld
+    from fermi_tpu.index.fmd import FMDIndex
+    from fermi_tpu.algos.merge import fm_merge
+
+    if args.out != "-" and not args.force and os.path.exists(args.out):
+        sys.stderr.write(f"[E::merge] File `{args.out}' exists. Use -f.\n")
+        return 1
+    runs0 = rld.read_fmd(args.fmds[0])
+    bwt0 = runs0.expand()
+    for fn in args.fmds[1:]:
+        runs1 = rld.read_fmd(fn)
+        bwt1 = runs1.expand()
+        e0 = FMDIndex.from_bwt(bwt0)
+        e1 = FMDIndex.from_bwt(bwt1)
+        bwt0 = fm_merge(e0, bwt0, e1, bwt1)
+        sys.stderr.write(f"[M::merge] merged `{fn}'\n")
+    rld.write_fmd(rld.Runs.from_bwt(bwt0), args.out)
+    return 0
+
+
+def _add_sub(sub):
+    p = sub.add_parser("sub", help="extract sub-index with a bit array")
+    p.add_argument("-c", dest="is_comp", action="store_true")
+    p.add_argument("-t", dest="n_threads", type=int, default=1)
+    p.add_argument("fmd")
+    p.add_argument("bits")
+    p.set_defaults(func=cmd_sub)
+
+
+def cmd_sub(args):
+    from fermi_tpu import rld
+    from fermi_tpu.index.fmd import FMDIndex
+    from fermi_tpu.algos.sub import fm_sub, unpack_bitfile
+
+    runs = rld.read_fmd(args.fmd)
+    bwt = runs.expand()
+    e = FMDIndex.from_bwt(bwt)
+    bits = unpack_bitfile(args.bits)
+    if len(bits) != int(runs.n_seqs):
+        sys.stderr.write("[E::sub] unmatched index and the bit array\n")
+        return 1
+    out = fm_sub(e, bwt, bits, args.is_comp)
+    rld.write_fmd(rld.Runs.from_bwt(out), "-")
+    return 0
+
+
+def _add_contrast(sub):
+    p = sub.add_parser("contrast", help="compare two FMD-indexes")
+    p.add_argument("-k", dest="kmer", type=int, default=55)
+    p.add_argument("-o", dest="min_occ", type=int, default=3)
+    p.add_argument("-t", dest="n_threads", type=int, default=1)
+    p.add_argument("args", nargs=6,
+                   metavar="idx1.fmd idx1.rank 1-2.sub idx2.fmd idx2.rank 2-1.sub")
+    p.set_defaults(func=cmd_contrast)
+
+
+def cmd_contrast(args):
+    from fermi_tpu import rld
+    from fermi_tpu.index.fmd import FMDIndex
+    from fermi_tpu.algos.contrast import fm6_contrast, sub_conv
+    from fermi_tpu.algos.sub import pack_bitfile
+
+    f0, r0, o0, f1, r1, o1 = args.args
+    e0 = FMDIndex.restore(f0)
+    e1 = FMDIndex.restore(f1)
+    sub0, sub1 = fm6_contrast(e0, e1, args.kmer, args.min_occ)
+    for fmd, rank_fn, out_fn, s in ((f0, r0, o0, sub0), (f1, r1, o1, sub1)):
+        rank = np.fromfile(rank_fn, np.uint64, len(s))
+        sel = sub_conv(s, rank)
+        sys.stderr.write(
+            f"[M::contrast] {int(sel.sum())} reads selected from {fmd}\n")
+        with open(out_fn, "wb") as fp:
+            pack_bitfile(fp, sel)
+    return 0
+
+
+def _add_bitand(sub):
+    p = sub.add_parser("bitand", help="intersect bit arrays")
+    p.add_argument("bits", nargs="+")
+    p.set_defaults(func=cmd_bitand)
+
+
+def cmd_bitand(args):
+    from fermi_tpu.algos.sub import unpack_bitfile, pack_bitfile
+
+    acc = unpack_bitfile(args.bits[0])
+    sys.stderr.write(f"[M::bitand] loaded `{args.bits[0]}' containing "
+                     f"{int(acc.sum())} bits\n")
+    for fn in args.bits[1:]:
+        b = unpack_bitfile(fn)
+        sys.stderr.write(f"[M::bitand] loaded `{fn}' containing "
+                         f"{int(b.sum())} bits\n")
+        if len(b) != len(acc):
+            sys.stderr.write("[E::bitand] unequal array length\n")
+            return 1
+        acc &= b
+    sys.stderr.write(f"[M::bitand] the output contains {int(acc.sum())} bits\n")
+    pack_bitfile(sys.stdout.buffer, acc)
+    return 0
+
+
+def _add_recode(sub):
+    p = sub.add_parser("recode", help="recode FM-index")
+    p.add_argument("fmd")
+    p.set_defaults(func=cmd_recode)
+
+
+def cmd_recode(args):
+    from fermi_tpu import rld
+
+    rld.write_fmd(rld.read_fmd(args.fmd), "-")
+    return 0
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(
         prog="fermi-tpu",
         description="TPU-native FMD-index assembler (fermi-compatible CLI)")
     sub = ap.add_subparsers(dest="cmd", required=True)
     for add in (_add_build, _add_unpack, _add_exact, _add_chkbwt, _add_correct,
-                _add_seqsort, _add_unitig, _add_clean):
+                _add_seqsort, _add_unitig, _add_clean, _add_merge, _add_sub,
+                _add_contrast, _add_bitand, _add_recode):
         add(sub)
     args = ap.parse_args(argv)
     return args.func(args)

@@ -18,6 +18,11 @@ from functools import partial
 
 import numpy as np
 import jax
+
+# index positions overflow int32 beyond 2^31 symbols; the hot arrays stay
+# int32 via idtype, but position math must be allowed to be 64-bit
+jax.config.update("jax_enable_x64", True)
+
 import jax.numpy as jnp
 
 BLOCK_BITS = 7

@@ -90,21 +90,18 @@ def _smem1_batch(index: FMDIndex, q, l, x, self_match: bool, max_len: int,
         i, alive, kb, kf, sz, bufs, n, ovf, broke_at = jax.lax.while_loop(
             fwd_cond, fwd_body, st)
 
-        # reached the end: push the last interval (+ sentinel-closed variant)
-        def at_end(args):
-            kb, kf, sz, bufs, n, ovf = args
-            bufs, n, ovf = push(bufs, n, ovf, (kb, kf, sz, l))
-            if not self_match:
-                KB, KF, SZ = index.extend6(kb, kf, sz, is_back=False)
-                bufs2, n2, ovf2 = push(bufs, n, ovf, (KB[0], KF[0], SZ[0], l))
-                bufs, n, ovf = jax.tree_util.tree_map(
-                    partial(jnp.where, SZ[0] != 0), (bufs2, n2, ovf2),
-                    (bufs, n, ovf))
-            return bufs, n, ovf
-
-        bufs, n, ovf = jax.lax.cond(
-            alive, at_end, lambda a: (a[3], a[4], a[5]),
-            (kb, kf, sz, bufs, n, ovf))
+        # reached the end: push the last interval (+ sentinel-closed variant).
+        # Masked, not lax.cond: under vmap a cond closing over the index
+        # arrays lowers to a per-lane select that broadcasts the whole table.
+        bufs2, n2, ovf2 = push(bufs, n, ovf, (kb, kf, sz, l))
+        bufs, n, ovf = jax.tree_util.tree_map(
+            partial(jnp.where, alive), (bufs2, n2, ovf2), (bufs, n, ovf))
+        if not self_match:
+            KB, KF, SZ = index.extend6(kb, kf, sz, is_back=False)
+            bufs2, n2, ovf2 = push(bufs, n, ovf, (KB[0], KF[0], SZ[0], l))
+            bufs, n, ovf = jax.tree_util.tree_map(
+                partial(jnp.where, alive & (SZ[0] != 0)), (bufs2, n2, ovf2),
+                (bufs, n, ovf))
         bkb, bkf, bsz, bnfo = bufs
         # reverse first n entries so smaller intervals come first
         ridx = jnp.where(jnp.arange(maxi) < n,
