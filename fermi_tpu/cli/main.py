@@ -382,6 +382,32 @@ def cmd_recode(args):
     return 0
 
 
+def _add_remap(sub):
+    p = sub.add_parser("remap", help="compute coverage and PE coverage")
+    p.add_argument("-M", dest="mmap", action="store_true")
+    p.add_argument("-l", dest="skip", type=int, default=50)
+    p.add_argument("-c", dest="min_pcv", type=int, default=0)
+    p.add_argument("-D", dest="max_dist", type=int, default=1000)
+    p.add_argument("-r", dest="rank_file", default=None)
+    p.add_argument("-t", dest="n_threads", type=int, default=1)
+    p.add_argument("fmd")
+    p.add_argument("contigs")
+    p.set_defaults(func=cmd_remap)
+
+
+def cmd_remap(args):
+    from fermi_tpu.index.fmd import FMDIndex
+    from fermi_tpu.algos.remap import remap
+
+    idx = FMDIndex.restore(args.fmd)
+    sorted_arr = None
+    if args.rank_file:
+        sorted_arr = np.fromfile(args.rank_file, np.uint64)
+    remap(idx, args.contigs, sys.stdout, sorted_arr, args.skip, args.min_pcv,
+          args.max_dist)
+    return 0
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(
         prog="fermi-tpu",
@@ -389,7 +415,7 @@ def main(argv=None):
     sub = ap.add_subparsers(dest="cmd", required=True)
     for add in (_add_build, _add_unpack, _add_exact, _add_chkbwt, _add_correct,
                 _add_seqsort, _add_unitig, _add_clean, _add_merge, _add_sub,
-                _add_contrast, _add_bitand, _add_recode):
+                _add_contrast, _add_bitand, _add_recode, _add_remap):
         add(sub)
     args = ap.parse_args(argv)
     return args.func(args)
