@@ -408,6 +408,33 @@ def cmd_remap(args):
     return 0
 
 
+def _add_scaf(sub):
+    p = sub.add_parser("scaf", help="generate scaftigs")
+    p.add_argument("-t", dest="n_threads", type=int, default=1)
+    p.add_argument("-m", dest="min_supp", type=int, default=5)
+    p.add_argument("-P", dest="pr_links", action="store_true")
+    p.add_argument("-a", dest="a_thres", type=float, default=20.0)
+    p.add_argument("-p", dest="p_thres", type=float, default=1e-20)
+    p.add_argument("fmd")
+    p.add_argument("mag")
+    p.add_argument("avg", type=float)
+    p.add_argument("std", type=float)
+    p.set_defaults(func=cmd_scaf)
+
+
+def cmd_scaf(args):
+    from fermi_tpu import rld
+    from fermi_tpu.algos.hostindex import HostIndex
+    from fermi_tpu.algos.scaf import scaf_core
+
+    runs = rld.read_fmd(args.fmd)
+    e = HostIndex(runs.expand())
+    scaf_core(e, args.mag, args.avg, args.std, min_supp=args.min_supp,
+              a_thres=args.a_thres, p_thres=args.p_thres,
+              pr_links=args.pr_links, out_fp=sys.stdout)
+    return 0
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(
         prog="fermi-tpu",
@@ -415,7 +442,8 @@ def main(argv=None):
     sub = ap.add_subparsers(dest="cmd", required=True)
     for add in (_add_build, _add_unpack, _add_exact, _add_chkbwt, _add_correct,
                 _add_seqsort, _add_unitig, _add_clean, _add_merge, _add_sub,
-                _add_contrast, _add_bitand, _add_recode, _add_remap):
+                _add_contrast, _add_bitand, _add_recode, _add_remap,
+                _add_scaf):
         add(sub)
     args = ap.parse_args(argv)
     return args.func(args)

@@ -1,12 +1,14 @@
 """Batched supermaximal-exact-match (SMEM) search.
 
 Reimplements the bidirectional SMEM algorithm of reference smem.c:13-80
-(fm6_smem1_core) as a fixed-shape JAX program: one read per vmap lane, the
-variable-length interval lists of the reference become masked fixed-width
-buffers, and every fm6_extend of the backward sweep is batched across the
-whole interval set and across all reads at once. Overflow of the fixed
-buffers is detected per read and those reads are re-run with wider buffers,
-so results are exact for any input.
+(fm6_smem1_core) and its whole-read driver fm6_smem (smem.c:397-411) as one
+fixed-shape JAX program: one read per vmap lane; the variable-length interval
+lists become masked fixed-width buffers; every fm6_extend of the backward
+sweep is batched across the interval set and across all reads; the per-read
+restart loop over start positions runs inside the kernel, so a batch of reads
+costs one device call and one transfer. Buffer overflow is detected per read
+and those reads are re-run with guaranteed-size buffers, keeping results
+exact for any input.
 
 Output fields per match mirror fm6_write_smem (smem.c:412-419): [start, end)
 on the read, interval size, left-closed flag, and forward-strand start (for
@@ -27,28 +29,28 @@ def _comp6(c):
 
 
 @partial(jax.jit, static_argnames=("self_match", "max_len", "maxi", "maxm"))
-def _smem1_batch(index: FMDIndex, q, l, x, self_match: bool, max_len: int,
-                 maxi: int, maxm: int):
-    """One SMEM pass from start position x for every read in the batch.
+def _smem_batch(index: FMDIndex, q, l, self_match: bool, max_len: int,
+                maxi: int, maxm: int):
+    """All SMEMs of every read in the batch (all restart segments).
 
-    q: uint8 [B, max_len]; l, x: int32 [B].
-    Returns (mem_*: [B, maxm] fields, mem_n [B], ret [B] next start, ovf [B]).
+    q: uint8 [B, max_len]; l: int32 [B].
+    Returns (mem fields [B, maxm], mem_n [B], ovf [B]).
     """
     idt = index.idtype
     n_seqs = index.mcnt[1]
 
-    def one_read(q, l, x):
-        c0 = q[x]
-        kb, kf, sz = index.set_intv(c0)
-        # interval buffers: kb, kf, sz, end
-        bkb = jnp.zeros(maxi, idt)
-        bkf = jnp.zeros(maxi, idt)
-        bsz = jnp.zeros(maxi, idt)
-        bnfo = jnp.zeros(maxi, jnp.int32)
-        n = jnp.int32(0)
-        ovf = jnp.bool_(False)
+    def one_read(q, l):
+        # global (whole-read) accumulators
+        gkb = jnp.zeros(maxm, idt)
+        gkf = jnp.zeros(maxm, idt)
+        gsz = jnp.zeros(maxm, idt)
+        gend = jnp.zeros(maxm, jnp.int32)
+        gstart = jnp.zeros(maxm, jnp.int32)
+        gclosed = jnp.zeros(maxm, bool)
+        gmn = jnp.int32(0)
+        govf = jnp.bool_(False)
 
-        def push(bufs, n, ovf, vals):
+        def push_intv(bufs, n, ovf, vals):
             bkb, bkf, bsz, bnfo = bufs
             at = jnp.minimum(n, maxi - 1)
             kb, kf, sz, nfo = vals
@@ -58,151 +60,207 @@ def _smem1_batch(index: FMDIndex, q, l, x, self_match: bool, max_len: int,
             bnfo = bnfo.at[at].set(nfo.astype(jnp.int32))
             return (bkb, bkf, bsz, bnfo), n + 1, ovf | (n >= maxi)
 
-        # ---- forward sweep --------------------------------------------
-        def fwd_cond(st):
-            i, alive, *_ = st
-            return alive & (i < l)
+        def segment(x, glob):
+            """One fm6_smem1_core pass from start position x; appends matches
+            to the global buffers; returns (ret=next x, glob)."""
+            (gkb, gkf, gsz, gend, gstart, gclosed, gmn, govf) = glob
+            c0 = q[x]
+            kb, kf, sz = index.set_intv(c0)
+            bkb = jnp.zeros(maxi, idt)
+            bkf = jnp.zeros(maxi, idt)
+            bsz = jnp.zeros(maxi, idt)
+            bnfo = jnp.zeros(maxi, jnp.int32)
+            n = jnp.int32(0)
+            ovf = jnp.bool_(False)
 
-        def fwd_body(st):
-            i, alive, kb, kf, sz, bufs, n, ovf, broke_at = st
-            c = _comp6(q[i]).astype(jnp.int32)
-            KB, KF, SZ = index.extend6(kb, kf, sz, is_back=False)
-            okc_sz = SZ[c]
-            ok0_sz = SZ[0]
-            size_changed = okc_sz != sz
-            push_ik = size_changed & (sz != ok0_sz)
-            bufs2, n2, ovf2 = push(bufs, n, ovf, (kb, kf, sz, i))
+            # ---- forward sweep ----------------------------------------
+            def fwd_cond(st):
+                i, alive, *_ = st
+                return alive & (i < l)
+
+            def fwd_body(st):
+                i, alive, kb, kf, sz, bufs, n, ovf, broke_at = st
+                c = _comp6(q[i]).astype(jnp.int32)
+                KB, KF, SZ = index.extend6(kb, kf, sz, is_back=False)
+                okc_sz = SZ[c]
+                ok0_sz = SZ[0]
+                size_changed = okc_sz != sz
+                push_ik = size_changed & (sz != ok0_sz)
+                bufs2, n2, ovf2 = push_intv(bufs, n, ovf, (kb, kf, sz, i))
+                bufs, n, ovf = jax.tree_util.tree_map(
+                    partial(jnp.where, push_ik), (bufs2, n2, ovf2),
+                    (bufs, n, ovf))
+                push_s = size_changed & (not self_match) & (ok0_sz != 0)
+                bufs2, n2, ovf2 = push_intv(bufs, n, ovf,
+                                            (KB[0], KF[0], ok0_sz, i))
+                bufs, n, ovf = jax.tree_util.tree_map(
+                    partial(jnp.where, push_s), (bufs2, n2, ovf2),
+                    (bufs, n, ovf))
+                dead = (okc_sz < 2) if self_match else (okc_sz == 0)
+                kb = jnp.where(dead, kb, KB[c])
+                kf = jnp.where(dead, kf, KF[c])
+                sz = jnp.where(dead, sz, okc_sz)
+                broke_at = jnp.where(dead & alive, i, broke_at)
+                return (i + 1, alive & ~dead, kb, kf, sz, bufs, n, ovf,
+                        broke_at)
+
+            st = (x + 1, jnp.bool_(True), kb, kf, sz,
+                  (bkb, bkf, bsz, bnfo), n, ovf, jnp.int32(-1))
+            i, alive, kb, kf, sz, bufs, n, ovf, broke_at = jax.lax.while_loop(
+                fwd_cond, fwd_body, st)
+
+            # reached the end: push the last interval (+ sentinel variant).
+            # Masked, not lax.cond: a vmapped cond closing over the index
+            # would lower to a per-lane select broadcasting the whole table.
+            bufs2, n2, ovf2 = push_intv(bufs, n, ovf, (kb, kf, sz, l))
             bufs, n, ovf = jax.tree_util.tree_map(
-                partial(jnp.where, push_ik), (bufs2, n2, ovf2), (bufs, n, ovf))
-            push_s = size_changed & (not self_match) & (ok0_sz != 0)
-            bufs2, n2, ovf2 = push(bufs, n, ovf, (KB[0], KF[0], ok0_sz, i))
-            bufs, n, ovf = jax.tree_util.tree_map(
-                partial(jnp.where, push_s), (bufs2, n2, ovf2), (bufs, n, ovf))
-            dead = (okc_sz < 2) if self_match else (okc_sz == 0)
-            kb = jnp.where(dead, kb, KB[c])
-            kf = jnp.where(dead, kf, KF[c])
-            sz = jnp.where(dead, sz, okc_sz)
-            broke_at = jnp.where(dead & alive, i, broke_at)
-            return (i + 1, alive & ~dead, kb, kf, sz, bufs, n, ovf, broke_at)
+                partial(jnp.where, alive), (bufs2, n2, ovf2), (bufs, n, ovf))
+            if not self_match:
+                KB, KF, SZ = index.extend6(kb, kf, sz, is_back=False)
+                bufs2, n2, ovf2 = push_intv(bufs, n, ovf,
+                                            (KB[0], KF[0], SZ[0], l))
+                bufs, n, ovf = jax.tree_util.tree_map(
+                    partial(jnp.where, alive & (SZ[0] != 0)),
+                    (bufs2, n2, ovf2), (bufs, n, ovf))
+            bkb, bkf, bsz, bnfo = bufs
+            ridx = jnp.where(jnp.arange(maxi) < n,
+                             jnp.maximum(n - 1 - jnp.arange(maxi), 0),
+                             jnp.arange(maxi))
+            bkb, bkf, bsz, bnfo = (bkb[ridx], bkf[ridx], bsz[ridx],
+                                   bnfo[ridx])
+            ret = jnp.where(alive, l,
+                            jnp.where(n > 0, jnp.maximum(broke_at, x + 1),
+                                      x + 1))
+            ret = jnp.where(n > 0, bnfo[0], ret)
 
-        st = (x + 1, jnp.bool_(True), kb, kf, sz,
-              (bkb, bkf, bsz, bnfo), n, ovf, jnp.int32(-1))
-        i, alive, kb, kf, sz, bufs, n, ovf, broke_at = jax.lax.while_loop(
-            fwd_cond, fwd_body, st)
+            # ---- backward sweep ----------------------------------------
+            mkb = jnp.zeros(maxm, idt)
+            mkf = jnp.zeros(maxm, idt)
+            msz = jnp.zeros(maxm, idt)
+            mend = jnp.zeros(maxm, jnp.int32)
+            mstart = jnp.zeros(maxm, jnp.int32)
+            mclosed = jnp.zeros(maxm, bool)
+            mn = jnp.int32(0)
 
-        # reached the end: push the last interval (+ sentinel-closed variant).
-        # Masked, not lax.cond: under vmap a cond closing over the index
-        # arrays lowers to a per-lane select that broadcasts the whole table.
-        bufs2, n2, ovf2 = push(bufs, n, ovf, (kb, kf, sz, l))
-        bufs, n, ovf = jax.tree_util.tree_map(
-            partial(jnp.where, alive), (bufs2, n2, ovf2), (bufs, n, ovf))
-        if not self_match:
-            KB, KF, SZ = index.extend6(kb, kf, sz, is_back=False)
-            bufs2, n2, ovf2 = push(bufs, n, ovf, (KB[0], KF[0], SZ[0], l))
-            bufs, n, ovf = jax.tree_util.tree_map(
-                partial(jnp.where, alive & (SZ[0] != 0)), (bufs2, n2, ovf2),
-                (bufs, n, ovf))
-        bkb, bkf, bsz, bnfo = bufs
-        # reverse first n entries so smaller intervals come first
-        ridx = jnp.where(jnp.arange(maxi) < n,
-                         jnp.maximum(n - 1 - jnp.arange(maxi), 0),
-                         jnp.arange(maxi))
-        bkb, bkf, bsz, bnfo = (bkb[ridx], bkf[ridx], bsz[ridx], bnfo[ridx])
-        ret = jnp.where(alive, l,
-                        jnp.where(n > 0, jnp.maximum(broke_at, x + 1), x + 1))
-        # reference: ret = curr->a[0].info — last pushed element's end
-        ret = jnp.where(n > 0, bnfo[0], ret)
+            def bwd_cond(st):
+                i, pn, *_ = st
+                return (i >= -1) & (pn > 0)
 
-        # ---- backward sweep -------------------------------------------
-        mkb = jnp.zeros(maxm, idt)
-        mkf = jnp.zeros(maxm, idt)
-        msz = jnp.zeros(maxm, idt)
-        mend = jnp.zeros(maxm, jnp.int32)
-        mstart = jnp.zeros(maxm, jnp.int32)
-        mclosed = jnp.zeros(maxm, bool)
-        mn = jnp.int32(0)
-
-        def bwd_cond(st):
-            i, pn, *_ = st
-            return (i >= -1) & (pn > 0)
-
-        def bwd_body(st):
-            (i, pn, pkb, pkf, psz, pnfo,
-             mkb, mkf, msz, mend, mstart, mclosed, mn, last_mstart, ovf) = st
-            c = jnp.where(i < 0, 0, q[jnp.maximum(i, 0)]).astype(jnp.int32)
-            # batched backward extension of the whole interval set
-            KB, KF, SZ = index.extend6(pkb, pkf, psz, is_back=True)  # [maxi,6]
-            okc_kb = KB[:, c]
-            okc_kf = KF[:, c]
-            okc_sz = SZ[:, c]
-            ok0_sz = SZ[:, 0]
-            fl = (ok0_sz != 0) & (pkf < n_seqs)
-            if self_match:
-                cont = okc_sz > 1
-            else:
-                cont = okc_sz != 0
-            keep = (~cont) | fl | (i == -1)
-
-            def scan_j(carry, j):
-                (ckb, ckf, csz, cnfo, cn, last_csz,
+            def bwd_body(st):
+                (i, pn, pkb, pkf, psz, pnfo,
                  mkb, mkf, msz, mend, mstart, mclosed, mn, last_mstart,
-                 ovf) = carry
-                valid = j < pn
-                do_keep = keep[j] & valid & ((cn == 0) | fl[j])
-                do_mem = do_keep & (fl[j] | (mn == 0) | (i + 1 < last_mstart))
-                at = jnp.minimum(mn, maxm - 1)
-                mkb = jnp.where(do_mem, mkb.at[at].set(pkb[j]), mkb)
-                mkf = jnp.where(do_mem, mkf.at[at].set(pkf[j]), mkf)
-                msz = jnp.where(do_mem, msz.at[at].set(psz[j]), msz)
-                mend = jnp.where(do_mem, mend.at[at].set(pnfo[j]), mend)
-                mstart = jnp.where(do_mem, mstart.at[at].set(i + 1), mstart)
-                mclosed = jnp.where(do_mem,
-                                    mclosed.at[at].set(ok0_sz[j] != 0), mclosed)
-                ovf = ovf | (do_mem & (mn >= maxm))
-                mn = mn + do_mem
-                last_mstart = jnp.where(do_mem, i + 1, last_mstart)
-                do_curr = cont[j] & valid & (
-                    (pkf[j] < n_seqs) | (cn == 0) | (okc_sz[j] != last_csz))
-                cat = jnp.minimum(cn, maxi - 1)
-                ckb = jnp.where(do_curr, ckb.at[cat].set(okc_kb[j]), ckb)
-                ckf = jnp.where(do_curr, ckf.at[cat].set(okc_kf[j]), ckf)
-                csz = jnp.where(do_curr, csz.at[cat].set(okc_sz[j]), csz)
-                cnfo = jnp.where(do_curr, cnfo.at[cat].set(pnfo[j]), cnfo)
-                ovf = ovf | (do_curr & (cn >= maxi))
-                cn = cn + do_curr
-                last_csz = jnp.where(do_curr, okc_sz[j], last_csz)
-                return (ckb, ckf, csz, cnfo, cn, last_csz,
+                 ovf) = st
+                c = jnp.where(i < 0, 0, q[jnp.maximum(i, 0)]).astype(jnp.int32)
+                KB, KF, SZ = index.extend6(pkb, pkf, psz, is_back=True)
+                okc_kb = KB[:, c]
+                okc_kf = KF[:, c]
+                okc_sz = SZ[:, c]
+                ok0_sz = SZ[:, 0]
+                fl = (ok0_sz != 0) & (pkf < n_seqs)
+                if self_match:
+                    cont = okc_sz > 1
+                else:
+                    cont = okc_sz != 0
+                keep = (~cont) | fl | (i == -1)
+
+                def scan_j(carry, j):
+                    (ckb, ckf, csz, cnfo, cn, last_csz,
+                     mkb, mkf, msz, mend, mstart, mclosed, mn, last_mstart,
+                     ovf) = carry
+                    valid = j < pn
+                    do_keep = keep[j] & valid & ((cn == 0) | fl[j])
+                    do_mem = do_keep & (fl[j] | (mn == 0)
+                                        | (i + 1 < last_mstart))
+                    at = jnp.minimum(mn, maxm - 1)
+                    mkb = jnp.where(do_mem, mkb.at[at].set(pkb[j]), mkb)
+                    mkf = jnp.where(do_mem, mkf.at[at].set(pkf[j]), mkf)
+                    msz = jnp.where(do_mem, msz.at[at].set(psz[j]), msz)
+                    mend = jnp.where(do_mem, mend.at[at].set(pnfo[j]), mend)
+                    mstart = jnp.where(do_mem, mstart.at[at].set(i + 1),
+                                       mstart)
+                    mclosed = jnp.where(do_mem,
+                                        mclosed.at[at].set(ok0_sz[j] != 0),
+                                        mclosed)
+                    ovf = ovf | (do_mem & (mn >= maxm))
+                    mn = mn + do_mem
+                    last_mstart = jnp.where(do_mem, i + 1, last_mstart)
+                    do_curr = cont[j] & valid & (
+                        (pkf[j] < n_seqs) | (cn == 0)
+                        | (okc_sz[j] != last_csz))
+                    cat = jnp.minimum(cn, maxi - 1)
+                    ckb = jnp.where(do_curr, ckb.at[cat].set(okc_kb[j]), ckb)
+                    ckf = jnp.where(do_curr, ckf.at[cat].set(okc_kf[j]), ckf)
+                    csz = jnp.where(do_curr, csz.at[cat].set(okc_sz[j]), csz)
+                    cnfo = jnp.where(do_curr, cnfo.at[cat].set(pnfo[j]), cnfo)
+                    ovf = ovf | (do_curr & (cn >= maxi))
+                    cn = cn + do_curr
+                    last_csz = jnp.where(do_curr, okc_sz[j], last_csz)
+                    return (ckb, ckf, csz, cnfo, cn, last_csz,
+                            mkb, mkf, msz, mend, mstart, mclosed, mn,
+                            last_mstart, ovf), None
+
+                init = (jnp.zeros(maxi, idt), jnp.zeros(maxi, idt),
+                        jnp.zeros(maxi, idt), jnp.zeros(maxi, jnp.int32),
+                        jnp.int32(0), idt.type(-1),
                         mkb, mkf, msz, mend, mstart, mclosed, mn, last_mstart,
-                        ovf), None
+                        ovf)
+                (ckb, ckf, csz, cnfo, cn, _, mkb, mkf, msz, mend, mstart,
+                 mclosed, mn, last_mstart, ovf), _ = jax.lax.scan(
+                    scan_j, init, jnp.arange(maxi, dtype=jnp.int32))
+                return (i - 1, cn, ckb, ckf, csz, cnfo,
+                        mkb, mkf, msz, mend, mstart, mclosed, mn, last_mstart,
+                        ovf)
 
-            init = (jnp.zeros(maxi, idt), jnp.zeros(maxi, idt),
-                    jnp.zeros(maxi, idt), jnp.zeros(maxi, jnp.int32),
-                    jnp.int32(0), idt.type(-1),
-                    mkb, mkf, msz, mend, mstart, mclosed, mn, last_mstart, ovf)
-            (ckb, ckf, csz, cnfo, cn, _, mkb, mkf, msz, mend, mstart, mclosed,
-             mn, last_mstart, ovf), _ = jax.lax.scan(
-                scan_j, init, jnp.arange(maxi, dtype=jnp.int32))
-            return (i - 1, cn, ckb, ckf, csz, cnfo,
-                    mkb, mkf, msz, mend, mstart, mclosed, mn, last_mstart, ovf)
+            st = (x - 1, n, bkb, bkf, bsz, bnfo,
+                  mkb, mkf, msz, mend, mstart, mclosed, mn, jnp.int32(0), ovf)
+            (_, _, _, _, _, _, mkb, mkf, msz, mend, mstart, mclosed, mn, _,
+             ovf) = jax.lax.while_loop(bwd_cond, bwd_body, st)
 
-        st = (x - 1, n, bkb, bkf, bsz, bnfo,
-              mkb, mkf, msz, mend, mstart, mclosed, mn, jnp.int32(0), ovf)
-        (_, _, _, _, _, _, mkb, mkf, msz, mend, mstart, mclosed, mn, _,
-         ovf) = jax.lax.while_loop(bwd_cond, bwd_body, st)
+            # append this segment's matches (reversed: sorted by start) to
+            # the global buffers
+            def app_body(u, carry):
+                gkb, gkf, gsz, gend, gstart, gclosed, gmn, govf = carry
+                src = jnp.minimum(mn - 1 - u, maxm - 1)
+                do = u < mn
+                at = jnp.minimum(gmn, maxm - 1)
+                gkb = jnp.where(do, gkb.at[at].set(mkb[src]), gkb)
+                gkf = jnp.where(do, gkf.at[at].set(mkf[src]), gkf)
+                gsz = jnp.where(do, gsz.at[at].set(msz[src]), gsz)
+                gend = jnp.where(do, gend.at[at].set(mend[src]), gend)
+                gstart = jnp.where(do, gstart.at[at].set(mstart[src]), gstart)
+                gclosed = jnp.where(do, gclosed.at[at].set(mclosed[src]),
+                                    gclosed)
+                govf = govf | (do & (gmn >= maxm))
+                gmn = gmn + do
+                return gkb, gkf, gsz, gend, gstart, gclosed, gmn, govf
 
-        # reverse mems so they are sorted by start coordinate
-        ridx = jnp.where(jnp.arange(maxm) < mn,
-                         jnp.maximum(mn - 1 - jnp.arange(maxm), 0),
-                         jnp.arange(maxm))
-        return (mkb[ridx], mkf[ridx], msz[ridx], mend[ridx], mstart[ridx],
-                mclosed[ridx], mn, ret, ovf)
+            glob = (gkb, gkf, gsz, gend, gstart, gclosed, gmn, govf | ovf)
+            glob = jax.lax.fori_loop(0, maxm, app_body, glob)
+            return ret, glob
 
-    return jax.vmap(one_read)(q, l, x)
+        # restart loop over start positions (fm6_smem do-while)
+        def seg_cond(st):
+            x, glob = st
+            return x < l
+
+        def seg_body(st):
+            x, glob = st
+            ret, glob = segment(x, glob)
+            ret = jnp.maximum(ret, x + 1)  # guarantee progress
+            return ret, glob
+
+        glob = (gkb, gkf, gsz, gend, gstart, gclosed, gmn, govf)
+        x0 = jnp.int32(0)
+        _, glob = jax.lax.while_loop(seg_cond, seg_body, (x0, glob))
+        gkb, gkf, gsz, gend, gstart, gclosed, gmn, govf = glob
+        return gkb, gkf, gsz, gend, gstart, gclosed, gmn, govf
+
+    return jax.vmap(one_read)(q, l)
 
 
 def smem_all(index: FMDIndex, seqs: list[np.ndarray], self_match=False,
-             maxi: int = 16, maxm: int = 64):
-    """All SMEMs for a list of nt6 reads (host driver over the batched kernel).
+             maxi: int = 16, maxm: int = 64, batch: int | None = None):
+    """All SMEMs for a list of nt6 reads.
 
     Returns per read a list of (start, end, size, left_closed, kf) tuples, in
     the same order the reference fm6_smem emits them.
@@ -210,45 +268,41 @@ def smem_all(index: FMDIndex, seqs: list[np.ndarray], self_match=False,
     B = len(seqs)
     if B == 0:
         return []
+    batch = batch or B
     max_len = max(len(s) for s in seqs)
-    q = np.zeros((B, max_len), np.uint8)
-    lens = np.zeros(B, np.int32)
-    for i, s in enumerate(seqs):
-        q[i, : len(s)] = s
-        lens[i] = len(s)
-    qd = jnp.asarray(q)
-    ld = jnp.asarray(lens)
-    results = [[] for _ in range(B)]
-    x = np.zeros(B, np.int32)
-    active = lens > 0
-    while active.any():
-        out = _smem1_batch(index, qd, ld, jnp.asarray(np.maximum(x, 0)),
-                           self_match, max_len, maxi, maxm)
-        mkb, mkf, msz, mend, mstart, mclosed, mn, ret, ovf = map(np.asarray, out)
-        ret = ret.astype(np.int32).copy()
-        redo = ovf & active
-        if redo.any():
-            # exact re-run for overflowed lanes with guaranteed-size buffers
-            sel = np.flatnonzero(redo)
-            big = _smem1_batch(index, qd[sel], ld[sel],
-                               jnp.asarray(np.maximum(x[sel], 0)), self_match,
-                               max_len, 2 * max_len + 4, 2 * max_len + 4)
-            bkb, bkf, bsz, bend, bstart, bclosed, bmn, bret, bovf = map(
-                np.asarray, big)
-            assert not bovf.any(), "SMEM buffer overflow at guaranteed size"
-            for t, b in enumerate(sel):
-                k = int(bmn[t])
-                results[b].extend(
-                    (int(bstart[t, u]), int(bend[t, u]), int(bsz[t, u]),
-                     bool(bclosed[t, u]), int(bkf[t, u])) for u in range(k))
-            ret[sel] = bret
-        for b in np.flatnonzero(active & ~redo):
+    results = [None] * B
+    for lo in range(0, B, batch):
+        chunk = seqs[lo: lo + batch]
+        m = len(chunk)
+        q = np.zeros((batch, max_len), np.uint8)
+        lens = np.zeros(batch, np.int32)
+        for i, s in enumerate(chunk):
+            q[i, : len(s)] = s
+            lens[i] = len(s)
+        out = _smem_batch(index, jnp.asarray(q), jnp.asarray(lens),
+                          self_match, max_len, maxi, maxm)
+        mkb, mkf, msz, mend, mstart, mclosed, mn, ovf = map(np.asarray, out)
+        for b in range(m):
+            if ovf[b]:
+                continue
             k = int(mn[b])
-            results[b].extend(
+            results[lo + b] = [
                 (int(mstart[b, u]), int(mend[b, u]), int(msz[b, u]),
-                 bool(mclosed[b, u]), int(mkf[b, u])) for u in range(k))
-        x = np.where(active, ret, x)
-        active = active & (x < lens)
+                 bool(mclosed[b, u]), int(mkf[b, u])) for u in range(k)]
+        redo = np.flatnonzero(ovf[:m])
+        if redo.size:
+            wide = 2 * max_len + 4
+            big = _smem_batch(index, jnp.asarray(q[redo]),
+                              jnp.asarray(lens[redo]), self_match, max_len,
+                              wide, 4 * max_len + 8)
+            bkb, bkf, bsz, bend, bstart, bclosed, bmn, bovf = map(np.asarray,
+                                                                  big)
+            assert not bovf.any(), "SMEM overflow at guaranteed buffer size"
+            for t, b in enumerate(redo):
+                k = int(bmn[t])
+                results[lo + b] = [
+                    (int(bstart[t, u]), int(bend[t, u]), int(bsz[t, u]),
+                     bool(bclosed[t, u]), int(bkf[t, u])) for u in range(k)]
     return results
 
 

@@ -1,0 +1,131 @@
+"""Scaffolder parity vs reference `fermi scaf` (end of the PE pipeline)."""
+
+import io
+import re
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from fermi_tpu import rld
+from fermi_tpu.algos.hostindex import HostIndex
+from fermi_tpu.algos.scaf import scaf_core
+
+from util import build_my_fmd, revcomp_str
+
+
+def build_pipeline(tmp_path, ref_fermi, seed=71, n_contig_gaps=2):
+    """Two-contig genome with a coverage gap; PE reads bridge the gap."""
+    rng = np.random.default_rng(seed)
+    glen = 9000
+    genome = "".join("ACGT"[c] for c in rng.integers(0, 4, glen))
+    rl, insert = 70, 260
+    reads = []
+    # uniform PE coverage, but single-end coverage hole at the middle so the
+    # unitigs break while the inserts still span it
+    hole = (4400, 4600)
+    for _ in range(1400):
+        ins = int(rng.normal(insert, 25))
+        ins = max(rl + 10, min(ins, 500))
+        pos = int(rng.integers(0, glen - ins))
+        l_ok = not (hole[0] < pos + rl and pos < hole[1])
+        r0 = pos + ins - rl
+        r_ok = not (hole[0] < r0 + rl and r0 < hole[1])
+        if not (l_ok and r_ok):
+            continue
+        reads.append(genome[pos:pos + rl])
+        reads.append(revcomp_str(genome[r0:r0 + rl]))
+    fmd = str(tmp_path / "i.fmd")
+    build_my_fmd(reads, fmd)
+    rank = subprocess.run([ref_fermi, "seqsort", fmd], check=True,
+                          capture_output=True).stdout
+    rank_f = str(tmp_path / "i.rank")
+    open(rank_f, "wb").write(rank)
+    mag = subprocess.run([ref_fermi, "unitig", "-l", "40", "-r", rank_f, fmd],
+                         check=True, capture_output=True).stdout
+    p2 = subprocess.run([ref_fermi, "clean", "-CAOFo", "48", "-"],
+                        input=mag, check=True, capture_output=True).stdout
+    res = subprocess.run([ref_fermi, "remap", "-r", rank_f, fmd, "-"],
+                         input=p2, check=True, capture_output=True)
+    p3 = str(tmp_path / "p3.mag")
+    open(p3, "wb").write(res.stdout)
+    m = re.search(r"avg = ([\d.]+) std = ([\d.]+)", res.stderr.decode())
+    return fmd, p3, float(m.group(1)), float(m.group(2))
+
+
+def test_scaf_parity(tmp_path, ref_fermi):
+    # degenerate path: fully merged contigs, no arcs -> the reference's
+    # nan-avg_ovlp casting excludes everything; outputs must still match
+    fmd, p3, avg, std = build_pipeline(tmp_path, ref_fermi)
+    ref = subprocess.run([ref_fermi, "scaf", fmd, p3, str(avg), str(std)],
+                         check=True, capture_output=True).stdout.decode()
+    runs = rld.read_fmd(fmd)
+    e = HostIndex(runs.expand())
+    buf = io.StringIO()
+    scaf_core(e, p3, avg, std, out_fp=buf, verbose=False)
+    assert buf.getvalue() == ref
+
+
+def build_pipeline_repeats(tmp_path, ref_fermi, seed=73):
+    """Genome with an unresolvable repeat (arcs survive cleaning) plus a
+    PE-bridged coverage hole, so scaf's link/patch machinery engages."""
+    rng = np.random.default_rng(seed)
+    rl, insert = 70, 240
+    rep = "".join("ACGT"[c] for c in rng.integers(0, 4, 160))
+    segs = ["".join("ACGT"[c] for c in rng.integers(0, 4, n))
+            for n in (2500, 1800, 2200)]
+    genome = segs[0] + rep + segs[1] + rep + segs[2]
+    glen = len(genome)
+    hole = (3950, 4100)
+    reads = []
+    for _ in range(1600):
+        ins = int(rng.normal(insert, 22))
+        ins = max(rl + 10, min(ins, 450))
+        pos = int(rng.integers(0, glen - ins))
+        r0 = pos + ins - rl
+        if (hole[0] < pos + rl and pos < hole[1]) or \
+           (hole[0] < r0 + rl and r0 < hole[1]):
+            continue
+        reads.append(genome[pos:pos + rl])
+        reads.append(revcomp_str(genome[r0:r0 + rl]))
+    fmd = str(tmp_path / "i.fmd")
+    build_my_fmd(reads, fmd)
+    rank = subprocess.run([ref_fermi, "seqsort", fmd], check=True,
+                          capture_output=True).stdout
+    rank_f = str(tmp_path / "i.rank")
+    open(rank_f, "wb").write(rank)
+    mag = subprocess.run([ref_fermi, "unitig", "-l", "40", "-r", rank_f, fmd],
+                         check=True, capture_output=True).stdout
+    p2 = subprocess.run([ref_fermi, "clean", "-CAOFo", "48", "-"],
+                        input=mag, check=True, capture_output=True).stdout
+    res = subprocess.run([ref_fermi, "remap", "-r", rank_f, fmd, "-"],
+                         input=p2, check=True, capture_output=True)
+    p3 = str(tmp_path / "p3.mag")
+    open(p3, "wb").write(res.stdout)
+    m = re.search(r"avg = ([\d.]+) std = ([\d.]+)", res.stderr.decode())
+    return fmd, p3, float(m.group(1)), float(m.group(2))
+
+
+def test_scaf_parity_functional(tmp_path, ref_fermi):
+    fmd, p3, avg, std = build_pipeline_repeats(tmp_path, ref_fermi)
+    res = subprocess.run([ref_fermi, "scaf", fmd, p3, str(avg), str(std)],
+                         check=True, capture_output=True)
+    ref = res.stdout.decode()
+    runs = rld.read_fmd(fmd)
+    e = HostIndex(runs.expand())
+    buf = io.StringIO()
+    err = io.StringIO()
+    old = sys.stderr
+    sys.stderr = err
+    try:
+        scaf_core(e, p3, avg, std, out_fp=buf, verbose=False)
+    finally:
+        sys.stderr = old
+    assert buf.getvalue() == ref
+    # the link machinery must actually engage in this scenario
+    n_joined = sum(1 for line in ref.splitlines()
+                   if line.startswith(">") and int(line.split("\t")[1]) > 1)
+    multi = any(int(line.split("\t")[1]) >= 1 for line in ref.splitlines()
+                if line.startswith(">"))
+    assert multi
