@@ -435,6 +435,120 @@ def cmd_scaf(args):
     return 0
 
 
+def _add_sequtils(sub):
+    p = sub.add_parser("splitfa", help="split a FASTA/Q file")
+    p.add_argument("fastx")
+    p.add_argument("prefix")
+    p.add_argument("n_files", nargs="?", type=int, default=8)
+    p.set_defaults(func=lambda a: _sequtil("splitfa", a))
+
+    p = sub.add_parser("fltuniq", help="filter reads containing unique mers")
+    p.add_argument("-k", dest="k", type=int, default=0)
+    p.add_argument("fastx")
+    p.set_defaults(func=lambda a: _sequtil("fltuniq", a))
+
+    p = sub.add_parser("trimseq", help="trim a FASTA/Q file")
+    p.add_argument("-q", dest="min_q", type=int, default=3)
+    p.add_argument("-l", dest="min_l", type=int, default=20)
+    p.add_argument("-N", dest="keep_ambi", action="store_true")
+    p.add_argument("fastx")
+    p.set_defaults(func=lambda a: _sequtil("trimseq", a))
+
+    p = sub.add_parser("pe2cofq", help="convert split pefq to collated fastq")
+    p.add_argument("fq1")
+    p.add_argument("fq2")
+    p.set_defaults(func=lambda a: _sequtil("pe2cofq", a))
+
+    p = sub.add_parser("cg2cofq", help="convert cgfq to collated fastq")
+    p.add_argument("fastx")
+    p.set_defaults(func=lambda a: _sequtil("cg2cofq", a))
+
+    p = sub.add_parser("cnt2qual", help="scale count-style qualities")
+    p.add_argument("fastx")
+    p.add_argument("q", nargs="?", type=int, default=17)
+    p.set_defaults(func=lambda a: _sequtil("cnt2qual", a))
+
+
+def _sequtil(which, args):
+    from fermi_tpu.cli import sequtils as su
+
+    if which == "splitfa":
+        su.splitfa(args.fastx, args.prefix, args.n_files)
+    elif which == "fltuniq":
+        su.fltuniq(args.fastx, sys.stdout, k=args.k)
+    elif which == "trimseq":
+        su.trimseq(args.fastx, sys.stdout, min_l=args.min_l, min_q=args.min_q,
+                   drop_ambi=not args.keep_ambi)
+    elif which == "pe2cofq":
+        su.pe2cofq(args.fq1, args.fq2, sys.stdout)
+    elif which == "cg2cofq":
+        su.cg2cofq(args.fastx, sys.stdout)
+    elif which == "cnt2qual":
+        su.cnt2qual(args.fastx, sys.stdout, q=args.q)
+    return 0
+
+
+def _add_example(sub):
+    p = sub.add_parser("example", help="light-weight assembly via the API")
+    p.add_argument("-e", dest="do_ec", action="store_true")
+    p.add_argument("-U", dest="skip_unitig", action="store_true")
+    p.add_argument("-c", dest="do_clean", action="store_true")
+    p.add_argument("-k", dest="ec_k", type=int, default=-1)
+    p.add_argument("-l", dest="unitig_k", type=int, default=-1)
+    p.add_argument("fastx")
+    p.set_defaults(func=cmd_example)
+
+
+def cmd_example(args):
+    from fermi_tpu.core import dna, fastx
+    from fermi_tpu.algos import mag as M
+    from fermi_tpu.algos.scaf import fm6_api_unitig
+
+    recs = list(fastx.read_fastx(args.fastx))
+    seqs = [r.seq for r in recs]
+    quals = [r.qual if r.qual else chr(33 + 20) * len(r.seq) for r in recs]
+    if args.do_ec:
+        from fermi_tpu.construct import suffix
+        from fermi_tpu.index.fmd import FMDIndex
+        from fermi_tpu.algos import correct as ec
+
+        w = args.ec_k if args.ec_k > 0 else 19
+        text = suffix.build_text([dna.encode(s) for s in seqs],
+                                 trim_palindrome=False)
+        idx = FMDIndex.from_bwt(suffix.multistring_bwt(text))
+        cls, key, val, _ = ec.collect_solid_kmers(idx, w, 3)
+        table = ec.SolidTable(w, cls, key, val)
+        opt = dict(w=w, min_occ=3, keep_bad=1, is_paired=0, max_corr=0.3,
+                   trim_l=0, step=5)
+        out_s, out_q, _, _ = ec.fix_reads(
+            table, opt, [s.encode() for s in seqs],
+            [q.encode() for q in quals], n_threads=4)
+        seqs = [s.decode("latin1") for s in out_s]
+        quals = [q.decode("latin1") for q in out_q]
+    if args.skip_unitig:
+        pos = 0
+        for s, q in zip(seqs, quals):
+            pos += len(s) + 1
+            sys.stdout.write(f"@{pos - 1}\n{s.upper()}\n+\n{q}\n")
+        return 0
+    lens = np.array([len(s) for s in seqs])
+    if args.unitig_k > 0:
+        mm = args.unitig_k
+    else:
+        kth = int(len(lens) * 0.25)
+        mm = int(np.partition(lens, kth)[kth] * 0.33 + 0.499)
+        sys.stderr.write(f"[M::example] choose k-mer size as {mm}\n")
+    blob = b"\x00".join(dna.encode(s).tobytes() for s in seqs) + b"\x00"
+    g = fm6_api_unitig(mm, blob)
+    if args.do_clean:
+        opt = dict(M.DEFAULT_OPT)
+        opt["flag_clean"] = True
+        opt["flag_aggressive"] = True
+        M.g_clean(g, opt)
+    M.mag_print(g, sys.stdout)
+    return 0
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(
         prog="fermi-tpu",
@@ -443,7 +557,7 @@ def main(argv=None):
     for add in (_add_build, _add_unpack, _add_exact, _add_chkbwt, _add_correct,
                 _add_seqsort, _add_unitig, _add_clean, _add_merge, _add_sub,
                 _add_contrast, _add_bitand, _add_recode, _add_remap,
-                _add_scaf):
+                _add_scaf, _add_sequtils, _add_example):
         add(sub)
     args = ap.parse_args(argv)
     return args.func(args)
