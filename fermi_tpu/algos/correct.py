@@ -218,12 +218,14 @@ def ec_correct(index: FMDIndex, fastx_path: str, out_fp, w: int = -1,
         pending_s.clear()
         pending_q.clear()
 
-    for rec in fastx.read_fastx(fastx_path):
-        pending_s.append(rec.seq.encode())
-        q = rec.qual.encode() if rec.qual else bytes([33 + 15] * len(rec.seq))
-        pending_q.append(q)
-        if len(pending_s) >= BATCH:
-            flush()
+    paths = [fastx_path] if isinstance(fastx_path, str) else fastx_path
+    for path in paths:
+        for rec in fastx.read_fastx(path):
+            pending_s.append(rec.seq.encode())
+            q = rec.qual.encode() if rec.qual else bytes([33 + 15] * len(rec.seq))
+            pending_q.append(q)
+            if len(pending_s) >= BATCH:
+                flush()
     flush()
 
 

@@ -549,6 +549,98 @@ def cmd_example(args):
     return 0
 
 
+def _add_run(sub):
+    p = sub.add_parser("run", help="full assembly pipeline (run-fermi.pl)")
+    p.add_argument("-P", dest="paired", action="store_true",
+                   help="input is collated/interleaved paired FASTQ")
+    p.add_argument("-C", dest="skip_ec", action="store_true")
+    p.add_argument("-t", dest="n_threads", type=int, default=2)
+    p.add_argument("-p", dest="prefix", default="fmdef")
+    p.add_argument("-l", dest="trim_l", type=int, default=0)
+    p.add_argument("-k", dest="unitig_k", type=int, default=50)
+    p.add_argument("fastx", nargs="+")
+    p.set_defaults(func=cmd_run)
+
+
+def cmd_run(args):
+    from fermi_tpu.pipeline.driver import Pipeline
+
+    pl = Pipeline(args.prefix, n_threads=args.n_threads,
+                  unitig_k=args.unitig_k, paired=args.paired,
+                  trim_l=args.trim_l, skip_ec=args.skip_ec)
+    pl.run(args.fastx)
+    return 0
+
+
+def _add_ropebwt(sub):
+    p = sub.add_parser("ropebwt", help="alternative FM-index construction")
+    p.add_argument("-a", dest="algo", default="bpr")  # accepted; one builder
+    p.add_argument("-b", dest="binary", action="store_true",
+                   help="binary RLE6 output")
+    p.add_argument("-N", dest="cut_n", action="store_true")
+    p.add_argument("-O", dest="no_trim_pal", action="store_true")
+    p.add_argument("-F", dest="no_fwd", action="store_true")
+    p.add_argument("-R", dest="no_rev", action="store_true")
+    p.add_argument("-t", dest="threaded", action="store_true")
+    p.add_argument("-o", dest="out", default="-")
+    p.add_argument("-f", dest="tmpfn", default=None)
+    p.add_argument("-v", dest="verbose", type=int, default=1)
+    p.add_argument("-r", dest="max_runs", type=int, default=512)
+    p.add_argument("-n", dest="max_nodes", type=int, default=64)
+    p.add_argument("fastx")
+    p.set_defaults(func=cmd_ropebwt)
+
+
+def cmd_ropebwt(args):
+    from fermi_tpu.core import dna, fastx
+    from fermi_tpu.construct import suffix
+    from fermi_tpu import rld
+
+    frags = []
+    for rec in fastx.read_fastx(args.fastx):
+        s = dna.encode(rec.seq)
+        if args.cut_n:
+            parts = [p[p != 5] for p in np.split(s, np.flatnonzero(s == 5))]
+            parts = [p for p in parts if len(p)]
+        else:
+            # reference BCR randomizes ambiguous bases; we keep N (deterministic)
+            parts = [s]
+        for part in parts:
+            if not args.no_trim_pal and not args.no_rev and not args.no_fwd \
+               and dna.is_revcomp_palindrome(part):
+                part = part[:-1]
+            if not args.no_fwd:
+                frags.append(part)
+            if not args.no_rev:
+                frags.append(dna.revcomp(part))
+    text_parts = []
+    for f in frags:
+        text_parts.append(f)
+        text_parts.append(np.zeros(1, np.uint8))
+    text = np.concatenate(text_parts) if text_parts else np.zeros(0, np.uint8)
+    bwt = suffix.multistring_bwt(text)
+    runs = rld.Runs.from_bwt(bwt)
+    if args.binary:
+        out = sys.stdout.buffer if args.out == "-" else open(args.out, "wb")
+        out.write(b"RLE\x06")
+        out_bytes = bytearray()
+        for ln, sy in zip(runs.lengths.tolist(), runs.symbols.tolist()):
+            while ln > 31:
+                out_bytes.append(31 << 3 | sy)
+                ln -= 31
+            out_bytes.append(ln << 3 | sy)
+        out.write(bytes(out_bytes))
+        if args.out != "-":
+            out.close()
+    else:
+        txt = dna.decode(runs.expand())
+        fp = sys.stdout if args.out == "-" else open(args.out, "w")
+        fp.write(txt + "\n")
+        if args.out != "-":
+            fp.close()
+    return 0
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(
         prog="fermi-tpu",
@@ -557,7 +649,8 @@ def main(argv=None):
     for add in (_add_build, _add_unpack, _add_exact, _add_chkbwt, _add_correct,
                 _add_seqsort, _add_unitig, _add_clean, _add_merge, _add_sub,
                 _add_contrast, _add_bitand, _add_recode, _add_remap,
-                _add_scaf, _add_sequtils, _add_example):
+                _add_scaf, _add_sequtils, _add_example, _add_run,
+                _add_ropebwt):
         add(sub)
     args = ap.parse_args(argv)
     return args.func(args)

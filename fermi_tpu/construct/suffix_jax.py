@@ -1,0 +1,69 @@
+"""Device (TPU) multi-string BWT construction by prefix doubling.
+
+Same algorithm as construct.suffix (position-ranked sentinels, Manber–Myers
+doubling) expressed as jitted jax: each round one lax.sort over the whole
+text — the construction is a handful of large device sorts, which is exactly
+what scales on TPU (vs. the reference's pointer-heavy BCR, bcr.c). Converges
+after ceil(log2(max_read_len+2)) rounds; the loop exits early once all ranks
+are distinct.
+"""
+
+from functools import partial
+
+import numpy as np
+
+from fermi_tpu import jaxcfg  # noqa: F401
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=("max_iters",))
+def _suffix_ranks(text: jnp.ndarray, max_iters: int):
+    n = text.shape[0]
+    is_sent = text == 0
+    n_sent = jnp.sum(is_sent)
+    sent_ord = jnp.cumsum(is_sent) - 1
+    rank = jnp.where(is_sent, sent_ord, n_sent - 1 + text).astype(jnp.int64)
+    idx = jnp.arange(n, dtype=jnp.int64)
+
+    def distinct(rank):
+        return jnp.max(rank) == n - 1
+
+    def cond(carry):
+        i, rank = carry
+        return (i < max_iters) & ~distinct(rank)
+
+    def body(carry):
+        i, rank = carry
+        h = jnp.int64(1) << i
+        key2 = jnp.where(idx + h < n, jnp.roll(rank, -h), -1)
+        # combined sort key, rank-major. Initial ranks reach n_sent-1+5 which
+        # can exceed n for tiny inputs, so the multiplier must cover n+5.
+        key = rank * (n + 6) + key2 + 1
+        order = jnp.argsort(key)
+        sk = key[order]
+        changed = jnp.concatenate(
+            [jnp.zeros(1, jnp.int64), (sk[1:] != sk[:-1]).astype(jnp.int64)])
+        new_sorted = jnp.cumsum(changed)
+        rank = jnp.zeros_like(rank).at[order].set(new_sorted)
+        return i + 1, rank
+
+    _, rank = jax.lax.while_loop(cond, body, (jnp.int64(0), rank))
+    return rank
+
+
+def multistring_bwt_device(text: np.ndarray) -> np.ndarray:
+    """BWT of a 0-terminated multi-sentinel text, computed on device."""
+    text = np.asarray(text, dtype=np.uint8)
+    n = text.size
+    if n == 0:
+        return np.zeros(0, np.uint8)
+    # jnp.roll with traced shift needs the shift < n; rounds needed =
+    # ceil(log2(longest suffix comparison)) <= ceil(log2(n))
+    max_iters = max(1, int(np.ceil(np.log2(n))))
+    rank = _suffix_ranks(jnp.asarray(text.astype(np.int32)), max_iters)
+    rank = np.asarray(rank)
+    sa = np.empty(n, np.int64)
+    sa[rank] = np.arange(n)
+    return np.where(sa > 0, text[sa - 1], 0).astype(np.uint8)

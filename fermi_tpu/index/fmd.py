@@ -17,12 +17,10 @@ from dataclasses import dataclass
 from functools import partial
 
 import numpy as np
+
+from fermi_tpu import jaxcfg  # noqa: F401  (x64 + compile cache, must precede tracing)
+
 import jax
-
-# index positions overflow int32 beyond 2^31 symbols; the hot arrays stay
-# int32 via idtype, but position math must be allowed to be 64-bit
-jax.config.update("jax_enable_x64", True)
-
 import jax.numpy as jnp
 
 BLOCK_BITS = 7

@@ -1,0 +1,226 @@
+"""End-to-end assembly pipeline (replaces run-fermi.pl + its Makefile).
+
+Same artifact DAG and stage semantics as the reference pipeline
+(run-fermi.pl:53-104), with two deliberate changes: stages run in-process
+against the framework's own components, and inter-stage metadata (insert-size
+avg/std/cap) flows through a JSON sidecar instead of being grepped out of
+stderr logs (reference smem.c:387 / run-fermi.pl:101-103).
+
+Every stage writes a durable artifact and is skipped when the artifact
+already exists, so interrupted runs resume for free (the reference gets this
+from make).
+"""
+
+import gzip
+import io
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(stage, msg):
+    sys.stderr.write(f"[pipeline::{stage}] {msg}\n")
+    sys.stderr.flush()
+
+
+class Pipeline:
+    def __init__(self, prefix, n_threads=8, unitig_k=50, paired=False,
+                 trim_l=0, skip_ec=False):
+        self.prefix = prefix
+        self.t = n_threads
+        self.k = unitig_k
+        self.paired = paired
+        self.trim_l = trim_l
+        self.skip_ec = skip_ec
+        self.min_clean_o = int(unitig_k * 1.2 + 0.499)
+
+    def _p(self, suffix):
+        return f"{self.prefix}.{suffix}"
+
+    def _done(self, suffix):
+        return os.path.exists(self._p(suffix))
+
+    # -- stages ------------------------------------------------------------
+
+    def build_index(self, reads_iter, out_fmd, cut_n=True):
+        """raw/ec FMD-index (the reference's ropebwt -a bcr stage)."""
+        from fermi_tpu.core import dna
+        from fermi_tpu.construct import suffix
+        from fermi_tpu import rld
+
+        t0 = time.time()
+        frags = []
+        for seq in reads_iter:
+            s = dna.encode(seq)
+            if cut_n:
+                for part in np.split(s, np.flatnonzero(s == 5)):
+                    part = part[part != 5]
+                    if len(part):
+                        frags.append(part)
+            else:
+                frags.append(s)
+        text = suffix.build_text(frags)
+        log("build", f"{len(frags)} fragments, {text.size / 1e6:.1f}M symbols")
+        bwt = suffix.multistring_bwt(text)
+        rld.write_fmd(rld.Runs.from_bwt(bwt), out_fmd)
+        log("build", f"wrote {out_fmd} in {time.time() - t0:.1f}s")
+
+    def stage_raw_fmd(self, fastx_paths):
+        if self.skip_ec:
+            out = self._p("ec.fmd")
+        else:
+            out = self._p("raw.fmd")
+        if os.path.exists(out):
+            return
+        from fermi_tpu.core import fastx
+
+        def reads():
+            for path in fastx_paths:
+                for rec in fastx.read_fastx(path):
+                    yield rec.seq
+
+        self.build_index(reads(), out, cut_n=True)
+
+    def stage_correct(self, fastx_paths):
+        out = self._p("ec.fq.gz")
+        if self.skip_ec or os.path.exists(out):
+            return
+        from fermi_tpu.index.fmd import FMDIndex
+        from fermi_tpu.algos import correct as ec
+
+        idx = FMDIndex.restore(self._p("raw.fmd"))
+        with io.TextIOWrapper(gzip.open(out + ".tmp", "wb", 1)) as fp:
+            # the reference corrects the concatenated input stream
+            ec.ec_correct(idx, list(fastx_paths), fp, n_threads=self.t,
+                          is_paired=self.paired, trim_l=self.trim_l)
+        os.rename(out + ".tmp", out)
+
+    def stage_ec_fmd(self):
+        out = self._p("ec.fmd")
+        if os.path.exists(out):
+            return
+        from fermi_tpu.cli import sequtils as su
+        from fermi_tpu.core import fastx
+
+        flt = self._p("flt.fq")
+        with open(flt, "w") as fp:
+            su.fltuniq(self._p("ec.fq.gz"), fp)
+
+        def reads():
+            for rec in fastx.read_fastx(flt):
+                yield rec.seq
+
+        self.build_index(reads(), out, cut_n=False)
+        os.remove(flt)
+
+    def stage_rank(self):
+        out = self._p("ec.rank")
+        if not self.paired or os.path.exists(out):
+            return
+        from fermi_tpu.index.fmd import FMDIndex
+        from fermi_tpu.algos.seqsort import seqsort
+
+        idx = FMDIndex.restore(self._p("ec.fmd"))
+        arr = seqsort(idx)
+        arr.tofile(out)
+
+    def stage_unitig(self):
+        out = self._p("p0.mag.gz")
+        if os.path.exists(out):
+            return
+        from fermi_tpu import rld
+        from fermi_tpu.algos.hostindex import HostIndex
+        from fermi_tpu.algos.unitig import fm6_unitig
+
+        runs = rld.read_fmd(self._p("ec.fmd"))
+        e = HostIndex(runs.expand())
+        sorted_arr = None
+        if self.paired:
+            sorted_arr = np.fromfile(self._p("ec.rank"), np.uint64)
+        with io.TextIOWrapper(gzip.open(out + ".tmp", "wb", 1)) as fp:
+            fm6_unitig(e, self.k, fp, sorted_arr)
+        os.rename(out + ".tmp", out)
+
+    def _clean(self, src, dst, **over):
+        if os.path.exists(self._p(dst)):
+            return
+        from fermi_tpu.algos import mag as M
+
+        opt = dict(M.DEFAULT_OPT)
+        opt.update(over)
+        g = M.mag_read(self._p(src), opt)
+        M.g_clean(g, opt)
+        with io.TextIOWrapper(gzip.open(self._p(dst) + ".tmp", "wb", 1)) as fp:
+            M.mag_print(g, fp)
+        os.rename(self._p(dst) + ".tmp", self._p(dst))
+
+    def stage_clean(self):
+        self._clean("p0.mag.gz", "p1.mag.gz")
+        self._clean("p1.mag.gz", "p2.mag.gz", flag_clean=True,
+                    flag_aggressive=True, flag_read_ori=True,
+                    flag_no_amend=True, min_ovlp=self.min_clean_o)
+
+    def stage_remap(self):
+        out = self._p("p3.mag.gz")
+        if not self.paired or os.path.exists(out):
+            return
+        from fermi_tpu.index.fmd import FMDIndex
+        from fermi_tpu.algos.remap import remap
+
+        idx = FMDIndex.restore(self._p("ec.fmd"))
+        sorted_arr = np.fromfile(self._p("ec.rank"), np.uint64)
+        with io.TextIOWrapper(gzip.open(out + ".tmp", "wb", 1)) as fp:
+            avg, std, cap = remap(idx, self._p("p2.mag.gz"), fp, sorted_arr)
+        os.rename(out + ".tmp", out)
+        with open(self._p("insert.json"), "w") as fp:
+            json.dump({"avg": avg, "std": std, "cap": cap}, fp)
+
+    def stage_scaf(self):
+        out = self._p("p4.fa.gz")
+        if not self.paired or os.path.exists(out):
+            return
+        from fermi_tpu import rld
+        from fermi_tpu.algos.hostindex import HostIndex
+        from fermi_tpu.algos.scaf import scaf_core
+
+        stats = json.load(open(self._p("insert.json")))
+        runs = rld.read_fmd(self._p("ec.fmd"))
+        e = HostIndex(runs.expand())
+        with io.TextIOWrapper(gzip.open(out + ".tmp", "wb", 1)) as fp:
+            scaf_core(e, self._p("p3.mag.gz"), stats["avg"], stats["std"],
+                      pr_links=True, out_fp=fp)
+        os.rename(out + ".tmp", out)
+
+    def stage_final_remap(self):
+        out = self._p("p5.fq.gz")
+        if not self.paired or os.path.exists(out):
+            return
+        from fermi_tpu.index.fmd import FMDIndex
+        from fermi_tpu.algos.remap import remap
+
+        stats = json.load(open(self._p("insert.json")))
+        idx = FMDIndex.restore(self._p("ec.fmd"))
+        sorted_arr = np.fromfile(self._p("ec.rank"), np.uint64)
+        with io.TextIOWrapper(gzip.open(out + ".tmp", "wb", 1)) as fp:
+            remap(idx, self._p("p4.fa.gz"), fp, sorted_arr, min_pcv=2,
+                  max_dist=stats["cap"])
+        os.rename(out + ".tmp", out)
+
+    def run(self, fastx_paths):
+        t0 = time.time()
+        self.stage_raw_fmd(fastx_paths)
+        self.stage_correct(fastx_paths)
+        if not self.skip_ec:
+            self.stage_ec_fmd()
+        self.stage_rank()
+        self.stage_unitig()
+        self.stage_clean()
+        self.stage_remap()
+        self.stage_scaf()
+        self.stage_final_remap()
+        final = "p5.fq.gz" if self.paired else "p2.mag.gz"
+        log("run", f"done -> {self._p(final)} in {time.time() - t0:.1f}s")
+        return self._p(final)

@@ -28,18 +28,27 @@ def _comp6(c):
     return jnp.where((c >= 1) & (c <= 4), 5 - c, c)
 
 
-@partial(jax.jit, static_argnames=("self_match", "max_len", "maxi", "maxm"))
+@partial(jax.jit,
+         static_argnames=("self_match", "max_len", "maxi", "maxm",
+                          "single_segment"))
 def _smem_batch(index: FMDIndex, q, l, self_match: bool, max_len: int,
-                maxi: int, maxm: int):
-    """All SMEMs of every read in the batch (all restart segments).
+                maxi: int, maxm: int, x0=None, single_segment: bool = False):
+    """SMEMs of every read in the batch.
 
     q: uint8 [B, max_len]; l: int32 [B].
-    Returns (mem fields [B, maxm], mem_n [B], ovf [B]).
+    Default: all restart segments accumulated per read (one device call per
+    batch — the short-read fast path). With single_segment=True, one
+    fm6_smem1 pass from start x0 per lane, returning that segment's matches
+    and the next start (host drives the restart loop — bounds the match
+    buffer for long queries whose total SMEM count is huge).
+    Returns (mem fields [B, maxm], mem_n [B], ret [B], ovf [B]).
     """
     idt = index.idtype
     n_seqs = index.mcnt[1]
+    if x0 is None:
+        x0 = jnp.zeros(q.shape[0], jnp.int32)
 
-    def one_read(q, l):
+    def one_read(q, l, x0):
         # global (whole-read) accumulators
         gkb = jnp.zeros(maxm, idt)
         gkf = jnp.zeros(maxm, idt)
@@ -238,24 +247,37 @@ def _smem_batch(index: FMDIndex, q, l, self_match: bool, max_len: int,
             glob = jax.lax.fori_loop(0, maxm, app_body, glob)
             return ret, glob
 
-        # restart loop over start positions (fm6_smem do-while)
-        def seg_cond(st):
-            x, glob = st
-            return x < l
-
-        def seg_body(st):
-            x, glob = st
-            ret, glob = segment(x, glob)
-            ret = jnp.maximum(ret, x + 1)  # guarantee progress
-            return ret, glob
-
         glob = (gkb, gkf, gsz, gend, gstart, gclosed, gmn, govf)
-        x0 = jnp.int32(0)
-        _, glob = jax.lax.while_loop(seg_cond, seg_body, (x0, glob))
-        gkb, gkf, gsz, gend, gstart, gclosed, gmn, govf = glob
-        return gkb, gkf, gsz, gend, gstart, gclosed, gmn, govf
+        if single_segment:
+            # masked, not lax.cond (a cond closing over the index arrays
+            # broadcasts the whole table per lane under vmap)
+            xs = jnp.minimum(x0, jnp.maximum(l - 1, 0)).astype(jnp.int32)
+            ret2, glob2 = segment(xs, glob)
+            valid = x0 < l
+            glob = jax.tree_util.tree_map(partial(jnp.where, valid), glob2,
+                                          glob)
+            ret = jnp.where(valid, jnp.maximum(ret2, x0 + 1), l)
+        else:
+            # restart loop over start positions (fm6_smem do-while)
+            def seg_cond(st):
+                x, glob = st
+                return x < l
 
-    return jax.vmap(one_read)(q, l)
+            def seg_body(st):
+                x, glob = st
+                ret, glob = segment(x, glob)
+                ret = jnp.maximum(ret, x + 1)  # guarantee progress
+                return ret, glob
+
+            ret, glob = jax.lax.while_loop(seg_cond, seg_body,
+                                           (x0.astype(jnp.int32), glob))
+        gkb, gkf, gsz, gend, gstart, gclosed, gmn, govf = glob
+        return gkb, gkf, gsz, gend, gstart, gclosed, gmn, ret, govf
+
+    return jax.vmap(one_read)(q, l, x0)
+
+
+LONG_QUERY_LEN = 512  # above this, drive segments from the host
 
 
 def smem_all(index: FMDIndex, seqs: list[np.ndarray], self_match=False,
@@ -263,13 +285,18 @@ def smem_all(index: FMDIndex, seqs: list[np.ndarray], self_match=False,
     """All SMEMs for a list of nt6 reads.
 
     Returns per read a list of (start, end, size, left_closed, kf) tuples, in
-    the same order the reference fm6_smem emits them.
+    the same order the reference fm6_smem emits them. Short reads run fully
+    in-kernel (one call per batch); long queries (contigs) run one segment
+    per call with host restarts, since their total match count is unbounded.
     """
     B = len(seqs)
     if B == 0:
         return []
     batch = batch or B
     max_len = max(len(s) for s in seqs)
+    if max_len > LONG_QUERY_LEN:
+        return _smem_all_segmented(index, seqs, self_match, maxi, maxm,
+                                   min(batch, 64))
     results = [None] * B
     for lo in range(0, B, batch):
         chunk = seqs[lo: lo + batch]
@@ -281,7 +308,7 @@ def smem_all(index: FMDIndex, seqs: list[np.ndarray], self_match=False,
             lens[i] = len(s)
         out = _smem_batch(index, jnp.asarray(q), jnp.asarray(lens),
                           self_match, max_len, maxi, maxm)
-        mkb, mkf, msz, mend, mstart, mclosed, mn, ovf = map(np.asarray, out)
+        mkb, mkf, msz, mend, mstart, mclosed, mn, _, ovf = map(np.asarray, out)
         for b in range(m):
             if ovf[b]:
                 continue
@@ -295,14 +322,63 @@ def smem_all(index: FMDIndex, seqs: list[np.ndarray], self_match=False,
             big = _smem_batch(index, jnp.asarray(q[redo]),
                               jnp.asarray(lens[redo]), self_match, max_len,
                               wide, 4 * max_len + 8)
-            bkb, bkf, bsz, bend, bstart, bclosed, bmn, bovf = map(np.asarray,
-                                                                  big)
+            bkb, bkf, bsz, bend, bstart, bclosed, bmn, _, bovf = map(
+                np.asarray, big)
             assert not bovf.any(), "SMEM overflow at guaranteed buffer size"
             for t, b in enumerate(redo):
                 k = int(bmn[t])
                 results[lo + b] = [
                     (int(bstart[t, u]), int(bend[t, u]), int(bsz[t, u]),
                      bool(bclosed[t, u]), int(bkf[t, u])) for u in range(k)]
+    return results
+
+
+def _smem_all_segmented(index, seqs, self_match, maxi, maxm, batch):
+    """Host-driven restart loop: one fm6_smem1 segment per device call."""
+    B = len(seqs)
+    max_len = max(len(s) for s in seqs)
+    results = [[] for _ in range(B)]
+    for lo in range(0, B, batch):
+        chunk = seqs[lo: lo + batch]
+        m = len(chunk)
+        q = np.zeros((batch, max_len), np.uint8)
+        lens = np.zeros(batch, np.int32)
+        for i, s in enumerate(chunk):
+            q[i, : len(s)] = s
+            lens[i] = len(s)
+        qd = jnp.asarray(q)
+        ld = jnp.asarray(lens)
+        x = np.zeros(batch, np.int32)
+        active = lens > 0
+        while active.any():
+            out = _smem_batch(index, qd, ld, self_match, max_len, maxi, maxm,
+                              x0=jnp.asarray(x), single_segment=True)
+            mkb, mkf, msz, mend, mstart, mclosed, mn, ret, ovf = map(
+                np.asarray, out)
+            ret = ret.astype(np.int32).copy()
+            redo = ovf & active
+            if redo.any():
+                sel = np.flatnonzero(redo)
+                big = _smem_batch(index, qd[sel], ld[sel], self_match,
+                                  max_len, 2 * max_len + 4, 4 * max_len + 8,
+                                  x0=jnp.asarray(x[sel]), single_segment=True)
+                bkb, bkf, bsz, bend, bstart, bclosed, bmn, bret, bovf = map(
+                    np.asarray, big)
+                assert not bovf.any()
+                for t, b in enumerate(sel):
+                    k = int(bmn[t])
+                    results[lo + b].extend(
+                        (int(bstart[t, u]), int(bend[t, u]), int(bsz[t, u]),
+                         bool(bclosed[t, u]), int(bkf[t, u]))
+                        for u in range(k))
+                ret[sel] = bret
+            for b in np.flatnonzero(active & ~redo):
+                k = int(mn[b])
+                results[lo + b].extend(
+                    (int(mstart[b, u]), int(mend[b, u]), int(msz[b, u]),
+                     bool(mclosed[b, u]), int(mkf[b, u])) for u in range(k))
+            x = np.where(active, ret, x)
+            active = active & (x < lens)
     return results
 
 

@@ -1,0 +1,109 @@
+"""End-to-end pipeline parity: our in-process driver vs the reference's
+stage chain (run-fermi.pl semantics), compared at every artifact."""
+
+import gzip
+import subprocess
+
+import numpy as np
+import pytest
+
+from util import revcomp_str
+
+
+def make_pe_fastq(tmp_path, seed=101, glen=12000, n_pairs=2200, rl=70,
+                  insert=230, err=0.005):
+    rng = np.random.default_rng(seed)
+    genome = "".join("ACGT"[c] for c in rng.integers(0, 4, glen))
+    fq = str(tmp_path / "reads.fq")
+    with open(fq, "w") as f:
+        for i in range(n_pairs):
+            ins = int(rng.normal(insert, 20))
+            ins = max(rl + 10, min(ins, 400))
+            pos = int(rng.integers(0, glen - ins))
+            for j, s in enumerate((genome[pos:pos + rl],
+                                   revcomp_str(genome[pos + ins - rl:pos + ins]))):
+                b = list(s)
+                q = [38] * rl
+                for _ in range(rng.binomial(rl, err)):
+                    p = int(rng.integers(0, rl))
+                    b[p] = "ACGT"[rng.integers(0, 4)]
+                    q[p] = int(rng.integers(8, 30))
+                f.write(f"@p{i}\n{''.join(b)}\n+\n"
+                        f"{''.join(chr(33 + x) for x in q)}\n")
+    return fq
+
+
+def run_reference_pipeline(ref, fq, prefix, k=40):
+    """The exact command chain run-fermi.pl emits (paired, BCR path)."""
+    min_clean_o = int(k * 1.2 + 0.499)
+
+    def sh(cmd, **kw):
+        res = subprocess.run(cmd, shell=True, capture_output=True, **kw)
+        assert res.returncode == 0, (cmd, res.stderr[-800:])
+        return res
+
+    sh(f"cat {fq} | {ref} ropebwt -a bcr -v3 -btNf {prefix}.tmp - "
+       f"> {prefix}.raw.fmd 2> {prefix}.raw.fmd.log")
+    sh(f"cat {fq} | {ref} correct -pt 2 {prefix}.raw.fmd - "
+       f"2> {prefix}.ec.fq.log > {prefix}.ec.fq")
+    sh(f"{ref} fltuniq {prefix}.ec.fq 2> {prefix}.fltuniq.log | "
+       f"{ref} ropebwt -a bcr -v3 -btf {prefix}.tmp2 - "
+       f"> {prefix}.ec.fmd 2> {prefix}.ec.fmd.log")
+    sh(f"{ref} seqrank {prefix}.ec.fmd > {prefix}.ec.rank 2> /dev/null")
+    sh(f"{ref} unitig -l {k} -r {prefix}.ec.rank {prefix}.ec.fmd "
+       f"> {prefix}.p0.mag 2> /dev/null")
+    sh(f"{ref} clean {prefix}.p0.mag > {prefix}.p1.mag 2> /dev/null")
+    sh(f"{ref} clean -CAOFo {min_clean_o} {prefix}.p1.mag "
+       f"> {prefix}.p2.mag 2> /dev/null")
+    res = sh(f"{ref} remap -r {prefix}.ec.rank {prefix}.ec.fmd "
+             f"{prefix}.p2.mag > {prefix}.p3.mag 2> {prefix}.p3.log")
+    import re
+    txt = open(f"{prefix}.p3.log").read()
+    m = re.search(r"avg = (\S+) std = (\S+) cap = (\S+)", txt)
+    avg, std, cap = m.group(1), m.group(2), m.group(3)
+    sh(f"{ref} scaf -P {prefix}.ec.fmd {prefix}.p3.mag {avg} {std} "
+       f"> {prefix}.p4.fa 2> /dev/null")
+    sh(f"{ref} remap -c2 -D {cap} -r {prefix}.ec.rank {prefix}.ec.fmd "
+       f"{prefix}.p4.fa > {prefix}.p5.fq 2> /dev/null")
+    return prefix
+
+
+@pytest.mark.slow
+def test_full_pipeline_parity(tmp_path, ref_fermi):
+    fq = make_pe_fastq(tmp_path)
+    refp = str(tmp_path / "ref")
+    run_reference_pipeline(ref_fermi, fq, refp, k=40)
+
+    from fermi_tpu.pipeline.driver import Pipeline
+
+    myp = str(tmp_path / "my")
+    pl = Pipeline(myp, n_threads=4, unitig_k=40, paired=True)
+    final = pl.run([fq])
+
+    def read(path):
+        if path.endswith(".gz"):
+            return gzip.open(path, "rb").read()
+        return open(path, "rb").read()
+
+    def read_fmd_canonical(path):
+        # the reference pipeline stores raw-RLE6 streams where we store
+        # RLD\2; canonicalize both through the codec (content-identical)
+        from fermi_tpu import rld
+        r = rld.read_fmd(path)
+        return r.expand().tobytes()
+
+    # artifact-by-artifact comparison
+    for ref_sfx, my_sfx in [
+        (".raw.fmd", ".raw.fmd"), (".ec.fq", ".ec.fq.gz"),
+        (".ec.fmd", ".ec.fmd"), (".ec.rank", ".ec.rank"),
+        (".p0.mag", ".p0.mag.gz"), (".p1.mag", ".p1.mag.gz"),
+        (".p2.mag", ".p2.mag.gz"), (".p3.mag", ".p3.mag.gz"),
+        (".p4.fa", ".p4.fa.gz"), (".p5.fq", ".p5.fq.gz"),
+    ]:
+        if ref_sfx.endswith(".fmd"):
+            a = read_fmd_canonical(refp + ref_sfx)
+            b = read_fmd_canonical(myp + my_sfx)
+        else:
+            a = read(refp + ref_sfx)
+            b = read(myp + my_sfx)
+        assert a == b, f"artifact mismatch: {ref_sfx}"
