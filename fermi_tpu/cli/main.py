@@ -17,6 +17,9 @@ def _add_build(sub):
     p.add_argument("-f", dest="force", action="store_true",
                    help="overwrite output")
     p.add_argument("-o", dest="out", default="-", help="output file")
+    p.add_argument("-i", dest="append_to", default=None,
+                   help="append to the existing index FILE")
+    p.add_argument("-s", dest="block_size", type=int, default=250000000)
     p.add_argument("-l", dest="max_len", type=int, default=0,
                    help="trim reads to INT bp (0: no trim)")
     p.add_argument("-O", dest="no_trim_pal", action="store_true",
@@ -42,6 +45,16 @@ def cmd_build(args):
         seqs.append(s)
     text = suffix.build_text(seqs, trim_palindrome=not args.no_trim_pal)
     bwt = suffix.multistring_bwt(text)
+    if args.append_to:
+        # reference `build -i` (fm_append): the result equals merging the
+        # existing index with the new block
+        from fermi_tpu.index.fmd import FMDIndex
+        from fermi_tpu.algos.merge import fm_merge
+
+        runs0 = rld.read_fmd(args.append_to)
+        bwt0 = runs0.expand()
+        bwt = fm_merge(FMDIndex.from_bwt(bwt0), bwt0,
+                       FMDIndex.from_bwt(bwt), bwt)
     runs = rld.Runs.from_bwt(bwt)
     rld.write_fmd(runs, args.out, sbits=args.sbits)
     return 0
