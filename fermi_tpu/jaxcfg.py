@@ -10,6 +10,12 @@ import os
 import jax
 
 jax.config.update("jax_enable_x64", True)
+
+# The axon terminal pins jax_platforms at interpreter start, so a plain
+# JAX_PLATFORMS env var is ineffective; honor an explicit override here.
+_plat = os.environ.get("FERMI_TPU_PLATFORM")
+if _plat:
+    jax.config.update("jax_platforms", _plat)
 _cache_dir = os.environ.get("FERMI_TPU_JAX_CACHE", "/tmp/fermi_tpu_jax_cache")
 try:
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
