@@ -101,7 +101,7 @@ def bench_mine(fmd, qfa):
     idx = FMDIndex.restore(fmd)
     log(f"index loaded to device in {time.time()-t0:.1f}s")
     seqs = [dna.encode(r.seq) for r in fastx.read_fastx(qfa)]
-    B = 4096
+    B = 10000
     # warmup (compile; persistent cache makes reruns fast)
     t0 = time.time()
     sm.smem_all(idx, seqs[:B], batch=B)

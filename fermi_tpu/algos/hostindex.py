@@ -81,10 +81,37 @@ class HostIndex:
         k = int(x)
         out = []
         while True:
-            r = self.rank6(np.array([k, k + 1]))
-            row = self.blocks[k >> BLOCK_BITS]
-            c = int(row[k & (BLOCK - 1)])
+            r = self.rank6(np.array([k]))
+            c = int(self.blocks[k >> BLOCK_BITS, k & (BLOCK - 1)])
             k = int(self.cnt[c] + r[0, c])
             if c == 0:
                 return np.array(out[::-1], dtype=np.uint8), k
             out.append(c)
+
+    def retrieve_batch(self, xs, max_len: int = 1 << 16):
+        """Vectorized LF walks for many sentinel ranks at once.
+
+        Returns (seqs: list of forward nt6 arrays, final_ranks int64[N])."""
+        k = np.asarray(xs, np.int64).copy()
+        n = len(k)
+        done = np.zeros(n, bool)
+        cols = []
+        for _ in range(max_len):
+            c = self.blocks[k >> BLOCK_BITS, k & (BLOCK - 1)].astype(np.int64)
+            c[done] = 0
+            r = self.rank6(k)
+            kp = self.cnt[c] + r[np.arange(n), c]
+            hit = ~done & (c == 0)
+            emit = ~done & (c != 0)
+            cols.append(np.where(emit, c, 0).astype(np.uint8))
+            k = np.where(done, k, kp)
+            done |= hit
+            if done.all():
+                break
+        mat = np.stack(cols, axis=1) if cols else np.zeros((n, 0), np.uint8)
+        seqs = []
+        for i in range(n):
+            row = mat[i]
+            ln = int((row != 0).sum())
+            seqs.append(row[:ln][::-1].copy())
+        return seqs, k

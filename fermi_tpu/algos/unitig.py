@@ -30,6 +30,17 @@ class UnitigBuilder:
         self.used = np.zeros(n, bool)
         self.bend = np.zeros(n, bool)
         self.visited = np.zeros(n, bool)
+        self._retrieve_cache = None
+
+    def prefetch_retrieves(self):
+        """Batch all seed retrieves up front (reads never change, so the
+        per-seed LF walks vectorize regardless of seed processing order)."""
+        n1 = self.e.n_seqs
+        seeds = [i for j in range(0, (n1 >> 2) + 1)
+                 for i in range(j << 2 | 1, min((j << 2) + 4, n1), 2)]
+        seqs, ks = self.e.retrieve_batch(np.array(seeds, np.int64))
+        self._retrieve_cache = {s: (q, int(k))
+                                for s, q, k in zip(seeds, seqs, ks)}
 
     # -- bitmap helpers (reference unitig.c:15-36) -------------------------
 
@@ -281,7 +292,10 @@ class UnitigBuilder:
         """Returns None on skip, else dict(seq, cov, k, nei, nsr)."""
         if self.sorted is not None and self.used[seed]:
             return None
-        s_arr, k = self.e.retrieve(seed)
+        if self._retrieve_cache is not None and seed in self._retrieve_cache:
+            s_arr, k = self._retrieve_cache[seed]
+        else:
+            s_arr, k = self.e.retrieve(seed)
         s = list(map(int, s_arr))
         seed_len = len(s)
         if len(s) <= self.min_match:
@@ -317,6 +331,8 @@ class UnitigBuilder:
 
     def run(self, out_fp):
         """Seed loop in reference t=1 order (unitig.c:333-357)."""
+        if self._retrieve_cache is None:
+            self.prefetch_retrieves()
         n1 = self.e.n_seqs
         for j in range(0, (n1 >> 2) + 1):
             for i in range(j << 2 | 1, min((j << 2) + 4, n1), 2):

@@ -281,7 +281,7 @@ LONG_QUERY_LEN = 512  # above this, drive segments from the host
 
 
 def smem_all(index: FMDIndex, seqs: list[np.ndarray], self_match=False,
-             maxi: int = 16, maxm: int = 64, batch: int | None = None):
+             maxi: int = 8, maxm: int = 64, batch: int | None = None):
     """All SMEMs for a list of nt6 reads.
 
     Returns per read a list of (start, end, size, left_closed, kf) tuples, in
