@@ -91,7 +91,6 @@ def ensure_ref():
 
 def bench_mine(fmd, qfa):
     import jax
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     from fermi_tpu.core import dna, fastx
     from fermi_tpu.index.fmd import FMDIndex
     from fermi_tpu.search import smem as sm
@@ -101,18 +100,33 @@ def bench_mine(fmd, qfa):
     idx = FMDIndex.restore(fmd)
     log(f"index loaded to device in {time.time()-t0:.1f}s")
     seqs = [dna.encode(r.seq) for r in fastx.read_fastx(qfa)]
-    B = 10000
-    # warmup (compile; persistent cache makes reruns fast)
-    t0 = time.time()
-    sm.smem_all(idx, seqs[:B], batch=B)
-    log(f"warmup (compile) in {time.time()-t0:.1f}s")
-    t0 = time.time()
-    res = sm.smem_all(idx, seqs, batch=B)
-    dt = time.time() - t0
-    n_matches = sum(len(r) for r in res)
-    log(f"mine: {len(seqs)} reads in {dt:.2f}s -> {len(seqs)/dt:.0f} reads/s "
-        f"({n_matches} SMEMs)")
-    return len(seqs) / dt, n_matches
+    # the axon TPU worker can fault on large programs; fall back to smaller
+    # batches if that happens
+    last_err = None
+    for B in (2048, 1024, 512):
+        try:
+            t0 = time.time()
+            sm.smem_all(idx, seqs[:B], batch=B)
+            log(f"warmup B={B} (compile) in {time.time()-t0:.1f}s")
+            t0 = time.time()
+            n_matches = 0
+            done = 0
+            for lo in range(0, len(seqs), B):
+                res = sm.smem_all(idx, seqs[lo: lo + B], batch=B)
+                n_matches += sum(len(r) for r in res)
+                done += len(res)
+                if lo // B % 4 == 0:
+                    el = time.time() - t0
+                    log(f"  {done}/{len(seqs)} reads, {done/el:.0f} reads/s")
+            dt = time.time() - t0
+            log(f"mine: {len(seqs)} reads in {dt:.2f}s -> "
+                f"{len(seqs)/dt:.0f} reads/s ({n_matches} SMEMs)")
+            return len(seqs) / dt, n_matches
+        except Exception as e:  # jax runtime errors on worker crash
+            last_err = e
+            log(f"B={B} failed ({type(e).__name__}); retrying smaller")
+            time.sleep(10)
+    raise last_err
 
 
 def bench_ref(ref, fmd, qfa):

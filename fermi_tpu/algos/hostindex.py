@@ -55,8 +55,9 @@ class HostIndex:
         kf = np.atleast_1d(np.asarray(kf, np.int64))
         sz = np.atleast_1d(np.asarray(sz, np.int64))
         primary = kb if is_back else kf
-        tk = self.rank6(primary)
-        tl = self.rank6(primary + sz)
+        both = self.rank6(np.concatenate([primary, primary + sz]))
+        tk = both[: len(primary)]
+        tl = both[len(primary):]
         osz = tl - tk
         outp = self.cnt[:6][None, :] + tk
         other_base = kf if is_back else kb

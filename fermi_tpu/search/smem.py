@@ -30,17 +30,18 @@ def _comp6(c):
 
 @partial(jax.jit,
          static_argnames=("self_match", "max_len", "maxi", "maxm",
-                          "single_segment"))
+                          "max_segments"))
 def _smem_batch(index: FMDIndex, q, l, self_match: bool, max_len: int,
-                maxi: int, maxm: int, x0=None, single_segment: bool = False):
+                maxi: int, maxm: int, x0=None, max_segments: int = 0):
     """SMEMs of every read in the batch.
 
     q: uint8 [B, max_len]; l: int32 [B].
-    Default: all restart segments accumulated per read (one device call per
-    batch — the short-read fast path). With single_segment=True, one
-    fm6_smem1 pass from start x0 per lane, returning that segment's matches
-    and the next start (host drives the restart loop — bounds the match
-    buffer for long queries whose total SMEM count is huge).
+    Default (max_segments=0): all restart segments accumulated per read (one
+    device call per batch — the short-read fast path). With max_segments=S,
+    at most S fm6_smem1 passes from start x0 per lane, returning the
+    accumulated matches and the next start; the host drives the outer
+    restart loop — bounds the match buffer for long queries whose total
+    SMEM count is unbounded while amortizing dispatch over S segments.
     Returns (mem fields [B, maxm], mem_n [B], ret [B], ovf [B]).
     """
     idt = index.idtype
@@ -248,36 +249,31 @@ def _smem_batch(index: FMDIndex, q, l, self_match: bool, max_len: int,
             return ret, glob
 
         glob = (gkb, gkf, gsz, gend, gstart, gclosed, gmn, govf)
-        if single_segment:
-            # masked, not lax.cond (a cond closing over the index arrays
-            # broadcasts the whole table per lane under vmap)
-            xs = jnp.minimum(x0, jnp.maximum(l - 1, 0)).astype(jnp.int32)
-            ret2, glob2 = segment(xs, glob)
-            valid = x0 < l
-            glob = jax.tree_util.tree_map(partial(jnp.where, valid), glob2,
-                                          glob)
-            ret = jnp.where(valid, jnp.maximum(ret2, x0 + 1), l)
-        else:
-            # restart loop over start positions (fm6_smem do-while)
-            def seg_cond(st):
-                x, glob = st
-                return x < l
+        # restart loop over start positions (fm6_smem do-while), optionally
+        # bounded to max_segments passes per call (host continues the loop)
+        def seg_cond(st):
+            nseg, x, glob = st
+            ok = x < l
+            if max_segments:
+                ok = ok & (nseg < max_segments)
+            return ok
 
-            def seg_body(st):
-                x, glob = st
-                ret, glob = segment(x, glob)
-                ret = jnp.maximum(ret, x + 1)  # guarantee progress
-                return ret, glob
+        def seg_body(st):
+            nseg, x, glob = st
+            ret, glob = segment(x, glob)
+            ret = jnp.maximum(ret, x + 1)  # guarantee progress
+            return nseg + 1, ret, glob
 
-            ret, glob = jax.lax.while_loop(seg_cond, seg_body,
-                                           (x0.astype(jnp.int32), glob))
+        _, ret, glob = jax.lax.while_loop(
+            seg_cond, seg_body, (jnp.int32(0), x0.astype(jnp.int32), glob))
         gkb, gkf, gsz, gend, gstart, gclosed, gmn, govf = glob
         return gkb, gkf, gsz, gend, gstart, gclosed, gmn, ret, govf
 
     return jax.vmap(one_read)(q, l, x0)
 
 
-LONG_QUERY_LEN = 512  # above this, drive segments from the host
+LONG_QUERY_LEN = 512   # above this, drive segments from the host
+SEGMENTS_PER_CALL = 16  # restart segments per device call in the long path
 
 
 def smem_all(index: FMDIndex, seqs: list[np.ndarray], self_match=False,
@@ -295,7 +291,7 @@ def smem_all(index: FMDIndex, seqs: list[np.ndarray], self_match=False,
     batch = batch or B
     max_len = max(len(s) for s in seqs)
     if max_len > LONG_QUERY_LEN:
-        return _smem_all_segmented(index, seqs, self_match, maxi, maxm,
+        return _smem_all_segmented(index, seqs, self_match, maxi, 512,
                                    min(batch, 64))
     results = [None] * B
     for lo in range(0, B, batch):
@@ -352,7 +348,7 @@ def _smem_all_segmented(index, seqs, self_match, maxi, maxm, batch):
         active = lens > 0
         while active.any():
             out = _smem_batch(index, qd, ld, self_match, max_len, maxi, maxm,
-                              x0=jnp.asarray(x), single_segment=True)
+                              x0=jnp.asarray(x), max_segments=SEGMENTS_PER_CALL)
             mkb, mkf, msz, mend, mstart, mclosed, mn, ret, ovf = map(
                 np.asarray, out)
             ret = ret.astype(np.int32).copy()
@@ -361,7 +357,8 @@ def _smem_all_segmented(index, seqs, self_match, maxi, maxm, batch):
                 sel = np.flatnonzero(redo)
                 big = _smem_batch(index, qd[sel], ld[sel], self_match,
                                   max_len, 2 * max_len + 4, 4 * max_len + 8,
-                                  x0=jnp.asarray(x[sel]), single_segment=True)
+                                  x0=jnp.asarray(x[sel]),
+                                  max_segments=SEGMENTS_PER_CALL)
                 bkb, bkf, bsz, bend, bstart, bclosed, bmn, bret, bovf = map(
                     np.asarray, big)
                 assert not bovf.any()
