@@ -362,5 +362,43 @@ def mag_v_format(z) -> str:
     return f"{head}\n{seq}\n+\n{cov}\n"
 
 
-def fm6_unitig(e: HostIndex, min_match: int, out_fp, sorted_arr=None):
-    UnitigBuilder(e, min_match, sorted_arr).run(out_fp)
+def fm6_unitig(e: HostIndex, min_match: int, out_fp, sorted_arr=None,
+               use_native: bool = True):
+    """Unitig construction; the native engine (native/unitig.cpp, same
+    control flow) is the fast path, the Python builder the oracle."""
+    if use_native:
+        out_fp.write(fm6_unitig_native(e, min_match, sorted_arr))
+    else:
+        UnitigBuilder(e, min_match, sorted_arr).run(out_fp)
+
+
+def fm6_unitig_native(e: HostIndex, min_match: int, sorted_arr=None) -> str:
+    import ctypes
+    from fermi_tpu import native
+
+    lib = native.get_lib()
+    blocks = np.ascontiguousarray(e.blocks)
+    occ6 = e.occ.astype(np.int64)
+    occ = np.zeros((occ6.shape[0], 8), np.int64)
+    occ[:, : occ6.shape[1]] = occ6
+    occ = np.ascontiguousarray(occ)
+    cnt = np.ascontiguousarray(e.cnt.astype(np.int64))
+    cnt8 = np.zeros(8, np.int64)
+    cnt8[:7] = cnt[:7]
+    cnt8[7] = cnt[6]
+    srt_ptr = None
+    if sorted_arr is not None:
+        sorted_arr = np.ascontiguousarray(sorted_arr, dtype=np.uint64)
+        srt_ptr = sorted_arr.ctypes.data_as(ctypes.c_void_p)
+    out_len = ctypes.c_int64()
+    p = lib.funitig_run(
+        blocks.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        occ.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        blocks.shape[0],
+        cnt8.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        e.n_seqs, min_match, srt_ptr, ctypes.byref(out_len))
+    try:
+        text = ctypes.string_at(p, out_len.value).decode("latin1")
+    finally:
+        lib.frld_free(p)
+    return text

@@ -18,12 +18,24 @@ import jax
 import jax.numpy as jnp
 
 
+def _tiled_cumsum(x, tile=1 << 13):
+    """Inclusive cumsum that tiles the scan (XLA's reduce-window cumsum blows
+    scoped VMEM for multi-million-element int64 arrays on TPU)."""
+    n = x.shape[0]
+    pad = (-n) % tile
+    xp = jnp.pad(x, (0, pad)).reshape(-1, tile)
+    rows = jnp.cumsum(xp, axis=1)
+    tails = rows[:, -1]
+    offs = jnp.cumsum(tails) - tails
+    return (rows + offs[:, None]).reshape(-1)[:n]
+
+
 @partial(jax.jit, static_argnames=("max_iters",))
 def _suffix_ranks(text: jnp.ndarray, max_iters: int):
     n = text.shape[0]
     is_sent = text == 0
     n_sent = jnp.sum(is_sent)
-    sent_ord = jnp.cumsum(is_sent) - 1
+    sent_ord = _tiled_cumsum(is_sent.astype(jnp.int64)) - 1
     rank = jnp.where(is_sent, sent_ord, n_sent - 1 + text).astype(jnp.int64)
     idx = jnp.arange(n, dtype=jnp.int64)
 
@@ -45,7 +57,7 @@ def _suffix_ranks(text: jnp.ndarray, max_iters: int):
         sk = key[order]
         changed = jnp.concatenate(
             [jnp.zeros(1, jnp.int64), (sk[1:] != sk[:-1]).astype(jnp.int64)])
-        new_sorted = jnp.cumsum(changed)
+        new_sorted = _tiled_cumsum(changed)
         rank = jnp.zeros_like(rank).at[order].set(new_sorted)
         return i + 1, rank
 

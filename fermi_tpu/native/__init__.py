@@ -67,6 +67,17 @@ def get_lib() -> ctypes.CDLL:
             lib.fec_destroy.restype = None
             lib.fec_destroy.argtypes = [ctypes.c_void_p]
             lib.fec_fix.restype = ctypes.c_uint64
+            lib.funitig_run.restype = ctypes.c_void_p
+            lib.funitig_run.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64,
+                ctypes.c_int,
+                ctypes.c_void_p,
+                ctypes.POINTER(ctypes.c_int64),
+            ]
             lib.fec_fix.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_uint8),

@@ -277,7 +277,7 @@ SEGMENTS_PER_CALL = 16  # restart segments per device call in the long path
 
 
 def smem_all(index: FMDIndex, seqs: list[np.ndarray], self_match=False,
-             maxi: int = 8, maxm: int = 64, batch: int | None = None):
+             maxi: int = 16, maxm: int = 64, batch: int | None = None):
     """All SMEMs for a list of nt6 reads.
 
     Returns per read a list of (start, end, size, left_closed, kf) tuples, in
@@ -313,19 +313,27 @@ def smem_all(index: FMDIndex, seqs: list[np.ndarray], self_match=False,
                 (int(mstart[b, u]), int(mend[b, u]), int(msz[b, u]),
                  bool(mclosed[b, u]), int(mkf[b, u])) for u in range(k)]
         redo = np.flatnonzero(ovf[:m])
-        if redo.size:
-            wide = 2 * max_len + 4
+        # tiered redo: try a 4x-wider kernel before the guaranteed-size one
+        # (the 2L-wide variant is rarely needed and very expensive to compile)
+        for wi, wm in ((4 * maxi, 4 * maxm), (2 * max_len + 4, 4 * max_len + 8)):
+            if not redo.size:
+                break
             big = _smem_batch(index, jnp.asarray(q[redo]),
                               jnp.asarray(lens[redo]), self_match, max_len,
-                              wide, 4 * max_len + 8)
+                              wi, wm)
             bkb, bkf, bsz, bend, bstart, bclosed, bmn, _, bovf = map(
                 np.asarray, big)
-            assert not bovf.any(), "SMEM overflow at guaranteed buffer size"
+            still = []
             for t, b in enumerate(redo):
+                if bovf[t]:
+                    still.append(b)
+                    continue
                 k = int(bmn[t])
                 results[lo + b] = [
                     (int(bstart[t, u]), int(bend[t, u]), int(bsz[t, u]),
                      bool(bclosed[t, u]), int(bkf[t, u])) for u in range(k)]
+            redo = np.array(still, dtype=np.int64)
+        assert not redo.size, "SMEM overflow at guaranteed buffer size"
     return results
 
 

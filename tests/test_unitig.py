@@ -73,3 +73,25 @@ def test_unitig_parity_repetitive(tmp_path, ref_fermi):
     reads = [genome[p:p + 70] for p in range(0, len(genome) - 70, 9)]
     ref, mine = _run_both(tmp_path, ref_fermi, reads, 35)
     assert mine == ref
+
+
+def test_native_matches_python_engine(tmp_path, ref_fermi):
+    """Both engines produce identical MAG output (the CLI default is native)."""
+    import io
+    from fermi_tpu import rld
+    from fermi_tpu.algos.hostindex import HostIndex
+    from fermi_tpu.algos.unitig import UnitigBuilder, fm6_unitig_native
+    from fermi_tpu.algos.seqsort import seqsort
+    from fermi_tpu.index.fmd import FMDIndex
+
+    reads = random_reads(300, seed=35, with_genome=True, genome_len=2500,
+                         min_len=60, max_len=100)
+    fmd = str(tmp_path / "i.fmd")
+    build_my_fmd(reads, fmd)
+    e = HostIndex(rld.read_fmd(fmd).expand())
+    sorted_arr = seqsort(FMDIndex.restore(fmd), verbose=False)
+    for srt in (None, sorted_arr):
+        buf = io.StringIO()
+        UnitigBuilder(e, 30, srt).run(buf)
+        nat = fm6_unitig_native(e, 30, srt)
+        assert nat == buf.getvalue()
