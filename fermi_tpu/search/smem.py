@@ -314,17 +314,23 @@ def smem_all(index: FMDIndex, seqs: list[np.ndarray], self_match=False,
                  bool(mclosed[b, u]), int(mkf[b, u])) for u in range(k)]
         redo = np.flatnonzero(ovf[:m])
         # tiered redo: try a 4x-wider kernel before the guaranteed-size one
-        # (the 2L-wide variant is rarely needed and very expensive to compile)
+        # (the 2L-wide variant is rarely needed and very expensive to compile).
+        # Redo batches are padded to the full batch size so each tier compiles
+        # exactly one shape.
         for wi, wm in ((4 * maxi, 4 * maxm), (2 * max_len + 4, 4 * max_len + 8)):
             if not redo.size:
                 break
-            big = _smem_batch(index, jnp.asarray(q[redo]),
-                              jnp.asarray(lens[redo]), self_match, max_len,
+            qr = np.zeros_like(q)
+            lr = np.zeros_like(lens)
+            qr[: len(redo)] = q[redo]
+            lr[: len(redo)] = lens[redo]
+            big = _smem_batch(index, jnp.asarray(qr),
+                              jnp.asarray(lr), self_match, max_len,
                               wi, wm)
             bkb, bkf, bsz, bend, bstart, bclosed, bmn, _, bovf = map(
                 np.asarray, big)
             still = []
-            for t, b in enumerate(redo):
+            for t, b in enumerate(redo.tolist()):
                 if bovf[t]:
                     still.append(b)
                     continue
@@ -363,9 +369,15 @@ def _smem_all_segmented(index, seqs, self_match, maxi, maxm, batch):
             redo = ovf & active
             if redo.any():
                 sel = np.flatnonzero(redo)
-                big = _smem_batch(index, qd[sel], ld[sel], self_match,
-                                  max_len, 2 * max_len + 4, 4 * max_len + 8,
-                                  x0=jnp.asarray(x[sel]),
+                qr = np.zeros_like(q)
+                lr = np.zeros_like(lens)
+                xr = np.zeros_like(x)
+                qr[: len(sel)] = q[sel]
+                lr[: len(sel)] = lens[sel]
+                xr[: len(sel)] = x[sel]
+                big = _smem_batch(index, jnp.asarray(qr), jnp.asarray(lr),
+                                  self_match, max_len, 2 * max_len + 4,
+                                  4 * max_len + 8, x0=jnp.asarray(xr),
                                   max_segments=SEGMENTS_PER_CALL)
                 bkb, bkf, bsz, bend, bstart, bclosed, bmn, bret, bovf = map(
                     np.asarray, big)
@@ -376,7 +388,7 @@ def _smem_all_segmented(index, seqs, self_match, maxi, maxm, batch):
                         (int(bstart[t, u]), int(bend[t, u]), int(bsz[t, u]),
                          bool(bclosed[t, u]), int(bkf[t, u]))
                         for u in range(k))
-                ret[sel] = bret
+                ret[sel] = bret[: len(sel)]
             for b in np.flatnonzero(active & ~redo):
                 k = int(mn[b])
                 results[lo + b].extend(
