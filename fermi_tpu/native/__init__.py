@@ -78,6 +78,20 @@ def get_lib() -> ctypes.CDLL:
                 ctypes.c_void_p,
                 ctypes.POINTER(ctypes.c_int64),
             ]
+            lib.fsmem_all.restype = ctypes.POINTER(ctypes.c_int64)
+            lib.fsmem_all.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64,
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+            ]
             lib.fec_fix.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_uint8),

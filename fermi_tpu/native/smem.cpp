@@ -1,0 +1,199 @@
+// smem.cpp — native SMEM engine for long queries (contigs).
+//
+// Sequential fm6_smem1_core / fm6_smem (reference smem.c:13-80, 397-411;
+// same semantics as the batched device kernel in search/smem.py). The device
+// kernel pads per-read interval sets to a fixed width, which is ruinous for
+// contig-scale queries whose sets reach hundreds; this engine pays only the
+// true set sizes. Shares the blocked-occ index layout with unitig.cpp.
+
+#include <algorithm>
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr int kBlockBits = 7;
+constexpr int kBlock = 1 << kBlockBits;
+
+struct Index {
+  const uint8_t* blocks;
+  const int64_t* occ;  // [*, 8]
+  int64_t cnt[8];
+  int64_t n_seqs;
+
+  void rank6(int64_t k, int64_t out[6]) const {
+    int64_t blk = k >> kBlockBits;
+    int off = (int)(k & (kBlock - 1));
+    const int64_t* base = occ + blk * 8;
+    const uint8_t* row = blocks + blk * kBlock;
+    int64_t c[6] = {0, 0, 0, 0, 0, 0};
+    for (int i = 0; i < off; ++i) ++c[row[i]];
+    for (int i = 0; i < 6; ++i) out[i] = base[i] + c[i];
+  }
+};
+
+struct Intv {
+  int64_t kb, kf, sz;
+  uint64_t info;
+};
+
+inline int comp6(int c) { return (c >= 1 && c <= 4) ? 5 - c : c; }
+
+static void extend6(const Index& e, const Intv& ik, bool is_back, Intv ok[6]) {
+  int64_t primary = is_back ? ik.kb : ik.kf;
+  int64_t tk[6], tl[6];
+  e.rank6(primary, tk);
+  e.rank6(primary + ik.sz, tl);
+  int64_t osz[6], outp[6], other[6];
+  for (int c = 0; c < 6; ++c) osz[c] = tl[c] - tk[c];
+  for (int c = 0; c < 6; ++c) outp[c] = e.cnt[c] + tk[c];
+  int64_t base = is_back ? ik.kf : ik.kb;
+  other[0] = base;
+  other[4] = other[0] + osz[0];
+  other[3] = other[4] + osz[4];
+  other[2] = other[3] + osz[3];
+  other[1] = other[2] + osz[2];
+  other[5] = other[1] + osz[1];
+  for (int c = 0; c < 6; ++c) {
+    ok[c].sz = osz[c];
+    ok[c].info = 0;
+    if (is_back) {
+      ok[c].kb = outp[c];
+      ok[c].kf = other[c];
+    } else {
+      ok[c].kb = other[c];
+      ok[c].kf = outp[c];
+    }
+  }
+}
+
+struct Mem {
+  int32_t start, end;
+  int64_t sz, kf;
+  uint8_t closed;
+};
+
+// reference fm6_smem1_core (smem.c:13-80); returns the next start
+static int smem1_core(const Index& e, int len, const uint8_t* q, int x,
+                      std::vector<Mem>& mems, bool self_match,
+                      std::vector<Intv>& prev, std::vector<Intv>& curr) {
+  Intv ik, ok[6];
+  int c = q[x];
+  ik = {e.cnt[c], e.cnt[comp6(c)], e.cnt[c + 1] - e.cnt[c], (uint64_t)(x + 1)};
+  curr.clear();
+  int i;
+  for (i = x + 1; i < len; ++i) {  // forward search
+    c = comp6(q[i]);
+    extend6(e, ik, false, ok);
+    if (ok[c].sz != ik.sz) {
+      if (ik.sz != ok[0].sz) curr.push_back(ik);
+      if (!self_match && ok[0].sz) {
+        ok[0].info = (uint64_t)i;
+        curr.push_back(ok[0]);
+      }
+    }
+    if ((!self_match && ok[c].sz == 0) || (self_match && ok[c].sz < 2)) break;
+    ik = ok[c];
+    ik.info = (uint64_t)(i + 1);
+  }
+  if (i == len) {
+    curr.push_back(ik);
+    if (!self_match) {
+      extend6(e, ik, false, ok);
+      if (ok[0].sz) {
+        ok[0].info = (uint64_t)len;
+        curr.push_back(ok[0]);
+      }
+    }
+  }
+  std::reverse(curr.begin(), curr.end());
+  int ret = curr.empty() ? (i >= len ? len : i) : (int)curr[0].info;
+  std::swap(curr, prev);
+
+  size_t mem_start = mems.size();
+  for (i = x - 1; i >= -1; --i) {  // backward search for MEMs
+    c = i < 0 ? 0 : q[i];
+    curr.clear();
+    for (size_t j = 0; j < prev.size(); ++j) {
+      Intv& p = prev[j];
+      extend6(e, p, true, ok);
+      bool fl_match = ok[0].sz && p.kf < e.n_seqs;
+      bool cont = self_match ? (ok[c].sz > 1) : (ok[c].sz != 0);
+      if (!cont || fl_match || i == -1) {
+        if (curr.empty() || fl_match) {
+          bool not_contained =
+              fl_match || mems.size() == mem_start ||
+              (uint64_t)(i + 1) < (uint64_t)mems.back().start;
+          if (not_contained) {
+            Mem m;
+            m.start = i + 1;
+            m.end = (int32_t)(uint32_t)p.info;
+            m.sz = p.sz;
+            m.kf = p.kf;
+            m.closed = ok[0].sz != 0;
+            mems.push_back(m);
+          }
+        }
+      }
+      if (cont && (p.kf < e.n_seqs || curr.empty() ||
+                   ok[c].sz != curr.back().sz)) {
+        ok[c].info = p.info;
+        curr.push_back(ok[c]);
+      }
+    }
+    if (curr.empty()) break;
+    std::swap(curr, prev);
+  }
+  std::reverse(mems.begin() + mem_start, mems.end());
+  return ret;
+}
+
+}  // namespace
+
+extern "C" {
+
+// All SMEMs of many queries. Queries are concatenated nt6 bytes with
+// int64 offsets[n+1]. Output: per-query match counts (int64[n]) written to
+// counts_out; match fields returned via a single malloc'd int64 buffer
+// [total, 5] (start, end, size, closed, kf), caller frees with frld_free.
+int64_t* fsmem_all(const uint8_t* blocks, const int64_t* occ, int64_t n_rows,
+                   const int64_t* cnt, int64_t n_seqs, const uint8_t* queries,
+                   const int64_t* offsets, int64_t n_queries, int self_match,
+                   int64_t* counts_out, int64_t* total_out) {
+  Index e;
+  e.blocks = blocks;
+  e.occ = occ;
+  for (int i = 0; i < 8; ++i) e.cnt[i] = cnt[i];
+  e.n_seqs = n_seqs;
+  std::vector<Mem> all;
+  std::vector<Intv> prev, curr;
+  std::vector<Mem> mems;
+  for (int64_t qi = 0; qi < n_queries; ++qi) {
+    const uint8_t* q = queries + offsets[qi];
+    int len = (int)(offsets[qi + 1] - offsets[qi]);
+    mems.clear();
+    int x = 0;
+    while (x < len) {
+      prev.clear();
+      curr.clear();
+      int nx = smem1_core(e, len, q, x, mems, self_match != 0, prev, curr);
+      x = nx > x ? nx : x + 1;
+    }
+    counts_out[qi] = (int64_t)mems.size();
+    for (auto& m : mems) all.push_back(m);
+  }
+  *total_out = (int64_t)all.size();
+  int64_t* out = (int64_t*)malloc(sizeof(int64_t) * 5 * (all.size() + 1));
+  for (size_t i = 0; i < all.size(); ++i) {
+    out[i * 5 + 0] = all[i].start;
+    out[i * 5 + 1] = all[i].end;
+    out[i * 5 + 2] = all[i].sz;
+    out[i * 5 + 3] = all[i].closed;
+    out[i * 5 + 4] = all[i].kf;
+  }
+  return out;
+}
+
+}  // extern "C"

@@ -291,8 +291,7 @@ def smem_all(index: FMDIndex, seqs: list[np.ndarray], self_match=False,
     batch = batch or B
     max_len = max(len(s) for s in seqs)
     if max_len > LONG_QUERY_LEN:
-        return _smem_all_segmented(index, seqs, self_match, maxi, 512,
-                                   min(batch, 64))
+        return smem_all_native(index, seqs, self_match)
     results = [None] * B
     for lo in range(0, B, batch):
         chunk = seqs[lo: lo + batch]
@@ -368,27 +367,40 @@ def _smem_all_segmented(index, seqs, self_match, maxi, maxm, batch):
             ret = ret.astype(np.int32).copy()
             redo = ovf & active
             if redo.any():
+                # tiered redo: first retry ONE segment with the same buffer
+                # shapes (matches per single segment almost always fit, and
+                # the compile is shared-size); only truly pathological lanes
+                # fall through to the guaranteed-size kernel
                 sel = np.flatnonzero(redo)
-                qr = np.zeros_like(q)
-                lr = np.zeros_like(lens)
-                xr = np.zeros_like(x)
-                qr[: len(sel)] = q[sel]
-                lr[: len(sel)] = lens[sel]
-                xr[: len(sel)] = x[sel]
-                big = _smem_batch(index, jnp.asarray(qr), jnp.asarray(lr),
-                                  self_match, max_len, 2 * max_len + 4,
-                                  4 * max_len + 8, x0=jnp.asarray(xr),
-                                  max_segments=SEGMENTS_PER_CALL)
-                bkb, bkf, bsz, bend, bstart, bclosed, bmn, bret, bovf = map(
-                    np.asarray, big)
-                assert not bovf.any()
-                for t, b in enumerate(sel):
-                    k = int(bmn[t])
-                    results[lo + b].extend(
-                        (int(bstart[t, u]), int(bend[t, u]), int(bsz[t, u]),
-                         bool(bclosed[t, u]), int(bkf[t, u]))
-                        for u in range(k))
-                ret[sel] = bret[: len(sel)]
+                for tier_maxi, tier_maxm, tier_seg in (
+                        (maxi, maxm, 1),
+                        (2 * max_len + 4, 4 * max_len + 8, 1)):
+                    if not sel.size:
+                        break
+                    qr = np.zeros_like(q)
+                    lr = np.zeros_like(lens)
+                    xr = np.zeros_like(x)
+                    qr[: len(sel)] = q[sel]
+                    lr[: len(sel)] = lens[sel]
+                    xr[: len(sel)] = x[sel]
+                    big = _smem_batch(index, jnp.asarray(qr), jnp.asarray(lr),
+                                      self_match, max_len, tier_maxi,
+                                      tier_maxm, x0=jnp.asarray(xr),
+                                      max_segments=tier_seg)
+                    bkb, bkf, bsz, bend, bstart, bclosed, bmn, bret, bovf =                         map(np.asarray, big)
+                    still = []
+                    for t, b in enumerate(sel):
+                        if bovf[t]:
+                            still.append(b)
+                            continue
+                        k = int(bmn[t])
+                        results[lo + b].extend(
+                            (int(bstart[t, u]), int(bend[t, u]),
+                             int(bsz[t, u]), bool(bclosed[t, u]),
+                             int(bkf[t, u])) for u in range(k))
+                        ret[b] = bret[t]
+                    sel = np.array(still, dtype=np.int64)
+                assert not sel.size, "SMEM overflow at guaranteed buffer size"
             for b in np.flatnonzero(active & ~redo):
                 k = int(mn[b])
                 results[lo + b].extend(
@@ -405,3 +417,56 @@ def format_smem(index: FMDIndex, match) -> str:
     size = min(size, 0xFFFFFFFF)
     n_seqs = int(index.mcnt[1])
     return f"{start}\t{end}\t{size}\t{'OT'[int(closed)]}{'OT'[int(kf < n_seqs)]}"
+
+
+def smem_all_native(index: FMDIndex, seqs, self_match=False):
+    """Exact SMEMs via the native sequential engine (native/smem.cpp) —
+    the long-query path, where per-segment interval sets reach hundreds and
+    fixed-width device buffers would mostly carry padding."""
+    import ctypes
+    from fermi_tpu import native
+
+    lib = native.get_lib()
+    blocks = np.asarray(index.bwt_blocks)
+    occ6 = np.asarray(index.occ).astype(np.int64)
+    occ = np.zeros((occ6.shape[0], 8), np.int64)
+    occ[:, : occ6.shape[1]] = occ6
+    occ = np.ascontiguousarray(occ)
+    blocks = np.ascontiguousarray(blocks)
+    cnt = np.zeros(8, np.int64)
+    cnt_src = np.asarray(index.cnt).astype(np.int64)
+    cnt[: len(cnt_src)] = cnt_src
+    n_seqs = int(np.asarray(index.mcnt[1]))
+    offsets = np.zeros(len(seqs) + 1, np.int64)
+    for i, q in enumerate(seqs):
+        offsets[i + 1] = offsets[i] + len(q)
+    qbuf = np.ascontiguousarray(
+        np.concatenate([np.asarray(q, np.uint8) for q in seqs])
+        if seqs else np.zeros(0, np.uint8))
+    counts = np.zeros(len(seqs), np.int64)
+    total = ctypes.c_int64()
+    ptr = lib.fsmem_all(
+        blocks.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        occ.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        blocks.shape[0],
+        cnt.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n_seqs,
+        qbuf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(seqs), int(self_match),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.byref(total))
+    try:
+        flat = np.ctypeslib.as_array(ptr, shape=(total.value + 1, 5))[
+            : total.value].copy()
+    finally:
+        lib.frld_free(ctypes.cast(ptr, ctypes.c_void_p))
+    results = []
+    at = 0
+    for i in range(len(seqs)):
+        k = int(counts[i])
+        results.append([
+            (int(flat[u, 0]), int(flat[u, 1]), int(flat[u, 2]),
+             bool(flat[u, 3]), int(flat[u, 4])) for u in range(at, at + k)])
+        at += k
+    return results

@@ -83,3 +83,19 @@ def test_exact_parity_random_queries(tmp_path, ref_fermi):
     idx = FMDIndex.restore(fmd)
     my_out = _my_exact(idx, qry, [f"r{i}" for i in range(len(qry))])
     assert my_out == ref_out
+
+
+def test_native_engine_matches_device_kernel(tmp_path, ref_fermi):
+    """The sequential native engine and the batched device kernel agree."""
+    from fermi_tpu.search.smem import smem_all, smem_all_native
+
+    idx_reads = random_reads(150, seed=5, with_genome=True, genome_len=4000)
+    qry = random_reads(40, seed=8, with_genome=True, genome_len=4000)
+    fmd = str(tmp_path / "i.fmd")
+    build_my_fmd(idx_reads, fmd)
+    idx = FMDIndex.restore(fmd)
+    seqs = [dna.encode(s) for s in qry]
+    for self_match in (False, True):
+        dev = smem_all(idx, seqs, self_match=self_match)
+        nat = smem_all_native(idx, seqs, self_match=self_match)
+        assert dev == nat, self_match
