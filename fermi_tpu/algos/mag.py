@@ -298,7 +298,12 @@ class Mag:
                 sum_l += p.len - tmp1
                 if sum_n >= sum_n_all * 0.5:
                     break
-            rdist = sum_l / sum_n if sum_n else -1.0
+            if sum_n:
+                rdist = sum_l / sum_n
+            elif sum_l == 0:
+                rdist = float("nan")
+            else:
+                rdist = float("inf") if sum_l > 0 else float("-inf")
         self.rdist = rdist
         return rdist
 

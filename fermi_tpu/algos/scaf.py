@@ -24,6 +24,15 @@ from fermi_tpu.core import dna
 A_THRES = 20.0
 M_LN2 = math.log(2.0)
 
+def _cdiv(a, b):
+    """C double division semantics: x/0 -> ±inf, 0/0 -> nan (the reference
+    hits these in degenerate A-stat passes and keeps going)."""
+    if b:
+        return a / b
+    if a == 0:
+        return float("nan")
+    return float("inf") if a > 0 else float("-inf")
+
 
 class Utig:
     __slots__ = ("k", "ext", "A", "len", "nsr", "maxo", "deleted", "excluded",
@@ -123,7 +132,7 @@ def cal_rdist(v):
             sum_l += p.len - p.maxo
             if sum_n >= sum_n_all * 0.5:
                 break
-        rdist = sum_l / sum_n
+        rdist = _cdiv(sum_l, sum_n)
     sum_ovlp = n_ovlp = 0
     for p in v:
         if p.maxo:
@@ -135,7 +144,8 @@ def cal_rdist(v):
     for p in v:
         eff = p.maxo if p.maxo else avg_ovlp
         diff = int(np.int32(np.int64(p.len - eff) & 0xFFFFFFFF))
-        p.A = diff / rdist - p.nsr * M_LN2
+        p.A = _cdiv(diff, rdist) if rdist == 0 else diff / rdist
+        p.A -= p.nsr * M_LN2
     return rdist
 
 

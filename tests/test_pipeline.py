@@ -10,7 +10,7 @@ import pytest
 from util import revcomp_str
 
 
-def make_pe_fastq(tmp_path, seed=101, glen=7000, n_pairs=1100, rl=70,
+def make_pe_fastq(tmp_path, seed=101, glen=12000, n_pairs=2200, rl=70,
                   insert=230, err=0.005):
     rng = np.random.default_rng(seed)
     genome = "".join("ACGT"[c] for c in rng.integers(0, 4, glen))
