@@ -28,6 +28,46 @@ def auto_k(total_symbols: int) -> int:
     return min(w, MAX_KMER)
 
 
+def _index_carrays(index: FMDIndex):
+    """(blocks u8 [nb,128], occ i64 [nb,8], cnt i64 [8]) contiguous views."""
+    blocks = np.ascontiguousarray(np.asarray(index.bwt_blocks))
+    occ_src = np.asarray(index.occ).astype(np.int64)
+    occ = np.zeros((occ_src.shape[0], 8), np.int64)
+    occ[:, : occ_src.shape[1]] = occ_src
+    occ = np.ascontiguousarray(occ)
+    cnt = np.zeros(8, np.int64)
+    cnt_src = np.asarray(index.cnt).astype(np.int64)
+    cnt[: len(cnt_src)] = cnt_src
+    return blocks, occ, cnt
+
+
+def collect_solid_kmers_native(index: FMDIndex, w: int, min_occ: int):
+    """Native DFS collect (native/smem.cpp fec_collect) — same (cls,key,val)
+    set as the device BFS, without chunked-dispatch overhead."""
+    import ctypes
+    from fermi_tpu import native
+
+    lib = native.get_lib()
+    blocks, occ, cnt = _index_carrays(index)
+    counts = np.zeros(3, np.int64)
+    ptr = lib.fec_collect(
+        blocks.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        occ.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        blocks.shape[0],
+        cnt.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        int(np.asarray(index.mcnt[1])), w, min_occ,
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    n = int(counts[0])
+    try:
+        flat = np.ctypeslib.as_array(ptr, shape=(3 * n + 1,))[: 3 * n]             .reshape(n, 3).copy()
+    finally:
+        lib.frld_free(ctypes.cast(ptr, ctypes.c_void_p))
+    cls = flat[:, 0].astype(np.int64)
+    key = flat[:, 1].astype(np.uint32)
+    val = flat[:, 2].astype(np.uint8)
+    return cls, key, val, (int(counts[1]), int(counts[2]))
+
+
 def collect_solid_kmers(index: FMDIndex, w: int, min_occ: int,
                         batch: int = 1 << 18):
     """Enumerate solid (k+1)-mers: for every w-mer with a dominant preceding
@@ -195,7 +235,7 @@ def ec_correct(index: FMDIndex, fastx_path: str, out_fp, w: int = -1,
         w = auto_k(int(np.asarray(index.mcnt[0])))
         if verbose:
             sys.stderr.write(f"[M::ec_correct] set k-mer length to {w}\n")
-    cls, key, val, (n_tot, n_info) = collect_solid_kmers(index, w, min_occ)
+    cls, key, val, (n_tot, n_info) = collect_solid_kmers_native(index, w, min_occ)
     if verbose:
         sys.stderr.write(
             f"[M::ec_correct] collected {n_info} informative and "

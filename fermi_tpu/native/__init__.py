@@ -92,6 +92,17 @@ def get_lib() -> ctypes.CDLL:
                 ctypes.POINTER(ctypes.c_int64),
                 ctypes.POINTER(ctypes.c_int64),
             ]
+            lib.fec_collect.restype = ctypes.POINTER(ctypes.c_int64)
+            lib.fec_collect.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64,
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int64),
+            ]
             lib.fec_fix.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_uint8),

@@ -85,3 +85,15 @@ def test_collect_counts_match_reference_log(tmp_path, ref_fermi):
     idx = FMDIndex.restore(fmd)
     cls, key, val, (n_tot, n_info) = ec.collect_solid_kmers(idx, 19, 3)
     assert (int(m.group(1)), int(m.group(2))) == (n_info, n_tot - n_info)
+
+
+def test_native_collect_matches_device(tmp_path, ref_fermi):
+    reads, quals = make_noisy_reads(n=250, seed=11)
+    fmd = str(tmp_path / "i.fmd")
+    build_my_fmd(reads, fmd)
+    idx = FMDIndex.restore(fmd)
+    c1, k1, v1, _ = ec.collect_solid_kmers(idx, 19, 3)
+    c2, k2, v2, _ = ec.collect_solid_kmers_native(idx, 19, 3)
+    a = sorted(zip(c1.tolist(), k1.tolist(), v1.tolist()))
+    b = sorted(zip(c2.tolist(), k2.tolist(), v2.tolist()))
+    assert a == b
