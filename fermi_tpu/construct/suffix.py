@@ -12,6 +12,8 @@ The resulting BWT is canonical for the text, so encoding it with the RLD codec
 yields .fmd files byte-identical to reference `fermi build`.
 """
 
+import os
+
 import numpy as np
 
 from fermi_tpu.core import dna
@@ -41,11 +43,38 @@ def build_text(seqs: list[np.ndarray], both_strands: bool = True,
     return np.concatenate(parts)
 
 
-def suffix_array_multi(text: np.ndarray) -> np.ndarray:
-    """Suffix array of a 0-terminated multi-sentinel text (numpy host path).
+def _native():
+    try:
+        from fermi_tpu import native
+        return native.get_lib()
+    except Exception:
+        return None
+
+
+def suffix_array_multi(text: np.ndarray, use_native: bool = True) -> np.ndarray:
+    """Suffix array of a 0-terminated multi-sentinel text.
 
     Sentinels compare below all letters and among themselves by position.
+    Dispatches to the threaded native builder (native/construct.cpp) when
+    available; the numpy prefix-doubling path below is the portable oracle.
     """
+    t8 = np.ascontiguousarray(text, dtype=np.uint8)
+    n = t8.size
+    if use_native and n:
+        lib = _native()
+        if lib is not None:
+            import ctypes
+            sa = np.empty(n, np.int64)
+            r = lib.fsa_build(
+                t8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n,
+                sa.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                min(os.cpu_count() or 1, 16))
+            if r == 0:
+                return sa
+    return _suffix_array_multi_numpy(text)
+
+
+def _suffix_array_multi_numpy(text: np.ndarray) -> np.ndarray:
     t = np.asarray(text, dtype=np.int64)
     n = t.size
     if n == 0:
@@ -56,22 +85,49 @@ def suffix_array_multi(text: np.ndarray) -> np.ndarray:
         raise ValueError("text must end with a sentinel (0)")
     # unique rank per sentinel; letters shifted above all sentinels
     rank = np.where(is_sent, np.cumsum(is_sent) - 1, n_sent - 1 + t)
-    h = 1
-    order = None
+    # round 1 over the full text; rank convention afterwards: a suffix's rank
+    # is the index (within `order`) of the FIRST member of its group — any
+    # distinct total order works for comparisons, and this one lets groups
+    # refine in place (Larsson–Sadakane)
+    key2 = np.full(n, -1, dtype=np.int64)
+    key2[: n - 1] = rank[1:]
+    order = np.lexsort((key2, rank))
+    r1 = rank[order]
+    r2 = key2[order]
+    boundary = np.empty(n, dtype=bool)
+    boundary[0] = True
+    boundary[1:] = (r1[1:] != r1[:-1]) | (r2[1:] != r2[:-1])
+    idx = np.arange(n, dtype=np.int64)
+    group_start = np.maximum.accumulate(np.where(boundary, idx, 0))
+    rank = np.empty(n, dtype=np.int64)
+    rank[order] = group_start
+    h = 2
+    # later rounds re-sort only members of non-singleton groups; groups
+    # shrink geometrically since reads are short
     while True:
-        key2 = np.full(n, -1, dtype=np.int64)
-        key2[: n - h] = rank[h:]
-        order = np.lexsort((key2, rank))
-        r1 = rank[order]
-        r2 = key2[order]
-        changed = np.empty(n, dtype=np.int64)
-        changed[0] = 0
-        changed[1:] = (r1[1:] != r1[:-1]) | (r2[1:] != r2[:-1])
-        new_rank_sorted = np.cumsum(changed)
-        if new_rank_sorted[-1] == n - 1:
+        sorted_rank = rank[order]
+        dup_adj = np.empty(n, dtype=bool)
+        dup_adj[0] = False
+        dup_adj[1:] = sorted_rank[1:] == sorted_rank[:-1]
+        in_group = dup_adj.copy()
+        in_group[:-1] |= dup_adj[1:]
+        if not in_group.any():
             return order.astype(np.int64)
-        rank = np.empty(n, dtype=np.int64)
-        rank[order] = new_rank_sorted
+        sel = np.flatnonzero(in_group)      # slots in `order` to refine
+        pos = order[sel]                    # text positions occupying them
+        key2s = np.where(pos + h < n, rank[np.minimum(pos + h, n - 1)], -1)
+        sub = np.lexsort((key2s, rank[pos]))
+        sp = pos[sub]                       # refined occupants of slots sel
+        r1s = rank[sp]
+        r2s = key2s[sub]
+        m = len(sel)
+        b = np.empty(m, dtype=bool)
+        b[0] = True
+        b[1:] = (r1s[1:] != r1s[:-1]) | (r2s[1:] != r2s[:-1])
+        gs = np.maximum.accumulate(np.where(b, np.arange(m, dtype=np.int64),
+                                            0))
+        order[sel] = sp
+        rank[sp] = sel[gs]
         h *= 2
 
 
@@ -85,3 +141,8 @@ def bwt_from_sa(text: np.ndarray, sa: np.ndarray) -> np.ndarray:
 
 def multistring_bwt(text: np.ndarray) -> np.ndarray:
     return bwt_from_sa(text, suffix_array_multi(text))
+
+
+def suffix_array_multi_numpy(text: np.ndarray) -> np.ndarray:
+    """Portable numpy oracle (prefix doubling with subset refinement)."""
+    return _suffix_array_multi_numpy(text)

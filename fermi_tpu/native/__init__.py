@@ -103,6 +103,21 @@ def get_lib() -> ctypes.CDLL:
                 ctypes.c_int,
                 ctypes.POINTER(ctypes.c_int64),
             ]
+            lib.fsa_build.restype = ctypes.c_int
+            lib.fsa_build.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int,
+            ]
+            lib.fsa_bwt.restype = ctypes.c_int
+            lib.fsa_bwt.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int,
+            ]
             lib.fec_fix.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_uint8),
