@@ -41,12 +41,17 @@ def _index_carrays(index: FMDIndex):
     return blocks, occ, cnt
 
 
-def collect_solid_kmers_native(index: FMDIndex, w: int, min_occ: int):
+def collect_solid_kmers_native(index: FMDIndex, w: int, min_occ: int,
+                               n_threads: int | None = None):
     """Native DFS collect (native/smem.cpp fec_collect) — same (cls,key,val)
-    set as the device BFS, without chunked-dispatch overhead."""
+    set as the device BFS, without chunked-dispatch overhead; suffix classes
+    are DFS'd in parallel."""
     import ctypes
+    import os
     from fermi_tpu import native
 
+    if n_threads is None:
+        n_threads = min(os.cpu_count() or 1, 16)
     lib = native.get_lib()
     blocks, occ, cnt = _index_carrays(index)
     counts = np.zeros(3, np.int64)
@@ -55,7 +60,7 @@ def collect_solid_kmers_native(index: FMDIndex, w: int, min_occ: int):
         occ.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         blocks.shape[0],
         cnt.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        int(np.asarray(index.mcnt[1])), w, min_occ,
+        int(np.asarray(index.mcnt[1])), w, min_occ, n_threads,
         counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
     n = int(counts[0])
     try:

@@ -55,32 +55,64 @@ def _kmer_codes(seq: str, k: int):
 
 
 def fltuniq(in_path, out_fp, k=0, verbose=True):
+    """Drop reads containing any unique k-mer (reference seq.c:149-199).
+
+    Batched: all reads' valid k-mer windows are coded in one array; a k-mer
+    is "dup" when its global occurrence count (over break-resetting windows,
+    same as the reference's rolling scan) is >= 2 — so the reference's
+    two-plane presence bitmap reduces to one np.unique, no table at all.
+    """
     if k == 0:
         size = os.path.getsize(in_path)
         k = int(math.log(size) / math.log(4) + 1.499)
         k = min(max(k, 15), 18)
         sys.stderr.write(f"[M::fltuniq] set the k-mer size as {k}\n")
-    nwords = (1 << (2 * k)) >> 6
-    seen1 = np.zeros(nwords, np.uint64)
-    seen2 = np.zeros(nwords, np.uint64)
+    recs = list(fastx.read_fastx(in_path))
     if verbose:
         sys.stderr.write("[M::fltuniq] building the hash table...\n")
-    for rec in fastx.read_fastx(in_path):
-        codes, _ = _kmer_codes(rec.seq, k)
-        if not len(codes):
-            continue
-        uniq, counts = np.unique(codes, return_counts=True)
-        w = (uniq >> 6).astype(np.int64)
-        b = np.uint64(1) << (uniq & 63).astype(np.uint64)
-        already = (seen1[w] & b) != 0
-        dup = already | (counts > 1)
-        np.bitwise_or.at(seen2, w[dup], b[dup])
-        np.bitwise_or.at(seen1, w, b)
+    # one blob, reads separated by k non-ACGT bytes so no window spans two
+    sep = b"\xff" * k
+    blob = sep.join(r.seq.encode() for r in recs) + sep
+    barr = np.frombuffer(blob, np.uint8)
+    dt = np.uint32 if k <= 15 else np.int64
+    code = (dna.NT6_TABLE.astype(dt) - 1)[barr]  # invalid wraps, masked below
+    valid = ((dna.NT6_TABLE >= 1) & (dna.NT6_TABLE <= 4))[barr]
+    code = code * valid  # zero out invalid so Horner packs cleanly
+    n = code.size
+    nw = n - k + 1
+    cs_inval = np.concatenate([[0], np.cumsum(~valid, dtype=np.int64)])
+    win_ok = (cs_inval[k:] - cs_inval[:-k]) == 0
+    codes = code[:nw].copy()
+    for j in range(1, k):
+        codes <<= dt(2)
+        codes |= code[j: j + nw]
+    vc = codes[win_ok]
+    order = np.argsort(vc, kind="stable")
+    sv = vc[order]
+    b = np.empty(sv.size, bool)
+    if sv.size:
+        b[0] = True
+        b[1:] = sv[1:] != sv[:-1]
+    single = b & np.concatenate([b[1:], [True]])
+    dup_sel = np.empty(sv.size, bool)
+    dup_sel[order] = ~single
+    dup = np.zeros(nw, bool)
+    dup[win_ok] = dup_sel
     if verbose:
         sys.stderr.write("[M::fltuniq] filtering the reads...\n")
+    # per-read: any invalid base -> drop; any in-read window not dup -> drop
+    lens = np.array([len(r.seq) for r in recs], np.int64)
+    starts = np.zeros(len(recs), np.int64)
+    if len(recs) > 1:
+        starts[1:] = np.cumsum(lens[:-1] + k)
+    no_inval = (cs_inval[starts + lens] - cs_inval[starts]) == 0
+    cs_bad = np.concatenate([[0], np.cumsum(~dup)])
+    win_end = np.maximum(starts + lens - k + 1, starts)
+    n_bad = cs_bad[win_end] - cs_bad[starts]
+    keep_flags = no_inval & ((lens < k) | (n_bad == 0))
     out = []
     prev_name = None
-    for rec in fastx.read_fastx(in_path):
+    for rec, keep in zip(recs, keep_flags):
         is_paired = prev_name is not None and prev_name == rec.name
         if is_paired:
             if not out:
@@ -90,7 +122,6 @@ def fltuniq(in_path, out_fp, k=0, verbose=True):
             if out:
                 out_fp.write("".join(out))
             out = []
-        keep = _read_all_dup(rec.seq, k, seen2)
         if keep:
             out.append(write_seq(rec))
         elif is_paired:
@@ -98,24 +129,6 @@ def fltuniq(in_path, out_fp, k=0, verbose=True):
         prev_name = rec.name
     if out:
         out_fp.write("".join(out))
-
-
-def _read_all_dup(seq, k, seen2):
-    """Reference filter loop (seq.c:183-191): drop on any non-ACGT base or
-    any k-mer window (over the rolling, break-resetting scan) not seen twice."""
-    code = dna.NT6_TABLE[np.frombuffer(seq.encode(), np.uint8)].astype(np.int64) - 1
-    if ((code < 0) | (code >= 4)).any():
-        return False
-    n = len(code)
-    if n < k:
-        return True  # no window ever reaches length k; loop runs off the end
-    z = 0
-    codes = np.zeros(n - k + 1, np.int64)
-    for j in range(k):
-        codes = (codes << 2) | code[j: j + n - k + 1]
-    w = (codes >> 6).astype(np.int64)
-    b = np.uint64(1) << (codes & 63).astype(np.uint64)
-    return bool(((seen2[w] & b) != 0).all())
 
 
 def trimseq(in_path, out_fp, min_l=20, min_q=3, drop_ambi=True):

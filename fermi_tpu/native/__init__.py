@@ -101,6 +101,7 @@ def get_lib() -> ctypes.CDLL:
                 ctypes.c_int64,
                 ctypes.c_int,
                 ctypes.c_int,
+                ctypes.c_int,
                 ctypes.POINTER(ctypes.c_int64),
             ]
             lib.fsa_build.restype = ctypes.c_int

@@ -204,7 +204,9 @@ int64_t* fsmem_all(const uint8_t* blocks, const int64_t* occ, int64_t n_rows,
 // this walks the trie directly over the blocked-occ arrays.
 // ---------------------------------------------------------------------------
 
+#include <atomic>
 #include <cmath>
+#include <thread>
 
 namespace {
 
@@ -214,6 +216,56 @@ struct CollectNode {
   uint32_t key;
 };
 
+struct SufNode {
+  Intv ik;
+  int depth;
+  int64_t cls;
+};
+
+// phase 2 DFS from one suffix class; appends triples to out
+static void collect_class(const Index& e, const SufNode& n, int suf_len, int w,
+                          int min_occ, std::vector<int64_t>& out,
+                          int64_t& cnt_total, int64_t& cnt_info,
+                          std::vector<CollectNode>& stack) {
+  Intv ok[6];
+  stack.clear();
+  stack.push_back({n.ik, suf_len, 0});
+  while (!stack.empty()) {
+    CollectNode t = stack.back();
+    stack.pop_back();
+    extend6(e, t.ik, true, ok);
+    if (t.depth == w) {
+      int64_t mx = 0;
+      int max_c = 6;
+      for (int c = 1; c <= 4; ++c)
+        if (ok[c].sz > mx) {
+          mx = ok[c].sz;
+          max_c = c;
+        }
+      if (mx < min_occ) continue;
+      ++cnt_total;
+      int64_t rest = t.ik.sz - mx - ok[0].sz - ok[5].sz;
+      double r = rest == 0 ? (double)mx : (double)mx / (double)rest;
+      if (r > 31.0) r = 31.0;
+      if (rest <= 7 && r >= (double)min_occ) ++cnt_info;
+      uint32_t key = t.key << 2 | (uint32_t)(max_c - 1);
+      uint8_t val = (uint8_t)(((int)(r + .499)) << 3 |
+                              (rest < 7 ? (int)rest : 7));
+      out.push_back(n.cls);
+      out.push_back((int64_t)key);
+      out.push_back((int64_t)val);
+    } else {
+      for (int c = 1; c <= 4; ++c) {
+        if (ok[c].sz >= min_occ) {
+          uint32_t key =
+              t.key | ((uint32_t)(c - 1) << (2 * (t.depth - suf_len)));
+          stack.push_back({ok[c], t.depth + 1, key});
+        }
+      }
+    }
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -221,85 +273,79 @@ extern "C" {
 // Emits (cls:int64, key:uint32, val:uint8) triples for all solid (k+1)-mers.
 // Returns a malloc'd buffer of n_out records laid out as int64[3] each
 // (cls, key, val) for ctypes simplicity; counts_out[0]=n_out,
-// counts_out[1]=cnt_total, counts_out[2]=cnt_informative.
+// counts_out[1]=cnt_total, counts_out[2]=cnt_informative. Suffix classes
+// (reference correct.c:64 partitions work the same way across pthreads)
+// are DFS'd in parallel across n_threads; triple order is unspecified —
+// downstream consumers treat the result as a set.
 int64_t* fec_collect(const uint8_t* blocks, const int64_t* occ, int64_t n_rows,
                      const int64_t* cnt, int64_t n_seqs, int w, int min_occ,
-                     int64_t* counts_out) {
+                     int n_threads, int64_t* counts_out) {
   Index e;
   e.blocks = blocks;
   e.occ = occ;
   for (int i = 0; i < 8; ++i) e.cnt[i] = cnt[i];
   e.n_seqs = n_seqs;
   int suf_len = w > 15 ? w - 15 : 1;
-  std::vector<int64_t> out;  // triples
-  int64_t cnt_total = 0, cnt_info = 0;
 
-  // enumerate all depth-suf_len suffix intervals (fm6_traverse order is
-  // irrelevant: results are a set); descend DFS to depth w.
-  // stack of (interval, depth, class-or-key bits)
-  std::vector<CollectNode> stack;
-  // phase 1: suffix intervals with class ids
-  struct SufNode { Intv ik; int depth; int64_t cls; };
+  // phase 1: enumerate all depth-suf_len suffix intervals with class ids
+  std::vector<SufNode> classes;
   std::vector<SufNode> sstack;
-  int64_t total = e.cnt[6];
-  sstack.push_back({{0, 0, total, 0}, 0, 0});
+  sstack.push_back({{0, 0, e.cnt[6], 0}, 0, 0});
   Intv ok[6];
   while (!sstack.empty()) {
     SufNode n = sstack.back();
     sstack.pop_back();
     if (n.depth == suf_len) {
-      // phase 2 DFS from this suffix class
-      stack.clear();
-      stack.push_back({n.ik, suf_len, 0});
-      while (!stack.empty()) {
-        CollectNode t = stack.back();
-        stack.pop_back();
-        extend6(e, t.ik, true, ok);
-        if (t.depth == w) {
-          int64_t mx = 0;
-          int max_c = 6;
-          for (int c = 1; c <= 4; ++c)
-            if (ok[c].sz > mx) {
-              mx = ok[c].sz;
-              max_c = c;
-            }
-          if (mx < min_occ) continue;
-          ++cnt_total;
-          int64_t rest = t.ik.sz - mx - ok[0].sz - ok[5].sz;
-          double r = rest == 0 ? (double)mx : (double)mx / (double)rest;
-          if (r > 31.0) r = 31.0;
-          if (rest <= 7 && r >= (double)min_occ) ++cnt_info;
-          uint32_t key = t.key << 2 | (uint32_t)(max_c - 1);
-          uint8_t val = (uint8_t)(((int)(r + .499)) << 3 |
-                                  (rest < 7 ? (int)rest : 7));
-          out.push_back(n.cls);
-          out.push_back((int64_t)key);
-          out.push_back((int64_t)val);
-        } else {
-          for (int c = 1; c <= 4; ++c) {
-            if (ok[c].sz >= min_occ) {
-              uint32_t key =
-                  t.key | ((uint32_t)(c - 1) << (2 * (t.depth - suf_len)));
-              stack.push_back({ok[c], t.depth + 1, key});
-            }
-          }
-        }
-      }
-    } else {
-      extend6(e, n.ik, true, ok);
-      for (int c = 1; c <= 4; ++c) {
-        if (ok[c].sz) {
-          int64_t cls = n.cls | ((int64_t)(c - 1) << (2 * n.depth));
-          sstack.push_back({ok[c], n.depth + 1, cls});
-        }
+      classes.push_back(n);
+      continue;
+    }
+    extend6(e, n.ik, true, ok);
+    for (int c = 1; c <= 4; ++c) {
+      if (ok[c].sz) {
+        int64_t cls = n.cls | ((int64_t)(c - 1) << (2 * n.depth));
+        sstack.push_back({ok[c], n.depth + 1, cls});
       }
     }
   }
-  counts_out[0] = (int64_t)(out.size() / 3);
+
+  // phase 2: DFS each class; classes pulled via atomic counter
+  if (n_threads < 1) n_threads = 1;
+  std::vector<std::vector<int64_t>> outs(n_threads);
+  std::vector<int64_t> totals(n_threads, 0), infos(n_threads, 0);
+  std::atomic<size_t> next(0);
+  auto work = [&](int tid) {
+    std::vector<CollectNode> stack;
+    for (;;) {
+      size_t i = next.fetch_add(1);
+      if (i >= classes.size()) break;
+      collect_class(e, classes[i], suf_len, w, min_occ, outs[tid],
+                    totals[tid], infos[tid], stack);
+    }
+  };
+  if (n_threads == 1) {
+    work(0);
+  } else {
+    std::vector<std::thread> th;
+    for (int t = 0; t < n_threads; ++t) th.emplace_back(work, t);
+    for (auto& t : th) t.join();
+  }
+
+  size_t n_words = 0;
+  int64_t cnt_total = 0, cnt_info = 0;
+  for (int t = 0; t < n_threads; ++t) {
+    n_words += outs[t].size();
+    cnt_total += totals[t];
+    cnt_info += infos[t];
+  }
+  counts_out[0] = (int64_t)(n_words / 3);
   counts_out[1] = cnt_total;
   counts_out[2] = cnt_info;
-  int64_t* p = (int64_t*)malloc(sizeof(int64_t) * (out.size() + 1));
-  memcpy(p, out.data(), sizeof(int64_t) * out.size());
+  int64_t* p = (int64_t*)malloc(sizeof(int64_t) * (n_words + 1));
+  size_t at = 0;
+  for (int t = 0; t < n_threads; ++t) {
+    memcpy(p + at, outs[t].data(), sizeof(int64_t) * outs[t].size());
+    at += outs[t].size();
+  }
   return p;
 }
 
