@@ -12,40 +12,22 @@
 #include <cstring>
 #include <vector>
 
+#include "fmindex.h"
+
 namespace {
 
-constexpr int kBlockBits = 7;
-constexpr int kBlock = 1 << kBlockBits;
-
-struct Index {
-  const uint8_t* blocks;
-  const int64_t* occ;  // [*, 8]
-  int64_t cnt[8];
-  int64_t n_seqs;
-
-  void rank6(int64_t k, int64_t out[6]) const {
-    int64_t blk = k >> kBlockBits;
-    int off = (int)(k & (kBlock - 1));
-    const int64_t* base = occ + blk * 8;
-    const uint8_t* row = blocks + blk * kBlock;
-    int64_t c[6] = {0, 0, 0, 0, 0, 0};
-    for (int i = 0; i < off; ++i) ++c[row[i]];
-    for (int i = 0; i < 6; ++i) out[i] = base[i] + c[i];
-  }
-};
+using fermi_native::comp6;
+using fermi_native::Index;
 
 struct Intv {
   int64_t kb, kf, sz;
   uint64_t info;
 };
 
-inline int comp6(int c) { return (c >= 1 && c <= 4) ? 5 - c : c; }
-
 static void extend6(const Index& e, const Intv& ik, bool is_back, Intv ok[6]) {
   int64_t primary = is_back ? ik.kb : ik.kf;
   int64_t tk[6], tl[6];
-  e.rank6(primary, tk);
-  e.rank6(primary + ik.sz, tl);
+  e.rank6_pair(primary, primary + ik.sz, tk, tl);
   int64_t osz[6], outp[6], other[6];
   for (int c = 0; c < 6; ++c) osz[c] = tl[c] - tk[c];
   for (int c = 0; c < 6; ++c) outp[c] = e.cnt[c] + tk[c];
@@ -163,10 +145,7 @@ int64_t* fsmem_all(const uint8_t* blocks, const int64_t* occ, int64_t n_rows,
                    const int64_t* offsets, int64_t n_queries, int self_match,
                    int64_t* counts_out, int64_t* total_out) {
   Index e;
-  e.blocks = blocks;
-  e.occ = occ;
-  for (int i = 0; i < 8; ++i) e.cnt[i] = cnt[i];
-  e.n_seqs = n_seqs;
+  e.setup(blocks, occ, n_rows, cnt, n_seqs);
   std::vector<Mem> all;
   std::vector<Intv> prev, curr;
   std::vector<Mem> mems;
@@ -281,10 +260,7 @@ int64_t* fec_collect(const uint8_t* blocks, const int64_t* occ, int64_t n_rows,
                      const int64_t* cnt, int64_t n_seqs, int w, int min_occ,
                      int n_threads, int64_t* counts_out) {
   Index e;
-  e.blocks = blocks;
-  e.occ = occ;
-  for (int i = 0; i < 8; ++i) e.cnt[i] = cnt[i];
-  e.n_seqs = n_seqs;
+  e.setup(blocks, occ, n_rows, cnt, n_seqs);
   int suf_len = w > 15 ? w - 15 : 1;
 
   // phase 1: enumerate all depth-suf_len suffix intervals with class ids

@@ -14,52 +14,19 @@
 #include <string>
 #include <vector>
 
+#include "fmindex.h"
+
 namespace {
 
-constexpr int kBlockBits = 7;
-constexpr int kBlock = 1 << kBlockBits;
-
-struct Index {
-  const uint8_t* blocks;   // [nb+1, 128]
-  const int64_t* occ;      // [nb+1, 8]
-  int64_t cnt[8];
-  int64_t n_seqs;
-
-  void rank6(int64_t k, int64_t out[6]) const {
-    int64_t blk = k >> kBlockBits;
-    int off = (int)(k & (kBlock - 1));
-    const int64_t* base = occ + blk * 8;
-    const uint8_t* row = blocks + blk * kBlock;
-    int64_t c0 = 0, c1 = 0, c2 = 0, c3 = 0, c4 = 0, c5 = 0;
-    for (int i = 0; i < off; ++i) {
-      switch (row[i]) {
-        case 0: ++c0; break;
-        case 1: ++c1; break;
-        case 2: ++c2; break;
-        case 3: ++c3; break;
-        case 4: ++c4; break;
-        case 5: ++c5; break;
-      }
-    }
-    out[0] = base[0] + c0;
-    out[1] = base[1] + c1;
-    out[2] = base[2] + c2;
-    out[3] = base[3] + c3;
-    out[4] = base[4] + c4;
-    out[5] = base[5] + c5;
-  }
-
-  uint8_t sym_at(int64_t k) const {
-    return blocks[(k >> kBlockBits) * kBlock + (k & (kBlock - 1))];
-  }
-};
+using fermi_native::comp6;
+using fermi_native::Index;
+using fermi_native::kBlock;
+using fermi_native::kBlockBits;
 
 struct Intv {
   int64_t kb, kf, sz;
   uint64_t info;
 };
-
-inline int comp6(int c) { return (c >= 1 && c <= 4) ? 5 - c : c; }
 
 // fm6_extend over one interval, all 6 symbols
 static void extend6(const Index& e, int64_t kb, int64_t kf, int64_t sz,
@@ -67,8 +34,7 @@ static void extend6(const Index& e, int64_t kb, int64_t kf, int64_t sz,
                     int64_t SZ[6]) {
   int64_t primary = is_back ? kb : kf;
   int64_t tk[6], tl[6];
-  e.rank6(primary, tk);
-  e.rank6(primary + sz, tl);
+  e.rank6_pair(primary, primary + sz, tk, tl);
   int64_t osz[6];
   for (int c = 0; c < 6; ++c) {
     osz[c] = tl[c] - tk[c];
@@ -477,10 +443,7 @@ char* funitig_run(const uint8_t* blocks, const int64_t* occ, int64_t n_rows,
                   const int64_t* cnt, int64_t n_seqs, int min_match,
                   const uint64_t* sorted, int64_t* out_len) {
   Index idx;
-  idx.blocks = blocks;
-  idx.occ = occ;
-  for (int i = 0; i < 8; ++i) idx.cnt[i] = cnt[i];
-  idx.n_seqs = n_seqs;
+  idx.setup(blocks, occ, n_rows, cnt, n_seqs);
   Builder b(idx, min_match, sorted);
   b.run();
   *out_len = (int64_t)b.out.size();
