@@ -28,19 +28,50 @@ def build_text(seqs: list[np.ndarray], both_strands: bool = True,
     even-length read equal to its own reverse complement loses its last base so
     fwd and rc differ.
     """
-    parts = []
-    for s in seqs:
-        s = np.asarray(s, dtype=np.uint8)
-        if trim_palindrome and both_strands and dna.is_revcomp_palindrome(s):
-            s = s[:-1]
-        parts.append(s)
-        parts.append(np.zeros(1, np.uint8))
-        if both_strands:
-            parts.append(dna.revcomp(s))
-            parts.append(np.zeros(1, np.uint8))
-    if not parts:
+    if not seqs:
         return np.zeros(0, np.uint8)
-    return np.concatenate(parts)
+    F = np.concatenate([np.asarray(s, np.uint8) for s in seqs])
+    lens = np.array([len(s) for s in seqs], np.int64)
+    lib = _native()
+    if lib is not None:
+        import ctypes
+        offsets = np.concatenate([[0], np.cumsum(lens)])
+        out = np.empty(int(2 * lens.sum() + 2 * len(seqs)), np.uint8)
+        F = np.ascontiguousarray(F)
+        n = lib.fbuild_text(
+            F.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(seqs), int(both_strands), int(trim_palindrome),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        return out[:n]
+    sf = np.concatenate([[0], np.cumsum(lens)])[:-1]
+    if trim_palindrome and both_strands:
+        # vectorized is_revcomp_palindrome over all reads at once
+        ar = np.arange(F.size)
+        mirror = np.repeat(2 * sf + lens - 1, lens) - ar
+        ok = (F.astype(np.int16) + F[mirror]) == 5
+        cs = np.concatenate([[0], np.cumsum(ok)])
+        all_ok = (cs[sf + lens] - cs[sf]) == lens
+        pal = (lens % 2 == 0) & (lens > 0) & all_ok
+        if pal.any():
+            keep = np.ones(F.size, bool)
+            keep[sf[pal] + lens[pal] - 1] = False
+            F = F[keep]
+            lens = lens - pal
+            sf = np.concatenate([[0], np.cumsum(lens)])[:-1]
+    if not both_strands:
+        o = np.concatenate([[0], np.cumsum(lens + 1)])[:-1]
+        out = np.zeros(int((lens + 1).sum()), np.uint8)
+        out[np.arange(F.size) + np.repeat(o - sf, lens)] = F
+        return out
+    # per read: fwd, 0, revcomp, 0 — both scatters in one vector pass
+    o = np.concatenate([[0], np.cumsum(2 * lens + 2)])[:-1]
+    out = np.zeros(int((2 * lens + 2).sum()), np.uint8)
+    ar = np.arange(F.size)
+    out[ar + np.repeat(o - sf, lens)] = F
+    comp = np.where((F >= 1) & (F <= 4), 5 - F, F).astype(np.uint8)
+    out[np.repeat(o + 2 * lens + sf, lens) - ar] = comp
+    return out
 
 
 def _native():
@@ -140,6 +171,20 @@ def bwt_from_sa(text: np.ndarray, sa: np.ndarray) -> np.ndarray:
 
 
 def multistring_bwt(text: np.ndarray) -> np.ndarray:
+    t8 = np.ascontiguousarray(text, dtype=np.uint8)
+    n = t8.size
+    lib = _native()
+    if lib is not None and n:
+        import ctypes
+        sa = np.empty(n, np.int64)
+        bwt = np.empty(n, np.uint8)
+        r = lib.fsa_bwt(
+            t8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n,
+            sa.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            bwt.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            min(os.cpu_count() or 1, 16))
+        if r == 0:
+            return bwt
     return bwt_from_sa(text, suffix_array_multi(text))
 
 

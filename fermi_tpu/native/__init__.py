@@ -119,6 +119,22 @@ def get_lib() -> ctypes.CDLL:
                 ctypes.POINTER(ctypes.c_uint8),
                 ctypes.c_int,
             ]
+            lib.fbuild_text.restype = ctypes.c_int64
+            lib.fbuild_text.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64,
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint8),
+            ]
+            lib.frle_from_bwt.restype = ctypes.c_int64
+            lib.frle_from_bwt.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int64),
+            ]
             lib.fec_fix.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_uint8),

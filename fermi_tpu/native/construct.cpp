@@ -43,42 +43,92 @@ extern "C" {
 int fsa_build(const uint8_t* text, int64_t n, int64_t* sa, int n_threads) {
   if (n == 0) return 0;
   if (text[n - 1] != 0) return -1;
+  if (n_threads < 1) n_threads = 1;
+  const int T = n_threads;
   std::vector<int64_t> S(n);
   std::vector<uint64_t> P(n);
-  // backward passes: next sentinel + packed masked window
-  int64_t s = n - 1;
-  P[n - 1] = 0;
-  S[n - 1] = n - 1;
-  for (int64_t i = n - 2; i >= 0; --i) {
-    if (text[i] == 0) {
-      s = i;
-      P[i] = 0;
-    } else {
-      P[i] = ((uint64_t)text[i] << 60) | (P[i + 1] >> 3);
+
+  // slice boundaries aligned to sentinels: the P/S backward recurrences
+  // reset at every sentinel, so slices ending on one are self-contained
+  std::vector<int64_t> ends(T + 1);  // slice t covers [ends[t], ends[t+1])
+  ends[T] = n;
+  for (int t = T - 1; t >= 1; --t) {
+    int64_t b = n * t / T;
+    int64_t lim = ends[t + 1];
+    while (b < lim && text[b - 1] != 0) ++b;  // start just after a sentinel
+    ends[t] = b < lim ? b : lim;
+  }
+  ends[0] = 0;
+  auto pass1 = [&](int t) {
+    int64_t lo = ends[t], hi = ends[t + 1];
+    int64_t s = hi - 1;  // text[hi-1] is a sentinel by construction
+    for (int64_t i = hi - 1; i >= lo; --i) {
+      if (text[i] == 0) {
+        s = i;
+        P[i] = 0;
+      } else {
+        P[i] = ((uint64_t)text[i] << 60) | (P[i + 1] >> 3);
+      }
+      S[i] = s;
     }
-    S[i] = s;
-  }
-  // bucket by top 24 bits (first 8 symbols of the masked window)
-  constexpr int kBits = 24;
+  };
+
+  // parallel counting sort by the top 21 bits (first 7 symbols)
+  constexpr int kBits = 21;
   constexpr int64_t kBuckets = (int64_t)1 << kBits;
-  std::vector<int64_t> cnt(kBuckets + 1, 0);
-  for (int64_t i = 0; i < n; ++i) ++cnt[P[i] >> (64 - kBits)];
+  std::vector<std::vector<int32_t>> hist(T);
+  auto pass2 = [&](int t) {
+    hist[t].assign(kBuckets, 0);
+    int64_t lo = ends[t], hi = ends[t + 1];
+    for (int64_t i = lo; i < hi; ++i) ++hist[t][P[i] >> (64 - kBits)];
+  };
   std::vector<int64_t> off(kBuckets + 1);
-  off[0] = 0;
-  for (int64_t b = 0; b < kBuckets; ++b) off[b + 1] = off[b] + cnt[b];
+  std::vector<std::vector<int64_t>> toff(T);  // per-thread start per bucket
+  auto pass3 = [&](int t) {
+    int64_t lo = ends[t], hi = ends[t + 1];
+    std::vector<int64_t>& cur = toff[t];
+    for (int64_t i = lo; i < hi; ++i) sa[cur[P[i] >> (64 - kBits)]++] = i;
+  };
+
+  auto run_par = [&](auto&& fn) {
+    if (T == 1) {
+      fn(0);
+      return;
+    }
+    std::vector<std::thread> th;
+    for (int t = 0; t < T; ++t) th.emplace_back(fn, t);
+    for (auto& t : th) t.join();
+  };
+  run_par(pass1);
+  run_par(pass2);
   {
-    std::vector<int64_t> cur(off.begin(), off.end() - 1);
-    for (int64_t i = 0; i < n; ++i) sa[cur[P[i] >> (64 - kBits)]++] = i;
+    int64_t at = 0;
+    for (int64_t b = 0; b < kBuckets; ++b) {
+      off[b] = at;
+      for (int t = 0; t < T; ++t) at += hist[t][b];
+    }
+    off[kBuckets] = at;
+    for (int t = 0; t < T; ++t) toff[t].resize(kBuckets);
+    for (int64_t b = 0; b < kBuckets; ++b) {
+      int64_t at2 = off[b];
+      for (int t = 0; t < T; ++t) {
+        toff[t][b] = at2;
+        at2 += hist[t][b];
+      }
+    }
   }
+  run_par(pass3);
+
   // parallel per-bucket sort, largest buckets first
   std::vector<int64_t> todo;
   for (int64_t b = 0; b < kBuckets; ++b)
-    if (cnt[b] > 1) todo.push_back(b);
-  std::sort(todo.begin(), todo.end(),
-            [&](int64_t a, int64_t b) { return cnt[a] > cnt[b]; });
+    if (off[b + 1] - off[b] > 1) todo.push_back(b);
+  std::sort(todo.begin(), todo.end(), [&](int64_t a, int64_t b) {
+    return off[a + 1] - off[a] > off[b + 1] - off[b];
+  });
   SuffixCmp cmp{P.data(), S.data()};
   std::atomic<size_t> next(0);
-  auto work = [&]() {
+  auto work = [&](int) {
     for (;;) {
       size_t t = next.fetch_add(1);
       if (t >= todo.size()) break;
@@ -86,13 +136,7 @@ int fsa_build(const uint8_t* text, int64_t n, int64_t* sa, int n_threads) {
       std::sort(sa + off[b], sa + off[b + 1], cmp);
     }
   };
-  if (n_threads <= 1) {
-    work();
-  } else {
-    std::vector<std::thread> th;
-    for (int t = 0; t < n_threads; ++t) th.emplace_back(work);
-    for (auto& t : th) t.join();
-  }
+  run_par(work);
   return 0;
 }
 
@@ -105,6 +149,63 @@ int fsa_bwt(const uint8_t* text, int64_t n, int64_t* sa, uint8_t* bwt,
   for (int64_t i = 0; i < n; ++i)
     bwt[i] = sa[i] ? text[sa[i] - 1] : 0;
   return 0;
+}
+
+// Assemble the sentinel-terminated fermi text (fwd 0 [rc 0] per read,
+// reference cmd.c:458-462 palindrome trim) from concatenated nt6 reads.
+// out must hold 2*total+2*n_reads bytes; returns the text length.
+int64_t fbuild_text(const uint8_t* seqs, const int64_t* offsets,
+                    int64_t n_reads, int both_strands, int trim_palindrome,
+                    uint8_t* out) {
+  int64_t at = 0;
+  for (int64_t r = 0; r < n_reads; ++r) {
+    const uint8_t* s = seqs + offsets[r];
+    int64_t l = offsets[r + 1] - offsets[r];
+    if (both_strands && trim_palindrome && l > 0 && l % 2 == 0) {
+      bool pal = true;
+      for (int64_t i = 0; i < l; ++i)
+        if ((int)s[i] + (int)s[l - 1 - i] != 5) {
+          pal = false;
+          break;
+        }
+      if (pal) --l;
+    }
+    memcpy(out + at, s, l);
+    at += l;
+    out[at++] = 0;
+    if (both_strands) {
+      for (int64_t i = 0; i < l; ++i) {
+        uint8_t c = s[l - 1 - i];
+        out[at + i] = (c >= 1 && c <= 4) ? (uint8_t)(5 - c) : c;
+      }
+      at += l;
+      out[at++] = 0;
+    }
+  }
+  return at;
+}
+
+// Run-length extraction from a BWT: writes runs as (sym uint8, len int64)
+// into caller buffers sized n; returns the run count.
+int64_t frle_from_bwt(const uint8_t* bwt, int64_t n, uint8_t* syms,
+                      int64_t* lens) {
+  if (n == 0) return 0;
+  int64_t nr = 0;
+  uint8_t c = bwt[0];
+  int64_t l = 1;
+  for (int64_t i = 1; i < n; ++i) {
+    if (bwt[i] == c) {
+      ++l;
+    } else {
+      syms[nr] = c;
+      lens[nr++] = l;
+      c = bwt[i];
+      l = 1;
+    }
+  }
+  syms[nr] = c;
+  lens[nr++] = l;
+  return nr;
 }
 
 }  // extern "C"

@@ -45,13 +45,30 @@ class Runs:
         if bwt.size == 0:
             return Runs(np.zeros(0, np.int64), np.zeros(0, np.uint8),
                         np.zeros(asize + 1, np.uint64), asize)
-        boundaries = np.flatnonzero(bwt[1:] != bwt[:-1]) + 1
-        starts = np.concatenate(([0], boundaries))
-        ends = np.concatenate((boundaries, [bwt.size]))
-        lengths = (ends - starts).astype(np.int64)
-        symbols = bwt[starts]
+        try:
+            from fermi_tpu import native
+            lib = native.get_lib()
+        except Exception:
+            lib = None
+        if lib is not None and asize == 6:
+            import ctypes
+            bwt = np.ascontiguousarray(bwt)
+            symbols = np.empty(bwt.size, np.uint8)
+            lengths = np.empty(bwt.size, np.int64)
+            nr = lib.frle_from_bwt(
+                bwt.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), bwt.size,
+                symbols.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+            symbols, lengths = symbols[:nr].copy(), lengths[:nr].copy()
+        else:
+            boundaries = np.flatnonzero(bwt[1:] != bwt[:-1]) + 1
+            starts = np.concatenate(([0], boundaries))
+            ends = np.concatenate((boundaries, [bwt.size]))
+            lengths = (ends - starts).astype(np.int64)
+            symbols = bwt[starts]
         mcnt = np.zeros(asize + 1, np.uint64)
-        mcnt[1:] = np.bincount(bwt, minlength=asize)[:asize]
+        mcnt[1:] = np.bincount(symbols, weights=lengths.astype(np.float64),
+                               minlength=asize)[:asize].astype(np.uint64)
         mcnt[0] = bwt.size
         return Runs(lengths, symbols, mcnt, asize)
 
