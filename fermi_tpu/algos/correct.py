@@ -28,15 +28,22 @@ def auto_k(total_symbols: int) -> int:
     return min(w, MAX_KMER)
 
 
-def _index_carrays(index: FMDIndex):
-    """(blocks u8 [nb,128], occ i64 [nb,8], cnt i64 [8]) contiguous views."""
-    blocks = np.ascontiguousarray(np.asarray(index.bwt_blocks))
-    occ_src = np.asarray(index.occ).astype(np.int64)
-    occ = np.zeros((occ_src.shape[0], 8), np.int64)
-    occ[:, : occ_src.shape[1]] = occ_src
-    occ = np.ascontiguousarray(occ)
+def _index_carrays(index):
+    """(blocks u8 [nb,128], occ i64 [nb,8], cnt i64 [8]) contiguous views.
+
+    Accepts FMDIndex (device arrays) or algos.hostindex.HostIndex (numpy,
+    same blocked layout) — the native engines see identical memory."""
+    blocks = getattr(index, "bwt_blocks", None)
+    if blocks is None:
+        blocks = index.blocks
+    blocks = np.ascontiguousarray(np.asarray(blocks))
+    occ = getattr(index, "occ8", None)
+    if occ is None:
+        occ_src = np.asarray(index.occ).astype(np.int64, copy=False)
+        occ = np.zeros((occ_src.shape[0], 8), np.int64)
+        occ[:, : occ_src.shape[1]] = occ_src
     cnt = np.zeros(8, np.int64)
-    cnt_src = np.asarray(index.cnt).astype(np.int64)
+    cnt_src = np.asarray(index.cnt).astype(np.int64, copy=False)
     cnt[: len(cnt_src)] = cnt_src
     return blocks, occ, cnt
 
@@ -279,6 +286,7 @@ def emit(out_fp, seqs, quals, info, base_id, opt):
     mates when paired), rename to @id_qsum_scorediff, optional trim."""
     n = len(seqs)
     bad = (info >> 16 & 1).astype(bool)
+    parts = []
     for i in range(n):
         k = base_id + i
         is_bad = bad[i]
@@ -296,5 +304,6 @@ def emit(out_fp, seqs, quals, info, base_id, opt):
         tl = opt.get("trim_l", 0)
         if tl and tl < len(s):
             s, q = s[:tl], q[:tl]
-        out_fp.write(f"@{name}{sep}{qsum}{sep}{sdiff}\n")
-        out_fp.write(s.decode() + "\n+\n" + q.decode() + "\n")
+        parts.append(f"@{name}{sep}{qsum}{sep}{sdiff}\n")
+        parts.append(s.decode() + "\n+\n" + q.decode() + "\n")
+    out_fp.write("".join(parts))

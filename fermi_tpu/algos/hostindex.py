@@ -20,16 +20,38 @@ class HostIndex:
         padded = np.full((nb + 1) * BLOCK, 6, dtype=np.uint8)
         padded[:n] = bwt
         self.blocks = padded.reshape(nb + 1, BLOCK)
+        self.occ8 = None  # [nb+1, 8] contiguous, set on the native path;
+        # lets the native engines borrow occ without a pad-copy
+        self.occ = self._build_occ(nb)
+        self.mcnt = np.zeros(7, np.int64)
+        self.mcnt[0] = n
+        # real symbols end before the final all-pad block, so its occ row
+        # already holds the full per-symbol totals
+        self.mcnt[1:] = self.occ[nb]
+        self.cnt = np.zeros(7, np.int64)
+        self.cnt[1:] = np.cumsum(self.mcnt[1:7])
+
+    def _build_occ(self, nb):
+        try:
+            from fermi_tpu import native
+            lib = native.get_lib()
+        except Exception:
+            lib = None
+        if lib is not None:
+            import ctypes
+            occ8 = np.empty((nb + 1, 8), np.int64)
+            lib.focc_build(
+                self.blocks.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                nb + 1,
+                occ8.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), 8)
+            self.occ8 = occ8
+            return occ8[:, :6]
         hist = np.zeros((nb + 1, 6), np.int64)
         for c in range(6):
             hist[:, c] = (self.blocks == c).sum(axis=1)
-        self.occ = np.zeros_like(hist)
-        np.cumsum(hist[:-1], axis=0, out=self.occ[1:])
-        self.mcnt = np.zeros(7, np.int64)
-        self.mcnt[0] = n
-        self.mcnt[1:] = np.bincount(bwt, minlength=6)[:6]
-        self.cnt = np.zeros(7, np.int64)
-        self.cnt[1:] = np.cumsum(self.mcnt[1:7])
+        occ = np.zeros_like(hist)
+        np.cumsum(hist[:-1], axis=0, out=occ[1:])
+        return occ
 
     @property
     def n_seqs(self) -> int:

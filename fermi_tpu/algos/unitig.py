@@ -378,10 +378,11 @@ def fm6_unitig_native(e: HostIndex, min_match: int, sorted_arr=None) -> str:
 
     lib = native.get_lib()
     blocks = np.ascontiguousarray(e.blocks)
-    occ6 = e.occ.astype(np.int64)
-    occ = np.zeros((occ6.shape[0], 8), np.int64)
-    occ[:, : occ6.shape[1]] = occ6
-    occ = np.ascontiguousarray(occ)
+    occ = getattr(e, "occ8", None)
+    if occ is None:
+        occ6 = e.occ.astype(np.int64, copy=False)
+        occ = np.zeros((occ6.shape[0], 8), np.int64)
+        occ[:, : occ6.shape[1]] = occ6
     cnt = np.ascontiguousarray(e.cnt.astype(np.int64))
     cnt8 = np.zeros(8, np.int64)
     cnt8[:7] = cnt[:7]

@@ -70,6 +70,56 @@ def fltuniq(in_path, out_fp, k=0, verbose=True):
     recs = list(fastx.read_fastx(in_path))
     if verbose:
         sys.stderr.write("[M::fltuniq] building the hash table...\n")
+    keep_flags = _flt_keep_native(recs, k)
+    if keep_flags is None:
+        keep_flags = _flt_keep_numpy(recs, k)
+    if verbose:
+        sys.stderr.write("[M::fltuniq] filtering the reads...\n")
+    out = []
+    prev_name = None
+    for rec, keep in zip(recs, keep_flags):
+        is_paired = prev_name is not None and prev_name == rec.name
+        if is_paired:
+            if not out:
+                prev_name = rec.name
+                continue
+        else:
+            if out:
+                out_fp.write("".join(out))
+            out = []
+        if keep:
+            out.append(write_seq(rec))
+        elif is_paired:
+            out = []
+        prev_name = rec.name
+    if out:
+        out_fp.write("".join(out))
+
+
+def _flt_keep_native(recs, k):
+    try:
+        from fermi_tpu import native
+        lib = native.get_lib()
+    except Exception:
+        return None
+    import ctypes
+    blob = b"".join(r.seq.encode() for r in recs)
+    barr = np.ascontiguousarray(np.frombuffer(blob, np.uint8))
+    lens = np.array([len(r.seq) for r in recs], np.int64)
+    offsets = np.concatenate([[0], np.cumsum(lens)])
+    keep = np.zeros(len(recs), np.uint8)
+    r = lib.fflt_keep(
+        barr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(recs), k,
+        keep.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        min(os.cpu_count() or 1, 16))
+    if r != 0:
+        return None
+    return keep.astype(bool)
+
+
+def _flt_keep_numpy(recs, k):
     # one blob, reads separated by k non-ACGT bytes so no window spans two
     sep = b"\xff" * k
     blob = sep.join(r.seq.encode() for r in recs) + sep
@@ -98,8 +148,6 @@ def fltuniq(in_path, out_fp, k=0, verbose=True):
     dup_sel[order] = ~single
     dup = np.zeros(nw, bool)
     dup[win_ok] = dup_sel
-    if verbose:
-        sys.stderr.write("[M::fltuniq] filtering the reads...\n")
     # per-read: any invalid base -> drop; any in-read window not dup -> drop
     lens = np.array([len(r.seq) for r in recs], np.int64)
     starts = np.zeros(len(recs), np.int64)
@@ -109,26 +157,7 @@ def fltuniq(in_path, out_fp, k=0, verbose=True):
     cs_bad = np.concatenate([[0], np.cumsum(~dup)])
     win_end = np.maximum(starts + lens - k + 1, starts)
     n_bad = cs_bad[win_end] - cs_bad[starts]
-    keep_flags = no_inval & ((lens < k) | (n_bad == 0))
-    out = []
-    prev_name = None
-    for rec, keep in zip(recs, keep_flags):
-        is_paired = prev_name is not None and prev_name == rec.name
-        if is_paired:
-            if not out:
-                prev_name = rec.name
-                continue
-        else:
-            if out:
-                out_fp.write("".join(out))
-            out = []
-        if keep:
-            out.append(write_seq(rec))
-        elif is_paired:
-            out = []
-        prev_name = rec.name
-    if out:
-        out_fp.write("".join(out))
+    return no_inval & ((lens < k) | (n_bad == 0))
 
 
 def trimseq(in_path, out_fp, min_l=20, min_q=3, drop_ambi=True):

@@ -74,6 +74,29 @@ def build_text(seqs: list[np.ndarray], both_strands: bool = True,
     return out
 
 
+def build_text_packed(F: np.ndarray, offsets: np.ndarray,
+                      both_strands: bool = True,
+                      trim_palindrome: bool = True) -> np.ndarray:
+    """build_text over reads already packed as (concatenated nt6, offsets)."""
+    n_reads = len(offsets) - 1
+    if n_reads <= 0:
+        return np.zeros(0, np.uint8)
+    lib = _native()
+    F = np.ascontiguousarray(F, dtype=np.uint8)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    if lib is not None:
+        import ctypes
+        out = np.empty(int(2 * F.size + 2 * n_reads), np.uint8)
+        n = lib.fbuild_text(
+            F.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n_reads, int(both_strands), int(trim_palindrome),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        return out[:n]
+    seqs = [F[offsets[i]:offsets[i + 1]] for i in range(n_reads)]
+    return build_text(seqs, both_strands, trim_palindrome)
+
+
 def _native():
     try:
         from fermi_tpu import native

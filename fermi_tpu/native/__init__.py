@@ -128,6 +128,22 @@ def get_lib() -> ctypes.CDLL:
                 ctypes.c_int,
                 ctypes.POINTER(ctypes.c_uint8),
             ]
+            lib.fflt_keep.restype = ctypes.c_int
+            lib.fflt_keep.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64,
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int,
+            ]
+            lib.focc_build.restype = None
+            lib.focc_build.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int,
+            ]
             lib.frle_from_bwt.restype = ctypes.c_int64
             lib.frle_from_bwt.argtypes = [
                 ctypes.POINTER(ctypes.c_uint8),

@@ -185,6 +185,24 @@ int64_t fbuild_text(const uint8_t* seqs, const int64_t* offsets,
   return at;
 }
 
+// Exclusive cumulative occ [n_rows, stride] for padded BWT blocks
+// [n_rows, 128] (pad symbol 6+ ignored; columns 6..stride-1 zeroed).
+// One pass; replaces six numpy compare-sum sweeps. stride is 6 for the
+// HostIndex layout or 8 for the native engines' padded layout.
+void focc_build(const uint8_t* blocks, int64_t n_rows, int64_t* occ,
+                int stride) {
+  int64_t c[6] = {0, 0, 0, 0, 0, 0};
+  for (int64_t r = 0; r < n_rows; ++r) {
+    for (int j = 0; j < 6; ++j) occ[r * stride + j] = c[j];
+    for (int j = 6; j < stride; ++j) occ[r * stride + j] = 0;
+    const uint8_t* row = blocks + r * 128;
+    for (int i = 0; i < 128; ++i) {
+      uint8_t s = row[i];
+      if (s < 6) ++c[s];
+    }
+  }
+}
+
 // Run-length extraction from a BWT: writes runs as (sym uint8, len int64)
 // into caller buffers sized n; returns the run count.
 int64_t frle_from_bwt(const uint8_t* bwt, int64_t n, uint8_t* syms,

@@ -36,9 +36,31 @@ class Pipeline:
         self.trim_l = trim_l
         self.skip_ec = skip_ec
         self.min_clean_o = int(unitig_k * 1.2 + 0.499)
+        self._cache = {}  # in-process index reuse across stages
 
     def _p(self, suffix):
         return f"{self.prefix}.{suffix}"
+
+    def _runs(self, path):
+        key = ("runs", path)
+        if key not in self._cache:
+            from fermi_tpu import rld
+            self._cache[key] = rld.read_fmd(path)
+        return self._cache[key]
+
+    def _fmd(self, path):
+        key = ("fmd", path)
+        if key not in self._cache:
+            from fermi_tpu.index.fmd import FMDIndex
+            self._cache[key] = FMDIndex.from_runs(self._runs(path))
+        return self._cache[key]
+
+    def _host(self, path):
+        key = ("host", path)
+        if key not in self._cache:
+            from fermi_tpu.algos.hostindex import HostIndex
+            self._cache[key] = HostIndex(self._runs(path).expand())
+        return self._cache[key]
 
     def _done(self, suffix):
         return os.path.exists(self._p(suffix))
@@ -52,20 +74,27 @@ class Pipeline:
         from fermi_tpu import rld
 
         t0 = time.time()
-        frags = []
-        for seq in reads_iter:
-            s = dna.encode(seq)
-            if cut_n:
-                for part in np.split(s, np.flatnonzero(s == 5)):
-                    part = part[part != 5]
-                    if len(part):
-                        frags.append(part)
-            else:
-                frags.append(s)
-        text = suffix.build_text(frags)
-        log("build", f"{len(frags)} fragments, {text.size / 1e6:.1f}M symbols")
+        # join reads with N: encode maps it to 5, and fragments are maximal
+        # runs of non-5 symbols, so one vectorized pass covers cut_n too
+        blob = "N".join(reads_iter)
+        enc = dna.encode(blob)
+        del blob
+        ok = enc != 5
+        edge = np.diff(ok.view(np.int8), prepend=np.int8(0),
+                       append=np.int8(0))
+        starts = np.flatnonzero(edge == 1)
+        ends = np.flatnonzero(edge == -1)
+        F = enc[ok]
+        lens = ends - starts
+        offsets = np.concatenate([[0], np.cumsum(lens)])
+        n_frags = len(lens)
+        text = suffix.build_text_packed(F, offsets)
+        log("build",
+            f"{n_frags} fragments, {text.size / 1e6:.1f}M symbols")
         bwt = suffix.multistring_bwt(text)
-        rld.write_fmd(rld.Runs.from_bwt(bwt), out_fmd)
+        runs = rld.Runs.from_bwt(bwt)
+        rld.write_fmd(runs, out_fmd)
+        self._cache[("runs", out_fmd)] = runs
         log("build", f"wrote {out_fmd} in {time.time() - t0:.1f}s")
 
     def stage_raw_fmd(self, fastx_paths):
@@ -88,10 +117,11 @@ class Pipeline:
         out = self._p("ec.fq.gz")
         if self.skip_ec or os.path.exists(out):
             return
-        from fermi_tpu.index.fmd import FMDIndex
         from fermi_tpu.algos import correct as ec
 
-        idx = FMDIndex.restore(self._p("raw.fmd"))
+        # the host mirror shares the blocked layout; avoids a device
+        # round-trip since the EC collect/fix engines are native anyway
+        idx = self._host(self._p("raw.fmd"))
         with io.TextIOWrapper(gzip.open(out + ".tmp", "wb", 1)) as fp:
             # the reference corrects the concatenated input stream
             ec.ec_correct(idx, list(fastx_paths), fp, n_threads=self.t,
@@ -120,10 +150,9 @@ class Pipeline:
         out = self._p("ec.rank")
         if not self.paired or os.path.exists(out):
             return
-        from fermi_tpu.index.fmd import FMDIndex
         from fermi_tpu.algos.seqsort import seqsort
 
-        idx = FMDIndex.restore(self._p("ec.fmd"))
+        idx = self._fmd(self._p("ec.fmd"))
         arr = seqsort(idx)
         arr.tofile(out)
 
@@ -131,12 +160,9 @@ class Pipeline:
         out = self._p("p0.mag.gz")
         if os.path.exists(out):
             return
-        from fermi_tpu import rld
-        from fermi_tpu.algos.hostindex import HostIndex
         from fermi_tpu.algos.unitig import fm6_unitig
 
-        runs = rld.read_fmd(self._p("ec.fmd"))
-        e = HostIndex(runs.expand())
+        e = self._host(self._p("ec.fmd"))
         sorted_arr = None
         if self.paired:
             sorted_arr = np.fromfile(self._p("ec.rank"), np.uint64)
@@ -167,10 +193,9 @@ class Pipeline:
         out = self._p("p3.mag.gz")
         if not self.paired or os.path.exists(out):
             return
-        from fermi_tpu.index.fmd import FMDIndex
         from fermi_tpu.algos.remap import remap
 
-        idx = FMDIndex.restore(self._p("ec.fmd"))
+        idx = self._fmd(self._p("ec.fmd"))
         sorted_arr = np.fromfile(self._p("ec.rank"), np.uint64)
         with io.TextIOWrapper(gzip.open(out + ".tmp", "wb", 1)) as fp:
             avg, std, cap = remap(idx, self._p("p2.mag.gz"), fp, sorted_arr)
@@ -182,13 +207,10 @@ class Pipeline:
         out = self._p("p4.fa.gz")
         if not self.paired or os.path.exists(out):
             return
-        from fermi_tpu import rld
-        from fermi_tpu.algos.hostindex import HostIndex
         from fermi_tpu.algos.scaf import scaf_core
 
         stats = json.load(open(self._p("insert.json")))
-        runs = rld.read_fmd(self._p("ec.fmd"))
-        e = HostIndex(runs.expand())
+        e = self._host(self._p("ec.fmd"))
         with io.TextIOWrapper(gzip.open(out + ".tmp", "wb", 1)) as fp:
             scaf_core(e, self._p("p3.mag.gz"), stats["avg"], stats["std"],
                       pr_links=True, out_fp=fp)
@@ -198,11 +220,10 @@ class Pipeline:
         out = self._p("p5.fq.gz")
         if not self.paired or os.path.exists(out):
             return
-        from fermi_tpu.index.fmd import FMDIndex
         from fermi_tpu.algos.remap import remap
 
         stats = json.load(open(self._p("insert.json")))
-        idx = FMDIndex.restore(self._p("ec.fmd"))
+        idx = self._fmd(self._p("ec.fmd"))
         sorted_arr = np.fromfile(self._p("ec.rank"), np.uint64)
         with io.TextIOWrapper(gzip.open(out + ".tmp", "wb", 1)) as fp:
             remap(idx, self._p("p4.fa.gz"), fp, sorted_arr, min_pcv=2,

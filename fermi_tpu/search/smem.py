@@ -428,9 +428,11 @@ def smem_all_native(index: FMDIndex, seqs, self_match=False):
 
     lib = native.get_lib()
     blocks = np.asarray(index.bwt_blocks)
-    occ6 = np.asarray(index.occ).astype(np.int64)
-    occ = np.zeros((occ6.shape[0], 8), np.int64)
-    occ[:, : occ6.shape[1]] = occ6
+    occ = getattr(index, "occ8", None)
+    if occ is None:
+        occ6 = np.asarray(index.occ).astype(np.int64, copy=False)
+        occ = np.zeros((occ6.shape[0], 8), np.int64)
+        occ[:, : occ6.shape[1]] = occ6
     occ = np.ascontiguousarray(occ)
     blocks = np.ascontiguousarray(blocks)
     cnt = np.zeros(8, np.int64)
