@@ -1,12 +1,17 @@
-"""Benchmark: SMEM search throughput (reads/s) vs the reference fermi binary.
+"""Benchmark: end-to-end assembly throughput vs the reference fermi binary.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Dataset: deterministic synthetic genome + error-bearing reads; the index is
-built once and cached under /tmp/fermi_tpu_bench. Our side runs the batched
-SMEM kernel on the default JAX device (the TPU under the driver); the
-baseline is the reference `fermi exact` (single-threaded C, as shipped) on
-the same index and query set.
+Default mode runs the full assembly pipeline (index -> correct -> filter ->
+index -> unitig -> clean x2, the reference run-fermi.pl unpaired chain) on a
+deterministic 60k-read / 2 Mbp dataset, ours in-process vs the reference
+binaries with the same thread count; vs_baseline = ref_wall / my_wall.
+Byte-parity of every artifact vs the reference's -t1 chain is enforced in
+tests/test_pipeline.py and the e2e suite; here the reference runs its
+production -t4 mode.
+
+`--smem` instead benchmarks batched SMEM search on the default JAX device
+(the TPU under the driver) against reference `fermi exact`.
 """
 
 import json
@@ -53,6 +58,23 @@ def make_dataset():
         return reads
 
     return sample(N_INDEX_READS, False), sample(N_QUERY_READS, True)
+
+
+def ensure_reads_fq():
+    """The 60k index reads as FASTQ (constant qual) — pipeline bench input."""
+    os.makedirs(CACHE, exist_ok=True)
+    fq = os.path.join(CACHE, "idx_reads.fq")
+    if os.path.exists(fq):
+        return fq
+    log("generating pipeline dataset...")
+    idx_reads, _ = make_dataset()
+    qual = "I" * READ_LEN
+    with open(fq + ".tmp", "w") as f:
+        for i, r in enumerate(idx_reads):
+            s = "".join("ACGT"[c] for c in r)
+            f.write(f"@r{i}\n{s}\n+\n{qual}\n")
+    os.rename(fq + ".tmp", fq)
+    return fq
 
 
 def ensure_files():
@@ -141,20 +163,97 @@ def bench_ref(ref, fmd, qfa):
     return n_reads / dt, n_matches
 
 
+def bench_pipeline_mine(fq, workdir, n_threads=4):
+    import shutil
+    if os.path.isdir(workdir):
+        shutil.rmtree(workdir)
+    os.makedirs(workdir)
+    from fermi_tpu.pipeline.driver import Pipeline
+    t0 = time.time()
+    p = Pipeline(os.path.join(workdir, "my"), n_threads=n_threads,
+                 unitig_k=50)
+    out = p.run([fq])
+    dt = time.time() - t0
+    log(f"mine: pipeline in {dt:.2f}s -> {out}")
+    return dt, out
+
+
+def bench_pipeline_ref(ref, fq, workdir, n_threads=4):
+    import shutil
+    if os.path.isdir(workdir):
+        shutil.rmtree(workdir)
+    os.makedirs(workdir)
+    sh = f"""
+set -e
+cd {workdir}
+{ref} ropebwt -a bcr -btNf tmp.bcr {fq} > ref.raw.fmd 2>/dev/null
+{ref} correct -t{n_threads} ref.raw.fmd {fq} 2>/dev/null > ref.ec.fq
+{ref} fltuniq ref.ec.fq 2>/dev/null | {ref} ropebwt -a bcr -btf tmp2.bcr - > ref.ec.fmd 2>/dev/null
+{ref} unitig -t{n_threads} -l 50 ref.ec.fmd > ref.p0.mag 2>/dev/null
+{ref} clean ref.p0.mag > ref.p1.mag 2>/dev/null
+{ref} clean -CAOFo 60 ref.p1.mag > ref.p2.mag 2>/dev/null
+"""
+    t0 = time.time()
+    subprocess.run(["bash", "-c", sh], check=True)
+    dt = time.time() - t0
+    log(f"reference: pipeline in {dt:.2f}s")
+    return dt, os.path.join(workdir, "ref.p2.mag")
+
+
+def contig_stats(path):
+    """(contig count, total bp) of a MAG file (FASTQ-like 4-line records)."""
+    import gzip as gz
+    op = gz.open if path.endswith(".gz") else open
+    n = total = 0
+    with op(path, "rt") as f:
+        rec = []
+        for line in f:
+            rec.append(line)
+            if len(rec) == 4:
+                n += 1
+                total += len(rec[1].strip())
+                rec = []
+    return n, total
+
+
 def main():
-    fmd, qfa = ensure_files()
-    mine_rps, mine_m = bench_mine(fmd, qfa)
+    smem_mode = "--smem" in sys.argv
+    if smem_mode:
+        fmd, qfa = ensure_files()
+        mine_rps, mine_m = bench_mine(fmd, qfa)
+        ref = ensure_ref()
+        vs = None
+        if ref:
+            ref_rps, ref_m = bench_ref(ref, fmd, qfa)
+            if mine_m != ref_m:
+                log(f"WARNING: SMEM count mismatch mine={mine_m} ref={ref_m}")
+            vs = mine_rps / ref_rps
+        print(json.dumps({
+            "metric": "SMEM search throughput",
+            "value": round(mine_rps, 1),
+            "unit": "reads/s/chip",
+            "vs_baseline": round(vs, 3) if vs is not None else None,
+        }))
+        return
+
+    fq = ensure_reads_fq()
+    my_dt, my_out = bench_pipeline_mine(fq, os.path.join(CACHE, "pipe_my"))
     ref = ensure_ref()
     vs = None
     if ref:
-        ref_rps, ref_m = bench_ref(ref, fmd, qfa)
-        if mine_m != ref_m:
-            log(f"WARNING: SMEM count mismatch mine={mine_m} ref={ref_m}")
-        vs = mine_rps / ref_rps
+        ref_dt, ref_out = bench_pipeline_ref(
+            ref, fq, os.path.join(CACHE, "pipe_ref"))
+        vs = ref_dt / my_dt
+        mn, mtot = contig_stats(my_out)
+        rn, rtot = contig_stats(ref_out)
+        log(f"contigs: mine {mn} ({mtot} bp) vs ref {rn} ({rtot} bp) "
+            "[-t4 reference output is racy; byte-parity vs -t1 is tested "
+            "in tests/]")
+    rps = N_INDEX_READS / my_dt
     print(json.dumps({
-        "metric": "SMEM search throughput",
-        "value": round(mine_rps, 1),
-        "unit": "reads/s/chip",
+        "metric": "end-to-end assembly throughput",
+        "value": round(rps, 1),
+        "unit": "reads/s (60k reads, 2Mbp genome, 4 threads)",
         "vs_baseline": round(vs, 3) if vs is not None else None,
     }))
 
