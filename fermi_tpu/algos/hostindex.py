@@ -13,13 +13,18 @@ BLOCK = 1 << BLOCK_BITS
 
 
 class HostIndex:
-    def __init__(self, bwt: np.ndarray):
-        bwt = np.asarray(bwt, dtype=np.uint8)
-        n = bwt.size
-        nb = (n + BLOCK - 1) // BLOCK
-        padded = np.full((nb + 1) * BLOCK, 6, dtype=np.uint8)
-        padded[:n] = bwt
-        self.blocks = padded.reshape(nb + 1, BLOCK)
+    def __init__(self, bwt: np.ndarray = None, _blocks=None, _n=None):
+        if _blocks is not None:
+            n = _n
+            nb = _blocks.shape[0] - 1
+            self.blocks = _blocks
+        else:
+            bwt = np.asarray(bwt, dtype=np.uint8)
+            n = bwt.size
+            nb = (n + BLOCK - 1) // BLOCK
+            padded = np.full((nb + 1) * BLOCK, 6, dtype=np.uint8)
+            padded[:n] = bwt
+            self.blocks = padded.reshape(nb + 1, BLOCK)
         self.occ8 = None  # [nb+1, 8] contiguous, set on the native path;
         # lets the native engines borrow occ without a pad-copy
         self.occ = self._build_occ(nb)
@@ -52,6 +57,32 @@ class HostIndex:
         occ = np.zeros_like(hist)
         np.cumsum(hist[:-1], axis=0, out=occ[1:])
         return occ
+
+    @classmethod
+    def from_runs(cls, runs) -> "HostIndex":
+        """Build straight from RLE runs — the native path expands into the
+        padded block layout in one parallel pass (no dense-BWT interim)."""
+        n = int(runs.mcnt[0])
+        try:
+            from fermi_tpu import native
+            lib = native.get_lib()
+        except Exception:
+            lib = None
+        if lib is None or n == 0:
+            return cls(runs.expand())
+        import ctypes
+        import os
+        nb = (n + BLOCK - 1) // BLOCK
+        blocks = np.empty(((nb + 1), BLOCK), np.uint8)
+        syms = np.ascontiguousarray(runs.symbols, dtype=np.uint8)
+        lens = np.ascontiguousarray(runs.lengths, dtype=np.int64)
+        lib.fexpand_blocks(
+            syms.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            syms.size, n,
+            blocks.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            nb + 1, min(os.cpu_count() or 1, 16))
+        return cls(_blocks=blocks, _n=n)
 
     @property
     def n_seqs(self) -> int:

@@ -223,7 +223,7 @@ def cmd_unitig(args):
     from fermi_tpu.algos.unitig import fm6_unitig
 
     runs = rld.read_fmd(args.fmd)
-    e = HostIndex(runs.expand())
+    e = HostIndex.from_runs(runs)
     sorted_arr = None
     if args.rank_file:
         sorted_arr = np.fromfile(args.rank_file, np.uint64, e.n_seqs)
@@ -441,7 +441,7 @@ def cmd_scaf(args):
     from fermi_tpu.algos.scaf import scaf_core
 
     runs = rld.read_fmd(args.fmd)
-    e = HostIndex(runs.expand())
+    e = HostIndex.from_runs(runs)
     scaf_core(e, args.mag, args.avg, args.std, min_supp=args.min_supp,
               a_thres=args.a_thres, p_thres=args.p_thres,
               pr_links=args.pr_links, out_fp=sys.stdout)

@@ -67,6 +67,8 @@ def fltuniq(in_path, out_fp, k=0, verbose=True):
         k = int(math.log(size) / math.log(4) + 1.499)
         k = min(max(k, 15), 18)
         sys.stderr.write(f"[M::fltuniq] set the k-mer size as {k}\n")
+    if _fltuniq_bytes(in_path, out_fp, k, verbose):
+        return
     recs = list(fastx.read_fastx(in_path))
     if verbose:
         sys.stderr.write("[M::fltuniq] building the hash table...\n")
@@ -94,6 +96,72 @@ def fltuniq(in_path, out_fp, k=0, verbose=True):
         prev_name = rec.name
     if out:
         out_fp.write("".join(out))
+
+
+def _fltuniq_bytes(in_path, out_fp, k, verbose):
+    """Zero-record-object fast path for plain 4-line FASTQ: the keep kernel
+    consumes the raw sequence lines; kept records are re-emitted in the
+    same normalized form as write_seq. Returns False to use the generic
+    record path (FASTA, multi-line, or no native lib)."""
+    try:
+        from fermi_tpu import native
+        lib = native.get_lib()
+    except Exception:
+        return False
+    import ctypes
+    opener = gzip.open if in_path.endswith(".gz") else open
+    with opener(in_path, "rb") as f:
+        data = f.read()
+    lines = data.split(b"\n")
+    if lines and lines[-1] == b"":
+        lines.pop()
+    if not lines or len(lines) % 4 or lines[0][:1] != b"@":
+        return False
+    heads = lines[0::4]
+    seqs = lines[1::4]
+    plus = lines[2::4]
+    quals = lines[3::4]
+    if any(h[:1] != b"@" for h in heads) or any(p[:1] != b"+" for p in plus):
+        return False
+    if verbose:
+        sys.stderr.write("[M::fltuniq] building the hash table...\n")
+    n = len(seqs)
+    lens = np.fromiter((len(s) for s in seqs), np.int64, n)
+    offsets = np.concatenate([[0], np.cumsum(lens)])
+    blob = np.frombuffer(b"".join(seqs), np.uint8)
+    keep = np.zeros(n, np.uint8)
+    r = lib.fflt_keep(
+        blob.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n, k, keep.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        min(os.cpu_count() or 1, 16))
+    if r != 0:
+        return False
+    if verbose:
+        sys.stderr.write("[M::fltuniq] filtering the reads...\n")
+    names = [h[1:].split(None, 1)[0] if h[1:] else b"" for h in heads]
+    out = []
+    prev_name = None
+    for i in range(n):
+        name = names[i]
+        is_paired = prev_name is not None and prev_name == name
+        if is_paired:
+            if not out:
+                prev_name = name
+                continue
+        else:
+            if out:
+                out_fp.write(b"".join(out).decode())
+            out = []
+        if keep[i]:
+            out.append(b"@" + heads[i][1:] + b"\n" + seqs[i] + b"\n+\n" +
+                       quals[i] + b"\n")
+        elif is_paired:
+            out = []
+        prev_name = name
+    if out:
+        out_fp.write(b"".join(out).decode())
+    return True
 
 
 def _flt_keep_native(recs, k):

@@ -137,6 +137,16 @@ def get_lib() -> ctypes.CDLL:
                 ctypes.POINTER(ctypes.c_uint8),
                 ctypes.c_int,
             ]
+            lib.fexpand_blocks.restype = None
+            lib.fexpand_blocks.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int64,
+                ctypes.c_int,
+            ]
             lib.focc_build.restype = None
             lib.focc_build.argtypes = [
                 ctypes.POINTER(ctypes.c_uint8),

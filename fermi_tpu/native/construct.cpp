@@ -12,23 +12,78 @@
 
 #include <algorithm>
 #include <atomic>
+#include <chrono>
+#include <functional>
+#include <memory>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <thread>
 #include <vector>
 
 namespace {
+inline double now_s() {
+  return std::chrono::duration<double>(
+             std::chrono::steady_clock::now().time_since_epoch())
+      .count();
+}
+inline bool fsa_debug() {
+  static bool d = getenv("FERMI_FSA_DEBUG") != nullptr;
+  return d;
+}
+#define FSA_TICK(name)                                          \
+  do {                                                          \
+    if (fsa_debug()) {                                          \
+      double t = now_s();                                       \
+      fprintf(stderr, "[fsa] %-10s %.2fs\n", name, t - _t0);    \
+      _t0 = t;                                                  \
+    }                                                           \
+  } while (0)
+}  // namespace
+
+#include <mutex>
+
+namespace {
+
+// Grow-only scratch arena, reused across fsa_build calls: page-faulting
+// fresh memory costs ~0.5 GB/s on VM hosts (measured), so recycling the
+// ~30 bytes/symbol of scratch across the pipeline's repeated builds is
+// worth a process-lifetime hold. Guarded by a mutex in fsa_build.
+struct Arena {
+  void* p = nullptr;
+  size_t cap = 0;
+  void* get(size_t bytes) {
+    if (bytes > cap) {
+      free(p);
+      p = malloc(bytes);
+      cap = bytes;
+    }
+    return p;
+  }
+};
+std::mutex g_fsa_mu;
+Arena g_arena_d, g_arena_p, g_arena_r;
+
+// Sort record: the suffix's first packed chunk rides along so the common
+// case (mismatch within 21 symbols) never touches P/S at all.
+struct Rec {
+  uint64_t p0;
+  int64_t idx;
+};
 
 struct SuffixCmp {
   const uint64_t* P;   // packed masked 21-symbol windows
-  const int64_t* S;    // next sentinel position at/after i
-  bool operator()(int64_t i, int64_t j) const {
-    int64_t si = S[i], sj = S[j];
-    for (int64_t k = 0;; k += 21) {
-      uint64_t ca = (i + k <= si) ? P[i + k] : 0;
-      uint64_t cb = (j + k <= sj) ? P[j + k] : 0;
+  const int32_t* D;    // distance to the suffix's sentinel (S[i] - i)
+  bool operator()(const Rec& a, const Rec& b) const {
+    if (a.p0 != b.p0) return a.p0 < b.p0;
+    int64_t i = a.idx, j = b.idx;
+    int64_t di = D[i], dj = D[j];
+    for (int64_t k = 21;; k += 21) {
+      uint64_t ca = (k <= di) ? P[i + k] : 0;
+      uint64_t cb = (k <= dj) ? P[j + k] : 0;
       if (ca != cb) return ca < cb;
-      if (i + k >= si && j + k >= sj) return si < sj;
+      if (k >= di && k >= dj) return i + di < j + dj;
     }
   }
 };
@@ -44,11 +99,16 @@ int fsa_build(const uint8_t* text, int64_t n, int64_t* sa, int n_threads) {
   if (n == 0) return 0;
   if (text[n - 1] != 0) return -1;
   if (n_threads < 1) n_threads = 1;
+  double _t0 = now_s();
   const int T = n_threads;
-  std::vector<int64_t> S(n);
-  std::vector<uint64_t> P(n);
+  // uninitialized arena buffers: zero-fill would page-fault gigabytes
+  // single-threaded; first touch happens inside the parallel passes, and
+  // repeat calls reuse already-faulted pages
+  std::lock_guard<std::mutex> lock(g_fsa_mu);
+  int32_t* D = (int32_t*)g_arena_d.get(n * sizeof(int32_t));
+  uint64_t* P = (uint64_t*)g_arena_p.get(n * sizeof(uint64_t));
 
-  // slice boundaries aligned to sentinels: the P/S backward recurrences
+  // slice boundaries aligned to sentinels: the P/D backward recurrences
   // reset at every sentinel, so slices ending on one are self-contained
   std::vector<int64_t> ends(T + 1);  // slice t covers [ends[t], ends[t+1])
   ends[T] = n;
@@ -61,21 +121,24 @@ int fsa_build(const uint8_t* text, int64_t n, int64_t* sa, int n_threads) {
   ends[0] = 0;
   auto pass1 = [&](int t) {
     int64_t lo = ends[t], hi = ends[t + 1];
-    int64_t s = hi - 1;  // text[hi-1] is a sentinel by construction
+    int32_t d = 0;  // text[hi-1] is a sentinel by construction
     for (int64_t i = hi - 1; i >= lo; --i) {
       if (text[i] == 0) {
-        s = i;
+        d = 0;
         P[i] = 0;
       } else {
+        ++d;
         P[i] = ((uint64_t)text[i] << 60) | (P[i + 1] >> 3);
       }
-      S[i] = s;
+      D[i] = d;
     }
   };
 
-  // parallel counting sort by the top 21 bits (first 7 symbols)
+  // parallel counting sort by the top 21 bits (first 7 symbols); records
+  // carry the full first chunk so bucket sorts rarely gather from P/D
   constexpr int kBits = 21;
   constexpr int64_t kBuckets = (int64_t)1 << kBits;
+  Rec* recs = (Rec*)g_arena_r.get(n * sizeof(Rec));
   std::vector<std::vector<int32_t>> hist(T);
   auto pass2 = [&](int t) {
     hist[t].assign(kBuckets, 0);
@@ -87,7 +150,10 @@ int fsa_build(const uint8_t* text, int64_t n, int64_t* sa, int n_threads) {
   auto pass3 = [&](int t) {
     int64_t lo = ends[t], hi = ends[t + 1];
     std::vector<int64_t>& cur = toff[t];
-    for (int64_t i = lo; i < hi; ++i) sa[cur[P[i] >> (64 - kBits)]++] = i;
+    for (int64_t i = lo; i < hi; ++i) {
+      uint64_t p = P[i];
+      recs[cur[p >> (64 - kBits)]++] = {p, i};
+    }
   };
 
   auto run_par = [&](auto&& fn) {
@@ -99,8 +165,11 @@ int fsa_build(const uint8_t* text, int64_t n, int64_t* sa, int n_threads) {
     for (int t = 0; t < T; ++t) th.emplace_back(fn, t);
     for (auto& t : th) t.join();
   };
+  FSA_TICK("alloc");
   run_par(pass1);
+  FSA_TICK("pack");
   run_par(pass2);
+  FSA_TICK("count");
   {
     int64_t at = 0;
     for (int64_t b = 0; b < kBuckets; ++b) {
@@ -117,26 +186,53 @@ int fsa_build(const uint8_t* text, int64_t n, int64_t* sa, int n_threads) {
       }
     }
   }
+  FSA_TICK("prefix");
   run_par(pass3);
+  FSA_TICK("scatter");
 
-  // parallel per-bucket sort, largest buckets first
-  std::vector<int64_t> todo;
-  for (int64_t b = 0; b < kBuckets; ++b)
-    if (off[b + 1] - off[b] > 1) todo.push_back(b);
-  std::sort(todo.begin(), todo.end(), [&](int64_t a, int64_t b) {
-    return off[a + 1] - off[a] > off[b + 1] - off[b];
-  });
-  SuffixCmp cmp{P.data(), S.data()};
-  std::atomic<size_t> next(0);
+  // parallel per-bucket sort + writeback, buckets dealt in chunks.
+  // Buckets are large (only 4^7 distinct letter 7-mers), so each is first
+  // MSD-radix'd on the remaining 43 bits of p0 with a per-thread scratch;
+  // std::sort with the chunked comparator only handles equal-p0 groups.
+  SuffixCmp cmp{P, D};
+  std::atomic<int64_t> next(0);
   auto work = [&](int) {
+    std::vector<Rec> scratch;
+    // recursive MSD byte radix over p0 bits [shift, shift+8)
+    std::function<void(Rec*, int64_t, int)> radix = [&](Rec* r, int64_t m,
+                                                        int shift) {
+      if (m <= 48 || shift < 0) {
+        std::sort(r, r + m, cmp);
+        return;
+      }
+      int64_t cnt2[257] = {0};
+      for (int64_t i = 0; i < m; ++i)
+        ++cnt2[((r[i].p0 >> shift) & 0xff) + 1];
+      for (int d = 0; d < 256; ++d) cnt2[d + 1] += cnt2[d];
+      if ((size_t)m > scratch.size()) scratch.resize(m);
+      int64_t cur[256];
+      memcpy(cur, cnt2, sizeof(cur));
+      for (int64_t i = 0; i < m; ++i)
+        scratch[cur[(r[i].p0 >> shift) & 0xff]++] = r[i];
+      memcpy(r, scratch.data(), sizeof(Rec) * m);
+      for (int d = 0; d < 256; ++d) {
+        int64_t sz = cnt2[d + 1] - cnt2[d];
+        if (sz > 1) radix(r + cnt2[d], sz, shift - 8);
+      }
+    };
     for (;;) {
-      size_t t = next.fetch_add(1);
-      if (t >= todo.size()) break;
-      int64_t b = todo[t];
-      std::sort(sa + off[b], sa + off[b + 1], cmp);
+      int64_t b0 = next.fetch_add(16);
+      if (b0 >= kBuckets) break;
+      int64_t b1 = std::min(b0 + 16, kBuckets);
+      for (int64_t b = b0; b < b1; ++b) {
+        int64_t lo = off[b], hi = off[b + 1];
+        if (hi - lo > 1) radix(recs + lo, hi - lo, 64 - kBits - 8);
+        for (int64_t x = lo; x < hi; ++x) sa[x] = recs[x].idx;
+      }
     }
   };
   run_par(work);
+  FSA_TICK("sort");
   return 0;
 }
 
@@ -146,8 +242,20 @@ int fsa_bwt(const uint8_t* text, int64_t n, int64_t* sa, uint8_t* bwt,
             int n_threads) {
   int r = fsa_build(text, n, sa, n_threads);
   if (r) return r;
-  for (int64_t i = 0; i < n; ++i)
-    bwt[i] = sa[i] ? text[sa[i] - 1] : 0;
+  if (n_threads < 2) {
+    for (int64_t i = 0; i < n; ++i)
+      bwt[i] = sa[i] ? text[sa[i] - 1] : 0;
+    return 0;
+  }
+  std::vector<std::thread> th;
+  for (int t = 0; t < n_threads; ++t) {
+    int64_t lo = n * t / n_threads, hi = n * (t + 1) / n_threads;
+    th.emplace_back([=]() {
+      for (int64_t i = lo; i < hi; ++i)
+        bwt[i] = sa[i] ? text[sa[i] - 1] : 0;
+    });
+  }
+  for (auto& t : th) t.join();
   return 0;
 }
 
@@ -200,6 +308,43 @@ void focc_build(const uint8_t* blocks, int64_t n_rows, int64_t* occ,
       uint8_t s = row[i];
       if (s < 6) ++c[s];
     }
+  }
+}
+
+// Expand RLE runs straight into the padded block layout ([nb+1, 128] bytes,
+// pad symbol 6) used by HostIndex and the native engines — replaces
+// np.repeat + np.full + reshape (three full passes with page faults) with
+// one parallel pass.
+void fexpand_blocks(const uint8_t* syms, const int64_t* lens, int64_t n_runs,
+                    int64_t total, uint8_t* blocks, int64_t n_rows,
+                    int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  const int T = n_threads;
+  // per-thread slice of runs with precomputed start offsets
+  std::vector<int64_t> rsplit(T + 1), osplit(T + 1);
+  for (int t = 0; t <= T; ++t) rsplit[t] = n_runs * t / T;
+  {
+    int64_t at = 0;
+    int64_t t = 0;
+    for (int64_t r = 0; r <= n_runs; ++r) {
+      while (t <= T && rsplit[t] == r) osplit[t++] = at;
+      if (r < n_runs) at += lens[r];
+    }
+  }
+  auto work = [&](int t) {
+    int64_t at = osplit[t];
+    for (int64_t r = rsplit[t]; r < rsplit[t + 1]; ++r) {
+      memset(blocks + at, syms[r], lens[r]);
+      at += lens[r];
+    }
+    if (t == T - 1) memset(blocks + at, 6, n_rows * 128 - at);
+  };
+  if (T == 1) {
+    work(0);
+  } else {
+    std::vector<std::thread> th;
+    for (int t = 0; t < T; ++t) th.emplace_back(work, t);
+    for (auto& t : th) t.join();
   }
 }
 

@@ -5,16 +5,43 @@
 // break-resetting scan) occurs >= 2 times across the whole file. The
 // reference's two-plane presence bitmap is equivalent to a global
 // occurrence-count test, computed here with one parallel bucket sort of
-// (code, window) pairs instead of a 4^k-bit table.
+// (code, window) pairs instead of a 4^k-bit table. Scratch lives in a
+// grow-only arena: fresh pages fault at ~0.5 GB/s on VM hosts, so the
+// ~24 bytes/window is recycled across calls.
 
 #include <algorithm>
 #include <atomic>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
+#include <mutex>
 #include <thread>
 #include <vector>
 
 namespace {
+
+struct FltArena {
+  void* p = nullptr;
+  size_t cap = 0;
+  void* get(size_t bytes) {
+    if (bytes > cap) {
+      free(p);
+      p = malloc(bytes);
+      cap = bytes;
+    }
+    return p;
+  }
+};
+std::mutex g_flt_mu;
+FltArena g_flt_codes, g_flt_pairs;
+
+constexpr uint64_t kInvalid = ~0ULL;
+constexpr uint64_t kDupBit = 1ULL << 62;
+
+struct CW {
+  uint64_t code;
+  int64_t win;
+};
 
 // nt6-ish code per byte: A/C/G/T (upper or lower) -> 0..3, else -1
 inline void build_code_table(int8_t* tbl) {
@@ -36,16 +63,12 @@ extern "C" {
 int fflt_keep(const uint8_t* seqs, const int64_t* offsets, int64_t n_reads,
               int k, uint8_t* keep_out, int n_threads) {
   if (n_threads < 1) n_threads = 1;
+  const int T = n_threads;
   int8_t tbl[256];
   build_code_table(tbl);
-  const uint64_t mask = (k >= 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
+  const uint64_t mask = (k >= 31) ? ((1ULL << 62) - 1) : ((1ULL << (2 * k)) - 1);
 
-  // pass 1 (parallel over reads): emit (code << 24 | window_id) pairs for
-  // every valid window; window ids are per-read dense so <2^24 windows/read
-  // is safe for short reads — use global window counter instead: windows
-  // are packed per read at win_base[r].
   std::vector<int64_t> win_base(n_reads + 1);
-  std::vector<uint8_t> has_inval(n_reads, 0);
   int64_t total_wins = 0;
   for (int64_t r = 0; r < n_reads; ++r) {
     win_base[r] = total_wins;
@@ -54,109 +77,141 @@ int fflt_keep(const uint8_t* seqs, const int64_t* offsets, int64_t n_reads,
   }
   win_base[n_reads] = total_wins;
 
-  std::vector<uint64_t> codes(total_wins);  // code per window (dense per read)
-  std::vector<uint8_t> win_valid(total_wins, 0);
-  std::atomic<int64_t> next_read(0);
-  auto pass1 = [&]() {
-    for (;;) {
-      int64_t r = next_read.fetch_add(256);
-      if (r >= n_reads) break;
-      int64_t rend = std::min(r + 256, n_reads);
-      for (; r < rend; ++r) {
-        const uint8_t* s = seqs + offsets[r];
-        int64_t l = offsets[r + 1] - offsets[r];
-        uint64_t z = 0;
-        int run = 0;  // consecutive valid bases ending here
-        bool inval = false;
-        for (int64_t i = 0; i < l; ++i) {
-          int8_t c = tbl[s[i]];
-          if (c < 0) {
-            inval = true;
-            run = 0;
-            z = 0;
-            continue;
-          }
+  std::lock_guard<std::mutex> lock(g_flt_mu);
+  // codes[w]: packed k-mer, kInvalid for broken windows; the dup flag is
+  // written back into bit 62 after the global count
+  uint64_t* codes = (uint64_t*)g_flt_codes.get(total_wins * 8 + 8);
+  CW* pairs = (CW*)g_flt_pairs.get(total_wins * sizeof(CW) + 8);
+
+  // read ranges per thread
+  std::vector<int64_t> rsplit(T + 1);
+  for (int t = 0; t <= T; ++t) rsplit[t] = n_reads * t / T;
+
+  constexpr int kBits = 16;
+  constexpr int64_t kBuckets = (int64_t)1 << kBits;
+  const int shift = 2 * k > kBits ? 2 * k - kBits : 0;
+  std::vector<std::vector<int64_t>> hist(T);
+  std::vector<uint8_t> has_inval(n_reads, 0);
+
+  auto pass1 = [&](int t) {
+    hist[t].assign(kBuckets, 0);
+    auto& h = hist[t];
+    for (int64_t r = rsplit[t]; r < rsplit[t + 1]; ++r) {
+      const uint8_t* s = seqs + offsets[r];
+      int64_t l = offsets[r + 1] - offsets[r];
+      uint64_t z = 0;
+      int run = 0;
+      bool inval = false;
+      int64_t wb = win_base[r];
+      for (int64_t i = 0; i < l; ++i) {
+        int8_t c = tbl[s[i]];
+        if (c < 0) {
+          inval = true;
+          run = 0;
+          z = 0;
+        } else {
           z = ((z << 2) | (uint64_t)c) & mask;
-          if (++run >= k) {
-            int64_t w = win_base[r] + (i - k + 1);
+          ++run;
+        }
+        if (i >= k - 1) {
+          int64_t w = wb + (i - k + 1);
+          if (run >= k) {
             codes[w] = z;
-            win_valid[w] = 1;
+            ++h[z >> shift];
+          } else {
+            codes[w] = kInvalid;
           }
         }
-        has_inval[r] = inval;
+      }
+      has_inval[r] = inval;
+    }
+  };
+
+  auto run_par = [&](auto&& fn) {
+    if (T == 1) {
+      fn(0);
+      return;
+    }
+    std::vector<std::thread> th;
+    for (int t = 0; t < T; ++t) th.emplace_back(fn, t);
+    for (auto& t : th) t.join();
+  };
+  run_par(pass1);
+
+  std::vector<int64_t> off(kBuckets + 1);
+  std::vector<std::vector<int64_t>> toff(T);
+  {
+    int64_t at = 0;
+    for (int64_t b = 0; b < kBuckets; ++b) {
+      off[b] = at;
+      for (int t = 0; t < T; ++t) at += hist[t][b];
+    }
+    off[kBuckets] = at;
+    for (int t = 0; t < T; ++t) toff[t].resize(kBuckets);
+    for (int64_t b = 0; b < kBuckets; ++b) {
+      int64_t at2 = off[b];
+      for (int t = 0; t < T; ++t) {
+        toff[t][b] = at2;
+        at2 += hist[t][b];
+      }
+    }
+  }
+  auto pass2 = [&](int t) {  // scatter valid windows into bucket order
+    auto& cur = toff[t];
+    for (int64_t r = rsplit[t]; r < rsplit[t + 1]; ++r) {
+      for (int64_t w = win_base[r]; w < win_base[r + 1]; ++w) {
+        uint64_t z = codes[w];
+        if (z != kInvalid) pairs[cur[z >> shift]++] = {z, w};
       }
     }
   };
-  {
-    std::vector<std::thread> th;
-    for (int t = 0; t < n_threads; ++t) th.emplace_back(pass1);
-    for (auto& t : th) t.join();
-  }
+  run_par(pass2);
 
-  // pass 2: global dup detection — bucket (code, window) pairs by the top
-  // code bits, sort buckets in parallel, mark members of groups of >= 2
-  struct CW {
-    uint64_t code;
-    int64_t win;
-  };
-  std::vector<int64_t> valid_wins;
-  valid_wins.reserve(total_wins);
-  for (int64_t w = 0; w < total_wins; ++w)
-    if (win_valid[w]) valid_wins.push_back(w);
-  const int64_t nv = (int64_t)valid_wins.size();
-  constexpr int kBits = 11;
-  constexpr int kBuckets = 1 << kBits;
-  const int shift = 2 * k > kBits ? 2 * k - kBits : 0;
-  std::vector<std::vector<CW>> buckets(kBuckets);
-  {
-    std::vector<int64_t> cnt(kBuckets, 0);
-    for (int64_t i = 0; i < nv; ++i)
-      ++cnt[codes[valid_wins[i]] >> shift];
-    for (int b = 0; b < kBuckets; ++b) buckets[b].reserve(cnt[b]);
-    for (int64_t i = 0; i < nv; ++i) {
-      int64_t w = valid_wins[i];
-      buckets[codes[w] >> shift].push_back({codes[w], w});
-    }
-  }
-  std::vector<uint8_t> dup(total_wins, 0);
-  std::atomic<int> next_b(0);
-  auto pass2 = [&]() {
+  std::atomic<int64_t> next_b(0);
+  auto pass3 = [&]() {  // per-bucket: sort by code, mark dup groups
     for (;;) {
-      int b = next_b.fetch_add(1);
-      if (b >= kBuckets) break;
-      auto& v = buckets[b];
-      std::sort(v.begin(), v.end(),
-                [](const CW& a, const CW& c) { return a.code < c.code; });
-      size_t i = 0;
-      while (i < v.size()) {
-        size_t j = i + 1;
-        while (j < v.size() && v[j].code == v[i].code) ++j;
-        if (j - i >= 2)
-          for (size_t x = i; x < j; ++x) dup[v[x].win] = 1;
-        i = j;
+      int64_t b0 = next_b.fetch_add(64);
+      if (b0 >= kBuckets) break;
+      int64_t b1 = std::min(b0 + 64, kBuckets);
+      for (int64_t b = b0; b < b1; ++b) {
+        CW* v = pairs + off[b];
+        int64_t m = off[b + 1] - off[b];
+        if (m < 2) continue;
+        std::sort(v, v + m,
+                  [](const CW& a, const CW& c) { return a.code < c.code; });
+        int64_t i = 0;
+        while (i < m) {
+          int64_t j = i + 1;
+          while (j < m && v[j].code == v[i].code) ++j;
+          if (j - i >= 2)
+            for (int64_t x = i; x < j; ++x) codes[v[x].win] |= kDupBit;
+          i = j;
+        }
       }
     }
   };
   {
     std::vector<std::thread> th;
-    for (int t = 0; t < n_threads; ++t) th.emplace_back(pass2);
+    for (int t = 0; t < T; ++t) th.emplace_back(pass3);
     for (auto& t : th) t.join();
   }
 
-  // pass 3: keep = no invalid base and every in-read window dup
-  for (int64_t r = 0; r < n_reads; ++r) {
-    if (has_inval[r]) {
-      keep_out[r] = 0;
-      continue;
-    }
-    bool ok = true;
-    for (int64_t w = win_base[r]; w < win_base[r + 1]; ++w)
-      if (!dup[w]) {
-        ok = false;
-        break;
+  auto pass4 = [&](int t) {  // keep = no invalid base and every window dup
+    for (int64_t r = rsplit[t]; r < rsplit[t + 1]; ++r) {
+      if (has_inval[r]) {
+        keep_out[r] = 0;
+        continue;
       }
-    keep_out[r] = ok ? 1 : 0;
-  }
+      bool ok = true;
+      for (int64_t w = win_base[r]; w < win_base[r + 1]; ++w)
+        if (!(codes[w] & kDupBit)) {
+          ok = false;
+          break;
+        }
+      keep_out[r] = ok ? 1 : 0;
+    }
+  };
+  run_par(pass4);
   return 0;
 }
 

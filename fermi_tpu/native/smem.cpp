@@ -189,126 +189,117 @@ int64_t* fsmem_all(const uint8_t* blocks, const int64_t* occ, int64_t n_rows,
 
 namespace {
 
-struct CollectNode {
-  Intv ik;
-  int depth;
+// BFS node: a d-mer's bi-interval plus its accumulated class/key bits
+struct CNode {
+  int64_t kb, kf, sz;
+  int64_t cls;
   uint32_t key;
 };
-
-struct SufNode {
-  Intv ik;
-  int depth;
-  int64_t cls;
-};
-
-// phase 2 DFS from one suffix class; appends triples to out
-static void collect_class(const Index& e, const SufNode& n, int suf_len, int w,
-                          int min_occ, std::vector<int64_t>& out,
-                          int64_t& cnt_total, int64_t& cnt_info,
-                          std::vector<CollectNode>& stack) {
-  Intv ok[6];
-  stack.clear();
-  stack.push_back({n.ik, suf_len, 0});
-  while (!stack.empty()) {
-    CollectNode t = stack.back();
-    stack.pop_back();
-    extend6(e, t.ik, true, ok);
-    if (t.depth == w) {
-      int64_t mx = 0;
-      int max_c = 6;
-      for (int c = 1; c <= 4; ++c)
-        if (ok[c].sz > mx) {
-          mx = ok[c].sz;
-          max_c = c;
-        }
-      if (mx < min_occ) continue;
-      ++cnt_total;
-      int64_t rest = t.ik.sz - mx - ok[0].sz - ok[5].sz;
-      double r = rest == 0 ? (double)mx : (double)mx / (double)rest;
-      if (r > 31.0) r = 31.0;
-      if (rest <= 7 && r >= (double)min_occ) ++cnt_info;
-      uint32_t key = t.key << 2 | (uint32_t)(max_c - 1);
-      uint8_t val = (uint8_t)(((int)(r + .499)) << 3 |
-                              (rest < 7 ? (int)rest : 7));
-      out.push_back(n.cls);
-      out.push_back((int64_t)key);
-      out.push_back((int64_t)val);
-    } else {
-      for (int c = 1; c <= 4; ++c) {
-        if (ok[c].sz >= min_occ) {
-          uint32_t key =
-              t.key | ((uint32_t)(c - 1) << (2 * (t.depth - suf_len)));
-          stack.push_back({ok[c], t.depth + 1, key});
-        }
-      }
-    }
-  }
-}
 
 }  // namespace
 
 extern "C" {
 
-// Emits (cls:int64, key:uint32, val:uint8) triples for all solid (k+1)-mers.
-// Returns a malloc'd buffer of n_out records laid out as int64[3] each
-// (cls, key, val) for ctypes simplicity; counts_out[0]=n_out,
-// counts_out[1]=cnt_total, counts_out[2]=cnt_informative. Suffix classes
-// (reference correct.c:64 partitions work the same way across pthreads)
-// are DFS'd in parallel across n_threads; triple order is unspecified —
-// downstream consumers treat the result as a set.
+// Emits (cls:int64, key:uint32, val:uint8) triples for all solid (k+1)-mers
+// (reference correct.c:35-87 semantics). Returns a malloc'd buffer of n_out
+// records laid out as int64[3] each (cls, key, val); counts_out[0]=n_out,
+// counts_out[1]=cnt_total, counts_out[2]=cnt_informative.
+//
+// The reference DFSes per suffix class across pthreads; here the trie is
+// walked level-synchronously with the frontier kept sorted by kb, so the
+// rank queries of a whole level stream through the index in ascending
+// position order (children of in-order parents are emitted per-symbol and
+// concatenated in symbol order, which preserves kb order because symbol c
+// children live in the disjoint range [cnt[c], cnt[c+1])). Cache locality,
+// not parallelism, is what this buys — each level is also split across
+// n_threads. Triple order is unspecified; consumers treat it as a set.
 int64_t* fec_collect(const uint8_t* blocks, const int64_t* occ, int64_t n_rows,
                      const int64_t* cnt, int64_t n_seqs, int w, int min_occ,
                      int n_threads, int64_t* counts_out) {
   Index e;
   e.setup(blocks, occ, n_rows, cnt, n_seqs);
   int suf_len = w > 15 ? w - 15 : 1;
-
-  // phase 1: enumerate all depth-suf_len suffix intervals with class ids
-  std::vector<SufNode> classes;
-  std::vector<SufNode> sstack;
-  sstack.push_back({{0, 0, e.cnt[6], 0}, 0, 0});
-  Intv ok[6];
-  while (!sstack.empty()) {
-    SufNode n = sstack.back();
-    sstack.pop_back();
-    if (n.depth == suf_len) {
-      classes.push_back(n);
-      continue;
-    }
-    extend6(e, n.ik, true, ok);
-    for (int c = 1; c <= 4; ++c) {
-      if (ok[c].sz) {
-        int64_t cls = n.cls | ((int64_t)(c - 1) << (2 * n.depth));
-        sstack.push_back({ok[c], n.depth + 1, cls});
-      }
-    }
-  }
-
-  // phase 2: DFS each class; classes pulled via atomic counter
   if (n_threads < 1) n_threads = 1;
-  std::vector<std::vector<int64_t>> outs(n_threads);
-  std::vector<int64_t> totals(n_threads, 0), infos(n_threads, 0);
-  std::atomic<size_t> next(0);
-  auto work = [&](int tid) {
-    std::vector<CollectNode> stack;
-    for (;;) {
-      size_t i = next.fetch_add(1);
-      if (i >= classes.size()) break;
-      collect_class(e, classes[i], suf_len, w, min_occ, outs[tid],
-                    totals[tid], infos[tid], stack);
+  const int T = n_threads;
+
+  std::vector<CNode> frontier;
+  frontier.push_back({0, 0, e.cnt[6], 0, 0});
+  std::vector<std::vector<CNode>> child_lists(T * 4);
+  std::vector<std::vector<int64_t>> outs(T);
+  std::vector<int64_t> totals(T, 0), infos(T, 0);
+
+  for (int depth = 0; depth <= w && !frontier.empty(); ++depth) {
+    const bool at_w = depth == w;
+    const int64_t m = (int64_t)frontier.size();
+    std::vector<int64_t> split(T + 1);
+    for (int t = 0; t <= T; ++t) split[t] = m * t / T;
+    auto work = [&](int t) {
+      Intv ok[6];
+      std::vector<CNode>* mine = &child_lists[t * 4];
+      for (int c = 0; c < 4; ++c) mine[c].clear();
+      for (int64_t i = split[t]; i < split[t + 1]; ++i) {
+        const CNode& nd = frontier[i];
+        Intv ik{nd.kb, nd.kf, nd.sz, 0};
+        extend6(e, ik, true, ok);
+        if (at_w) {
+          int64_t mx = 0;
+          int max_c = 6;
+          for (int c = 1; c <= 4; ++c)
+            if (ok[c].sz > mx) {
+              mx = ok[c].sz;
+              max_c = c;
+            }
+          if (mx < min_occ) continue;
+          ++totals[t];
+          int64_t rest = nd.sz - mx - ok[0].sz - ok[5].sz;
+          double r = rest == 0 ? (double)mx : (double)mx / (double)rest;
+          if (r > 31.0) r = 31.0;
+          if (rest <= 7 && r >= (double)min_occ) ++infos[t];
+          uint32_t key = nd.key << 2 | (uint32_t)(max_c - 1);
+          uint8_t val = (uint8_t)(((int)(r + .499)) << 3 |
+                                  (rest < 7 ? (int)rest : 7));
+          outs[t].push_back(nd.cls);
+          outs[t].push_back((int64_t)key);
+          outs[t].push_back((int64_t)val);
+          continue;
+        }
+        for (int c = 1; c <= 4; ++c) {
+          if (depth < suf_len ? (ok[c].sz > 0) : (ok[c].sz >= min_occ)) {
+            int64_t cls = nd.cls;
+            uint32_t key = nd.key;
+            if (depth < suf_len)
+              cls |= (int64_t)(c - 1) << (2 * depth);
+            else
+              key |= (uint32_t)(c - 1) << (2 * (depth - suf_len));
+            mine[c - 1].push_back({ok[c].kb, ok[c].kf, ok[c].sz, cls, key});
+          }
+        }
+      }
+    };
+    if (T == 1) {
+      work(0);
+    } else {
+      std::vector<std::thread> th;
+      for (int t = 0; t < T; ++t) th.emplace_back(work, t);
+      for (auto& t : th) t.join();
     }
-  };
-  if (n_threads == 1) {
-    work(0);
-  } else {
-    std::vector<std::thread> th;
-    for (int t = 0; t < n_threads; ++t) th.emplace_back(work, t);
-    for (auto& t : th) t.join();
+    if (at_w) break;
+    // concat in (symbol, thread) order -> next frontier sorted by kb
+    size_t total = 0;
+    for (int c = 0; c < 4; ++c)
+      for (int t = 0; t < T; ++t) total += child_lists[t * 4 + c].size();
+    frontier.clear();
+    frontier.reserve(total);
+    for (int c = 0; c < 4; ++c)
+      for (int t = 0; t < T; ++t) {
+        auto& v = child_lists[t * 4 + c];
+        frontier.insert(frontier.end(), v.begin(), v.end());
+      }
   }
 
   size_t n_words = 0;
   int64_t cnt_total = 0, cnt_info = 0;
-  for (int t = 0; t < n_threads; ++t) {
+  for (int t = 0; t < T; ++t) {
     n_words += outs[t].size();
     cnt_total += totals[t];
     cnt_info += infos[t];
@@ -318,7 +309,7 @@ int64_t* fec_collect(const uint8_t* blocks, const int64_t* occ, int64_t n_rows,
   counts_out[2] = cnt_info;
   int64_t* p = (int64_t*)malloc(sizeof(int64_t) * (n_words + 1));
   size_t at = 0;
-  for (int t = 0; t < n_threads; ++t) {
+  for (int t = 0; t < T; ++t) {
     memcpy(p + at, outs[t].data(), sizeof(int64_t) * outs[t].size());
     at += outs[t].size();
   }

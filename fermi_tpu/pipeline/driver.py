@@ -59,7 +59,7 @@ class Pipeline:
         key = ("host", path)
         if key not in self._cache:
             from fermi_tpu.algos.hostindex import HostIndex
-            self._cache[key] = HostIndex(self._runs(path).expand())
+            self._cache[key] = HostIndex.from_runs(self._runs(path))
         return self._cache[key]
 
     def _done(self, suffix):
