@@ -14,6 +14,55 @@ import numpy as np
 from fermi_tpu.index.fmd import FMDIndex
 
 
+def multi_backward_search(indexes, q):
+    """Backward search across several indexes at once (reference
+    exact.c:25-57 fm_multi_backward_search — present but with a disabled
+    harness there). Tracks one (k, l) per index; an emptied index keeps
+    LF-advancing its insert point so the final sums are the interval the
+    MERGED index would report. Returns (sa_beg, sa_end, size) in merged
+    coordinates, size 0 when no index matches.
+
+    indexes: objects with rank6(k) -> counts over BWT[0..k-1] and cnt
+    (FMDIndex or HostIndex). q: nt6 symbol sequence, searched right to
+    left like the reference.
+    """
+    import numpy as np
+
+    q = np.asarray(q)
+    n = len(indexes)
+    if n == 0 or q.size == 0:
+        return 0, -1, 0
+    def rank_c(e, k, c):
+        return int(np.asarray(e.rank6(np.int64(k)))[..., c])
+
+    c = int(q[-1])
+    ks = [int(np.asarray(e.cnt[c])) for e in indexes]
+    ls = [int(np.asarray(e.cnt[c + 1])) for e in indexes]
+    done = [False] * n
+    finished = 0
+    for i in range(q.size - 2, -1, -1):
+        c = int(q[i])
+        for j, e in enumerate(indexes):
+            cnt_c = int(np.asarray(e.cnt[c]))
+            ok = rank_c(e, ks[j], c)
+            if not done[j]:
+                ol = rank_c(e, ls[j], c)
+                ks[j] = cnt_c + ok
+                ls[j] = cnt_c + ol
+                if ks[j] == ls[j]:
+                    done[j] = True
+                    finished += 1
+            else:
+                ks[j] = ls[j] = cnt_c + ok
+        if finished == n:
+            break
+    if finished == n:
+        return 0, -1, 0
+    sa_beg = sum(ks)
+    sa_end = sum(ls) - 1
+    return sa_beg, sa_end, sa_end - sa_beg + 1
+
+
 @partial(jax.jit, static_argnames=("max_len",))
 def backward_search(index: FMDIndex, queries: jnp.ndarray, lengths: jnp.ndarray,
                     max_len: int):

@@ -137,3 +137,48 @@ def test_bitand_and_recode(tmp_path, ref_fermi):
     my = str(tmp_path / "rec.fmd")
     rld.write_fmd(rld.read_fmd(fmd), my)
     assert open(my, "rb").read() == ref_rec
+
+
+def test_multi_backward_search_matches_merged(tmp_path):
+    """fm_multi_backward_search (exact.c:25-57) must report the interval the
+    merged index would: distributed search == search on fm_merge result."""
+    import numpy as np
+    from fermi_tpu.construct import suffix
+    from fermi_tpu.index.fmd import FMDIndex
+    from fermi_tpu.algos.merge import fm_merge
+    from fermi_tpu.search.extend import multi_backward_search
+
+    rng = np.random.default_rng(42)
+    sets = []
+    for ns in (12, 17):
+        reads = [rng.integers(1, 5, int(rng.integers(30, 60))).astype(np.uint8)
+                 for _ in range(ns)]
+        bwt = suffix.multistring_bwt(suffix.build_text(reads))
+        sets.append((FMDIndex.from_bwt(bwt), bwt, reads))
+    (e0, bwt0, reads0), (e1, bwt1, reads1) = sets
+    merged_bwt = fm_merge(e0, bwt0, e1, bwt1)
+    em = FMDIndex.from_bwt(merged_bwt)
+
+    def ref_interval(q):
+        # scalar backward search on the merged index
+        c = int(q[-1])
+        k, l = int(em.cnt[c]), int(em.cnt[c + 1])
+        for i in range(len(q) - 2, -1, -1):
+            c = int(q[i])
+            k = int(em.cnt[c]) + int(np.asarray(em.rank6(np.int64(k)))[..., c])
+            l = int(em.cnt[c]) + int(np.asarray(em.rank6(np.int64(l)))[..., c])
+            if k >= l:
+                return 0, -1, 0
+        return k, l - 1, l - k
+    qs = []
+    for r in reads0[:3] + reads1[:3]:
+        qs.append(r[5:20])          # present substrings
+    qs.append(np.array([1, 2, 3, 4, 1, 2, 3, 4, 1, 2, 3, 4], np.uint8))
+    qs.append(rng.integers(1, 5, 25).astype(np.uint8))  # likely absent
+    for q in qs:
+        got = multi_backward_search([e0, e1], q)
+        want = ref_interval(q)
+        if want[2] == 0:
+            assert got[2] == 0, (got, want)
+        else:
+            assert got == want, (got, want)
