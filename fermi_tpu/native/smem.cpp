@@ -196,6 +196,125 @@ struct CNode {
   uint32_t key;
 };
 
+struct CollectNode {
+  Intv ik;
+  int depth;
+  uint32_t key;
+};
+
+struct SufNode {
+  Intv ik;
+  int depth;
+  int64_t cls;
+};
+
+// phase 2 DFS from one suffix class; appends triples to out
+static void collect_class(const Index& e, const SufNode& n, int suf_len, int w,
+                          int min_occ, std::vector<int64_t>& out,
+                          int64_t& cnt_total, int64_t& cnt_info,
+                          std::vector<CollectNode>& stack) {
+  Intv ok[6];
+  stack.clear();
+  stack.push_back({n.ik, suf_len, 0});
+  while (!stack.empty()) {
+    CollectNode t = stack.back();
+    stack.pop_back();
+    extend6(e, t.ik, true, ok);
+    if (t.depth == w) {
+      int64_t mx = 0;
+      int max_c = 6;
+      for (int c = 1; c <= 4; ++c)
+        if (ok[c].sz > mx) {
+          mx = ok[c].sz;
+          max_c = c;
+        }
+      if (mx < min_occ) continue;
+      ++cnt_total;
+      int64_t rest = t.ik.sz - mx - ok[0].sz - ok[5].sz;
+      double r = rest == 0 ? (double)mx : (double)mx / (double)rest;
+      if (r > 31.0) r = 31.0;
+      if (rest <= 7 && r >= (double)min_occ) ++cnt_info;
+      uint32_t key = t.key << 2 | (uint32_t)(max_c - 1);
+      uint8_t val = (uint8_t)(((int)(r + .499)) << 3 |
+                              (rest < 7 ? (int)rest : 7));
+      out.push_back(n.cls);
+      out.push_back((int64_t)key);
+      out.push_back((int64_t)val);
+    } else {
+      for (int c = 1; c <= 4; ++c) {
+        if (ok[c].sz >= min_occ) {
+          uint32_t key =
+              t.key | ((uint32_t)(c - 1) << (2 * (t.depth - suf_len)));
+          stack.push_back({ok[c], t.depth + 1, key});
+        }
+      }
+    }
+  }
+}
+
+
+// small-index collect: per-suffix-class DFS across threads (lower constant
+// factors than the level BFS when the whole index sits in cache)
+static int64_t* fec_collect_dfs(const Index& e, int w, int min_occ,
+                                int n_threads, int64_t* counts_out) {
+  int suf_len = w > 15 ? w - 15 : 1;
+  std::vector<SufNode> classes;
+  std::vector<SufNode> sstack;
+  sstack.push_back({{0, 0, e.cnt[6], 0}, 0, 0});
+  Intv ok[6];
+  while (!sstack.empty()) {
+    SufNode n = sstack.back();
+    sstack.pop_back();
+    if (n.depth == suf_len) {
+      classes.push_back(n);
+      continue;
+    }
+    extend6(e, n.ik, true, ok);
+    for (int c = 1; c <= 4; ++c) {
+      if (ok[c].sz) {
+        int64_t cls = n.cls | ((int64_t)(c - 1) << (2 * n.depth));
+        sstack.push_back({ok[c], n.depth + 1, cls});
+      }
+    }
+  }
+  std::vector<std::vector<int64_t>> outs(n_threads);
+  std::vector<int64_t> totals(n_threads, 0), infos(n_threads, 0);
+  std::atomic<size_t> next(0);
+  auto work = [&](int tid) {
+    std::vector<CollectNode> stack;
+    for (;;) {
+      size_t i = next.fetch_add(1);
+      if (i >= classes.size()) break;
+      collect_class(e, classes[i], suf_len, w, min_occ, outs[tid],
+                    totals[tid], infos[tid], stack);
+    }
+  };
+  if (n_threads == 1) {
+    work(0);
+  } else {
+    std::vector<std::thread> th;
+    for (int t = 0; t < n_threads; ++t) th.emplace_back(work, t);
+    for (auto& t : th) t.join();
+  }
+  size_t n_words = 0;
+  int64_t cnt_total = 0, cnt_info = 0;
+  for (int t = 0; t < n_threads; ++t) {
+    n_words += outs[t].size();
+    cnt_total += totals[t];
+    cnt_info += infos[t];
+  }
+  counts_out[0] = (int64_t)(n_words / 3);
+  counts_out[1] = cnt_total;
+  counts_out[2] = cnt_info;
+  int64_t* p = (int64_t*)malloc(sizeof(int64_t) * (n_words + 1));
+  size_t at = 0;
+  for (int t = 0; t < n_threads; ++t) {
+    memcpy(p + at, outs[t].data(), sizeof(int64_t) * outs[t].size());
+    at += outs[t].size();
+  }
+  return p;
+}
+
 }  // namespace
 
 extern "C" {
@@ -218,8 +337,12 @@ int64_t* fec_collect(const uint8_t* blocks, const int64_t* occ, int64_t n_rows,
                      int n_threads, int64_t* counts_out) {
   Index e;
   e.setup(blocks, occ, n_rows, cnt, n_seqs);
-  int suf_len = w > 15 ? w - 15 : 1;
   if (n_threads < 1) n_threads = 1;
+  // small indexes fit in cache: the per-class DFS has lower constant
+  // factors there; the kb-sorted level BFS wins once rank queries miss DRAM
+  if (e.cnt[6] < (int64_t)48 * 1000 * 1000)
+    return fec_collect_dfs(e, w, min_occ, n_threads, counts_out);
+  int suf_len = w > 15 ? w - 15 : 1;
   const int T = n_threads;
 
   std::vector<CNode> frontier;
