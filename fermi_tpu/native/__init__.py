@@ -104,6 +104,8 @@ def get_lib() -> ctypes.CDLL:
                 ctypes.c_int,
                 ctypes.POINTER(ctypes.c_int64),
             ]
+            lib.fsa_prewarm.restype = None
+            lib.fsa_prewarm.argtypes = [ctypes.c_int64, ctypes.c_int]
             lib.fsa_build.restype = ctypes.c_int
             lib.fsa_build.argtypes = [
                 ctypes.POINTER(ctypes.c_uint8),

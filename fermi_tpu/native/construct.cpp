@@ -92,6 +92,33 @@ struct SuffixCmp {
 
 extern "C" {
 
+// Pre-fault the fsa_build scratch arenas for an n-symbol text (parallel
+// first touch). Call from a background thread while the host assembles the
+// text — page faults on fresh memory are the cold build's largest cost on
+// VM hosts, and this overlaps them with IO/encode work. ctypes releases the
+// GIL during the call, so a plain Python thread suffices.
+void fsa_prewarm(int64_t n, int n_threads) {
+  if (n <= 0) return;
+  if (n_threads < 1) n_threads = 1;
+  std::lock_guard<std::mutex> lock(g_fsa_mu);
+  struct Span { uint8_t* p; size_t bytes; };
+  Span spans[3] = {
+      {(uint8_t*)g_arena_d.get(n * sizeof(int32_t)), (size_t)n * 4},
+      {(uint8_t*)g_arena_p.get(n * sizeof(uint64_t)), (size_t)n * 8},
+      {(uint8_t*)g_arena_r.get(n * sizeof(Rec)), (size_t)n * sizeof(Rec)},
+  };
+  std::vector<std::thread> th;
+  for (int t = 0; t < n_threads; ++t) {
+    th.emplace_back([&, t]() {
+      for (auto& s : spans) {
+        size_t lo = s.bytes * t / n_threads, hi = s.bytes * (t + 1) / n_threads;
+        for (size_t i = lo; i < hi; i += 4096) s.p[i] = 0;
+      }
+    });
+  }
+  for (auto& t : th) t.join();
+}
+
 // Suffix array of a 0-terminated multi-sentinel nt6 text (symbols 0..5,
 // sentinel = 0, ordered among themselves by position). sa must hold n
 // int64s. Matches fermi_tpu.construct.suffix.suffix_array_multi.

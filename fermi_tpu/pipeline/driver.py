@@ -65,6 +65,21 @@ class Pipeline:
     def _done(self, suffix):
         return os.path.exists(self._p(suffix))
 
+    @staticmethod
+    def _prewarm_sa(n_symbols):
+        """Fault in the native SA scratch arenas on a background thread
+        while the host assembles the text (ctypes drops the GIL)."""
+        try:
+            from fermi_tpu import native
+            lib = native.get_lib()
+        except Exception:
+            return None
+        import threading
+        th = threading.Thread(
+            target=lambda: lib.fsa_prewarm(int(n_symbols), 4), daemon=True)
+        th.start()
+        return th
+
     # -- stages ------------------------------------------------------------
 
     def build_index(self, reads_iter, out_fmd, cut_n=True):
@@ -77,6 +92,7 @@ class Pipeline:
         # join reads with N: encode maps it to 5, and fragments are maximal
         # runs of non-5 symbols, so one vectorized pass covers cut_n too
         blob = "N".join(reads_iter)
+        warm = self._prewarm_sa(2 * len(blob) + 2_000_000)
         enc = dna.encode(blob)
         del blob
         ok = enc != 5
@@ -91,6 +107,8 @@ class Pipeline:
         text = suffix.build_text_packed(F, offsets)
         log("build",
             f"{n_frags} fragments, {text.size / 1e6:.1f}M symbols")
+        if warm is not None:
+            warm.join()
         bwt = suffix.multistring_bwt(text)
         runs = rld.Runs.from_bwt(bwt)
         rld.write_fmd(runs, out_fmd)
