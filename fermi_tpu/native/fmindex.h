@@ -75,6 +75,15 @@ struct Index {
   uint8_t sym_at(int64_t k) const {
     return blocks[(k >> kBlockBits) * kBlock + (k & (kBlock - 1))];
   }
+
+  // hint the lines a future rank6(k) will touch
+  void prefetch(int64_t k) const {
+    int64_t blk = k >> kBlockBits;
+    __builtin_prefetch(blocks + blk * kBlock, 0, 1);
+    __builtin_prefetch(blocks + blk * kBlock + 64, 0, 1);
+    __builtin_prefetch(occ + blk * 8, 0, 1);
+    __builtin_prefetch(sub.data() + blk * 18, 0, 1);
+  }
 };
 
 inline int comp6(int c) { return (c >= 1 && c <= 4) ? 5 - c : c; }

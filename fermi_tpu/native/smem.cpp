@@ -99,6 +99,7 @@ static int smem1_core(const Index& e, int len, const uint8_t* q, int x,
     c = i < 0 ? 0 : q[i];
     curr.clear();
     for (size_t j = 0; j < prev.size(); ++j) {
+      if (j + 1 < prev.size()) e.prefetch(prev[j + 1].kb);
       Intv& p = prev[j];
       extend6(e, p, true, ok);
       bool fl_match = ok[0].sz && p.kf < e.n_seqs;
@@ -245,6 +246,7 @@ static void collect_class(const Index& e, const SufNode& n, int suf_len, int w,
         if (ok[c].sz >= min_occ) {
           uint32_t key =
               t.key | ((uint32_t)(c - 1) << (2 * (t.depth - suf_len)));
+          e.prefetch(ok[c].kb);  // lines are warm by LIFO pop time
           stack.push_back({ok[c], t.depth + 1, key});
         }
       }
@@ -361,6 +363,14 @@ int64_t* fec_collect(const uint8_t* blocks, const int64_t* occ, int64_t n_rows,
       std::vector<CNode>* mine = &child_lists[t * 4];
       for (int c = 0; c < 4; ++c) mine[c].clear();
       for (int64_t i = split[t]; i < split[t + 1]; ++i) {
+        if (i + 8 < split[t + 1]) {
+          // rank positions ascend within the frontier, but each block row
+          // is still a fresh DRAM line at large index sizes — prefetch a
+          // few nodes ahead (block row, occ row, and the interval end)
+          const CNode& f = frontier[i + 8];
+          e.prefetch(f.kb);
+          e.prefetch(f.kb + f.sz);
+        }
         const CNode& nd = frontier[i];
         Intv ik{nd.kb, nd.kf, nd.sz, 0};
         extend6(e, ik, true, ok);

@@ -156,6 +156,7 @@ struct Builder {
       size_t J = prev.size();
       for (size_t j = 0; j < J; ++j) {
         if (cat[j] < 0) continue;
+        if (j + 1 < J) e.prefetch(prev[j + 1].kf);
         Intv& p = prev[j];
         int64_t KB[6], KF[6], SZ[6];
         extend6(e, p.kb, p.kf, p.sz, false, KB, KF, SZ);
