@@ -13,7 +13,7 @@ Conventions (differ deliberately from the reference):
 The reference's rld_rank1a(k) = (sym_at(k), rank6(k+1)); call sites adapt.
 """
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from functools import partial
 
 import numpy as np
@@ -43,9 +43,16 @@ class FMDIndex:
     occ: jnp.ndarray
     cnt: jnp.ndarray
     mcnt: jnp.ndarray
+    # occ row (8×i32) and bwt block bytes (32×i32) fused into ONE 40×i32 row,
+    # so a rank6 query is a single HBM row-gather instead of two.  XLA gathers
+    # on this chip are row-count-bound (~27 ns/row regardless of width, see
+    # BENCH_NOTES.md), so fusing halves the cost of the entire query path.
+    # Only built for int32-addressable indexes (n < 2^31); None otherwise.
+    packed: jnp.ndarray | None = field(default=None)
 
     def tree_flatten(self):
-        return (self.bwt_blocks, self.occ, self.cnt, self.mcnt), None
+        return (self.bwt_blocks, self.occ, self.cnt, self.mcnt,
+                self.packed), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -74,11 +81,19 @@ class FMDIndex:
         cnt[1:7] = np.cumsum(mcnt[1:7])
         cnt[7] = cnt[6]
         dtype = np.int32 if n < 2**31 - BLOCK else np.int64
+        packed = None
+        if dtype == np.int32:
+            fused = np.zeros((n_blocks + 1, 8 + BLOCK // 4), dtype=np.int32)
+            fused[:, :8] = occ.astype(np.int32)
+            fused[:, 8:] = blocks.reshape(n_blocks + 1, -1).view(
+                np.int32).astype(np.int32, copy=False)
+            packed = jnp.asarray(fused)
         return FMDIndex(
             bwt_blocks=jnp.asarray(blocks),
             occ=jnp.asarray(occ.astype(dtype)),
             cnt=jnp.asarray(cnt.astype(dtype)),
             mcnt=jnp.asarray(mcnt.astype(dtype)),
+            packed=packed,
         )
 
     @staticmethod
@@ -111,8 +126,16 @@ class FMDIndex:
         k = k.astype(self.idtype)
         blk = k >> BLOCK_BITS
         off = k & (BLOCK - 1)
-        rows = self.bwt_blocks[blk]                       # [B, BLOCK]
-        base = self.occ[blk][..., :6]                     # [B, 6]
+        if self.packed is not None:
+            row = self.packed[blk]                        # [B, 40] — 1 gather
+            base = row[..., :6]
+            words = row[..., 8:]                          # [B, 32] i32
+            shifts = jnp.arange(4, dtype=jnp.int32) * 8
+            rows = ((words[..., :, None] >> shifts) & 0xFF).reshape(
+                *words.shape[:-1], BLOCK).astype(jnp.uint8)
+        else:
+            rows = self.bwt_blocks[blk]                   # [B, BLOCK]
+            base = self.occ[blk][..., :6]                 # [B, 6]
         pos_ok = (jnp.arange(BLOCK, dtype=jnp.int32) < off[..., None])
         eq = rows[..., None] == jnp.arange(6, dtype=jnp.uint8)   # [B, BLOCK, 6]
         within = jnp.sum(eq & pos_ok[..., None], axis=-2, dtype=self.idtype)
