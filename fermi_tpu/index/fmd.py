@@ -43,11 +43,12 @@ class FMDIndex:
     occ: jnp.ndarray
     cnt: jnp.ndarray
     mcnt: jnp.ndarray
-    # occ row (8×i32) and bwt block bytes (32×i32) fused into ONE 40×i32 row,
-    # so a rank6 query is a single HBM row-gather instead of two.  XLA gathers
-    # on this chip are row-count-bound (~27 ns/row regardless of width, see
-    # BENCH_NOTES.md), so fusing halves the cost of the entire query path.
-    # Only built for int32-addressable indexes (n < 2^31); None otherwise.
+    # occ row (6×i32) and the 128 block symbols packed 4-bit-per-symbol
+    # (16×i32) fused into ONE 24×i32 (96 B) row, so a rank6 query is a single
+    # HBM row-gather instead of two.  Measured on the v5e: XLA row-gathers
+    # cost ~27 ns/row for any row up to 128 B and ~2x that above (a 160 B
+    # byte-packed fusion was a wash), so the fused row must stay under 128 B
+    # — hence the nibble packing.  int32-addressable indexes only.
     packed: jnp.ndarray | None = field(default=None)
 
     def tree_flatten(self):
@@ -83,10 +84,13 @@ class FMDIndex:
         dtype = np.int32 if n < 2**31 - BLOCK else np.int64
         packed = None
         if dtype == np.int32:
-            fused = np.zeros((n_blocks + 1, 8 + BLOCK // 4), dtype=np.int32)
-            fused[:, :8] = occ.astype(np.int32)
-            fused[:, 8:] = blocks.reshape(n_blocks + 1, -1).view(
-                np.int32).astype(np.int32, copy=False)
+            fused = np.zeros((n_blocks + 1, 6 + BLOCK // 8 + 2),
+                             dtype=np.int32)
+            fused[:, :6] = occ[:, :6].astype(np.int32)
+            nib = blocks.astype(np.uint32).reshape(n_blocks + 1, BLOCK // 8, 8)
+            words = (nib << (4 * np.arange(8, dtype=np.uint32))).sum(
+                axis=2, dtype=np.uint32)
+            fused[:, 6: 6 + BLOCK // 8] = words.view(np.int32)
             packed = jnp.asarray(fused)
         return FMDIndex(
             bwt_blocks=jnp.asarray(blocks),
@@ -121,21 +125,27 @@ class FMDIndex:
 
     # -- core queries (all batched over leading axis) ----------------------
 
-    def rank6(self, k: jnp.ndarray) -> jnp.ndarray:
-        """Counts of symbols 0..5 in BWT[0..k-1]. k: int [B] -> [B, 6]."""
+    def _block_row(self, k):
+        """One row-gather per query: (occ base [B,6], symbols [B,BLOCK],
+        offset-in-block [B])."""
         k = k.astype(self.idtype)
         blk = k >> BLOCK_BITS
         off = k & (BLOCK - 1)
         if self.packed is not None:
-            row = self.packed[blk]                        # [B, 40] — 1 gather
+            row = self.packed[blk]                        # [B, 24] — 1 gather
             base = row[..., :6]
-            words = row[..., 8:]                          # [B, 32] i32
-            shifts = jnp.arange(4, dtype=jnp.int32) * 8
-            rows = ((words[..., :, None] >> shifts) & 0xFF).reshape(
+            words = row[..., 6: 6 + BLOCK // 8]           # [B, 16] i32
+            shifts = jnp.arange(8, dtype=jnp.int32) * 4
+            rows = ((words[..., :, None] >> shifts) & 0xF).reshape(
                 *words.shape[:-1], BLOCK).astype(jnp.uint8)
         else:
             rows = self.bwt_blocks[blk]                   # [B, BLOCK]
             base = self.occ[blk][..., :6]                 # [B, 6]
+        return base, rows, off
+
+    def rank6(self, k: jnp.ndarray) -> jnp.ndarray:
+        """Counts of symbols 0..5 in BWT[0..k-1]. k: int [B] -> [B, 6]."""
+        base, rows, off = self._block_row(k)
         pos_ok = (jnp.arange(BLOCK, dtype=jnp.int32) < off[..., None])
         eq = rows[..., None] == jnp.arange(6, dtype=jnp.uint8)   # [B, BLOCK, 6]
         within = jnp.sum(eq & pos_ok[..., None], axis=-2, dtype=self.idtype)
@@ -147,8 +157,15 @@ class FMDIndex:
         return self.bwt_blocks[k >> BLOCK_BITS, k & (BLOCK - 1)]
 
     def rank1_sym(self, k: jnp.ndarray):
-        """(BWT[k], rank6(k)) — the pair used by LF walks."""
-        return self.sym_at(k), self.rank6(k)
+        """(BWT[k], rank6(k)) — the pair used by LF walks, served from a
+        single row-gather."""
+        base, rows, off = self._block_row(k)
+        pos_ok = (jnp.arange(BLOCK, dtype=jnp.int32) < off[..., None])
+        eq = rows[..., None] == jnp.arange(6, dtype=jnp.uint8)
+        within = jnp.sum(eq & pos_ok[..., None], axis=-2, dtype=self.idtype)
+        sym = jnp.take_along_axis(
+            rows, off[..., None].astype(jnp.int32), axis=-1)[..., 0]
+        return sym, base + within
 
     def lf(self, k: jnp.ndarray):
         """One LF-mapping step: (symbol at k, predecessor position).

@@ -30,9 +30,10 @@ def _comp6(c):
 
 @partial(jax.jit,
          static_argnames=("self_match", "max_len", "maxi", "maxm",
-                          "max_segments"))
+                          "max_segments", "phases"))
 def _smem_batch(index: FMDIndex, q, l, self_match: bool, max_len: int,
-                maxi: int, maxm: int, x0=None, max_segments: int = 0):
+                maxi: int, maxm: int, x0=None, max_segments: int = 0,
+                phases: tuple | None = None):
     """SMEMs of every read in the batch.
 
     q: uint8 [B, max_len]; l: int32 [B].
@@ -43,9 +44,15 @@ def _smem_batch(index: FMDIndex, q, l, self_match: bool, max_len: int,
     restart loop — bounds the match buffer for long queries whose total
     SMEM count is unbounded while amortizing dispatch over S segments.
     Returns (mem fields [B, maxm], mem_n [B], ret [B], ovf [B]).
+
+    phases: tuple of (max_steps, width) for the backward sweep — each phase
+    runs at most max_steps (0 = unbounded, for the last) with the interval
+    buffer narrowed to width. None = one unbounded phase at width maxi.
     """
     idt = index.idtype
     n_seqs = index.mcnt[1]
+    if phases is None:
+        phases = ((0, maxi),)
     if x0 is None:
         x0 = jnp.zeros(q.shape[0], jnp.int32)
 
@@ -143,7 +150,14 @@ def _smem_batch(index: FMDIndex, q, l, self_match: bool, max_len: int,
                                       x + 1))
             ret = jnp.where(n > 0, bnfo[0], ret)
 
-            # ---- backward sweep ----------------------------------------
+            # ---- backward sweep (phased widths) ------------------------
+            # The live interval set starts at the forward-list size (~20-30
+            # on short reads), decays ~2/step for ~10 steps, then plateaus
+            # near 2.5 for the long tail (measured on 100bp reads vs a 3x
+            # index; BENCH_NOTES.md). Every slot extended costs two rank-row
+            # gathers whether live or dead, so the sweep narrows its static
+            # buffer width in phases; a lane whose live count exceeds the
+            # next phase's width is flagged and redone at a wider tier.
             mkb = jnp.zeros(maxm, idt)
             mkf = jnp.zeros(maxm, idt)
             msz = jnp.zeros(maxm, idt)
@@ -152,79 +166,109 @@ def _smem_batch(index: FMDIndex, q, l, self_match: bool, max_len: int,
             mclosed = jnp.zeros(maxm, bool)
             mn = jnp.int32(0)
 
-            def bwd_cond(st):
-                i, pn, *_ = st
-                return (i >= -1) & (pn > 0)
+            def make_bwd(width, bound):
+                def bwd_cond(st):
+                    steps, i, pn = st[0], st[1], st[2]
+                    ok = (i >= -1) & (pn > 0)
+                    if bound:
+                        ok = ok & (steps < bound)
+                    return ok
 
-            def bwd_body(st):
-                (i, pn, pkb, pkf, psz, pnfo,
-                 mkb, mkf, msz, mend, mstart, mclosed, mn, last_mstart,
-                 ovf) = st
-                c = jnp.where(i < 0, 0, q[jnp.maximum(i, 0)]).astype(jnp.int32)
-                KB, KF, SZ = index.extend6(pkb, pkf, psz, is_back=True)
-                okc_kb = KB[:, c]
-                okc_kf = KF[:, c]
-                okc_sz = SZ[:, c]
-                ok0_sz = SZ[:, 0]
-                fl = (ok0_sz != 0) & (pkf < n_seqs)
-                if self_match:
-                    cont = okc_sz > 1
-                else:
-                    cont = okc_sz != 0
-                keep = (~cont) | fl | (i == -1)
-
-                def scan_j(carry, j):
-                    (ckb, ckf, csz, cnfo, cn, last_csz,
+                def bwd_body(st):
+                    (steps, i, pn, pkb, pkf, psz, pnfo,
                      mkb, mkf, msz, mend, mstart, mclosed, mn, last_mstart,
-                     ovf) = carry
-                    valid = j < pn
-                    do_keep = keep[j] & valid & ((cn == 0) | fl[j])
-                    do_mem = do_keep & (fl[j] | (mn == 0)
-                                        | (i + 1 < last_mstart))
-                    at = jnp.minimum(mn, maxm - 1)
-                    mkb = jnp.where(do_mem, mkb.at[at].set(pkb[j]), mkb)
-                    mkf = jnp.where(do_mem, mkf.at[at].set(pkf[j]), mkf)
-                    msz = jnp.where(do_mem, msz.at[at].set(psz[j]), msz)
-                    mend = jnp.where(do_mem, mend.at[at].set(pnfo[j]), mend)
-                    mstart = jnp.where(do_mem, mstart.at[at].set(i + 1),
-                                       mstart)
-                    mclosed = jnp.where(do_mem,
-                                        mclosed.at[at].set(ok0_sz[j] != 0),
-                                        mclosed)
-                    ovf = ovf | (do_mem & (mn >= maxm))
-                    mn = mn + do_mem
-                    last_mstart = jnp.where(do_mem, i + 1, last_mstart)
-                    do_curr = cont[j] & valid & (
-                        (pkf[j] < n_seqs) | (cn == 0)
-                        | (okc_sz[j] != last_csz))
-                    cat = jnp.minimum(cn, maxi - 1)
-                    ckb = jnp.where(do_curr, ckb.at[cat].set(okc_kb[j]), ckb)
-                    ckf = jnp.where(do_curr, ckf.at[cat].set(okc_kf[j]), ckf)
-                    csz = jnp.where(do_curr, csz.at[cat].set(okc_sz[j]), csz)
-                    cnfo = jnp.where(do_curr, cnfo.at[cat].set(pnfo[j]), cnfo)
-                    ovf = ovf | (do_curr & (cn >= maxi))
-                    cn = cn + do_curr
-                    last_csz = jnp.where(do_curr, okc_sz[j], last_csz)
-                    return (ckb, ckf, csz, cnfo, cn, last_csz,
+                     ovf) = st
+                    c = jnp.where(i < 0, 0,
+                                  q[jnp.maximum(i, 0)]).astype(jnp.int32)
+                    KB, KF, SZ = index.extend6(pkb, pkf, psz, is_back=True)
+                    okc_kb = KB[:, c]
+                    okc_kf = KF[:, c]
+                    okc_sz = SZ[:, c]
+                    ok0_sz = SZ[:, 0]
+                    fl = (ok0_sz != 0) & (pkf < n_seqs)
+                    if self_match:
+                        cont = okc_sz > 1
+                    else:
+                        cont = okc_sz != 0
+                    keep = (~cont) | fl | (i == -1)
+
+                    def scan_j(carry, j):
+                        (ckb, ckf, csz, cnfo, cn, last_csz,
+                         mkb, mkf, msz, mend, mstart, mclosed, mn,
+                         last_mstart, ovf) = carry
+                        valid = j < pn
+                        do_keep = keep[j] & valid & ((cn == 0) | fl[j])
+                        do_mem = do_keep & (fl[j] | (mn == 0)
+                                            | (i + 1 < last_mstart))
+                        at = jnp.minimum(mn, maxm - 1)
+                        mkb = jnp.where(do_mem, mkb.at[at].set(pkb[j]), mkb)
+                        mkf = jnp.where(do_mem, mkf.at[at].set(pkf[j]), mkf)
+                        msz = jnp.where(do_mem, msz.at[at].set(psz[j]), msz)
+                        mend = jnp.where(do_mem, mend.at[at].set(pnfo[j]),
+                                         mend)
+                        mstart = jnp.where(do_mem, mstart.at[at].set(i + 1),
+                                           mstart)
+                        mclosed = jnp.where(do_mem,
+                                            mclosed.at[at].set(ok0_sz[j] != 0),
+                                            mclosed)
+                        ovf = ovf | (do_mem & (mn >= maxm))
+                        mn = mn + do_mem
+                        last_mstart = jnp.where(do_mem, i + 1, last_mstart)
+                        do_curr = cont[j] & valid & (
+                            (pkf[j] < n_seqs) | (cn == 0)
+                            | (okc_sz[j] != last_csz))
+                        cat = jnp.minimum(cn, width - 1)
+                        ckb = jnp.where(do_curr, ckb.at[cat].set(okc_kb[j]),
+                                        ckb)
+                        ckf = jnp.where(do_curr, ckf.at[cat].set(okc_kf[j]),
+                                        ckf)
+                        csz = jnp.where(do_curr, csz.at[cat].set(okc_sz[j]),
+                                        csz)
+                        cnfo = jnp.where(do_curr, cnfo.at[cat].set(pnfo[j]),
+                                         cnfo)
+                        ovf = ovf | (do_curr & (cn >= width))
+                        cn = cn + do_curr
+                        last_csz = jnp.where(do_curr, okc_sz[j], last_csz)
+                        return (ckb, ckf, csz, cnfo, cn, last_csz,
+                                mkb, mkf, msz, mend, mstart, mclosed, mn,
+                                last_mstart, ovf), None
+
+                    init = (jnp.zeros(width, idt), jnp.zeros(width, idt),
+                            jnp.zeros(width, idt), jnp.zeros(width, jnp.int32),
+                            jnp.int32(0), idt.type(-1),
                             mkb, mkf, msz, mend, mstart, mclosed, mn,
-                            last_mstart, ovf), None
+                            last_mstart, ovf)
+                    (ckb, ckf, csz, cnfo, cn, _, mkb, mkf, msz, mend, mstart,
+                     mclosed, mn, last_mstart, ovf), _ = jax.lax.scan(
+                        scan_j, init, jnp.arange(width, dtype=jnp.int32))
+                    return (steps + 1, i - 1, cn, ckb, ckf, csz, cnfo,
+                            mkb, mkf, msz, mend, mstart, mclosed, mn,
+                            last_mstart, ovf)
 
-                init = (jnp.zeros(maxi, idt), jnp.zeros(maxi, idt),
-                        jnp.zeros(maxi, idt), jnp.zeros(maxi, jnp.int32),
-                        jnp.int32(0), idt.type(-1),
-                        mkb, mkf, msz, mend, mstart, mclosed, mn, last_mstart,
-                        ovf)
-                (ckb, ckf, csz, cnfo, cn, _, mkb, mkf, msz, mend, mstart,
-                 mclosed, mn, last_mstart, ovf), _ = jax.lax.scan(
-                    scan_j, init, jnp.arange(maxi, dtype=jnp.int32))
-                return (i - 1, cn, ckb, ckf, csz, cnfo,
-                        mkb, mkf, msz, mend, mstart, mclosed, mn, last_mstart,
-                        ovf)
+                return bwd_cond, bwd_body
 
-            st = (x - 1, n, bkb, bkf, bsz, bnfo,
-                  mkb, mkf, msz, mend, mstart, mclosed, mn, jnp.int32(0), ovf)
-            (_, _, _, _, _, _, mkb, mkf, msz, mend, mstart, mclosed, mn, _,
-             ovf) = jax.lax.while_loop(bwd_cond, bwd_body, st)
+            def fit(a, w):
+                if w <= a.shape[0]:
+                    return a[:w]
+                return jnp.concatenate(
+                    [a, jnp.zeros(w - a.shape[0], a.dtype)])
+
+            pkb, pkf, psz, pnfo = bkb, bkf, bsz, bnfo
+            pn = n
+            i = x - 1
+            last_mstart = jnp.int32(0)
+            for bound, w in phases:
+                pkb, pkf, psz, pnfo = (fit(pkb, w), fit(pkf, w),
+                                       fit(psz, w), fit(pnfo, w))
+                ovf = ovf | (pn > w)
+                pn = jnp.minimum(pn, w)
+                bwd_cond, bwd_body = make_bwd(w, bound)
+                st = (jnp.int32(0), i, pn, pkb, pkf, psz, pnfo,
+                      mkb, mkf, msz, mend, mstart, mclosed, mn, last_mstart,
+                      ovf)
+                (_, i, pn, pkb, pkf, psz, pnfo, mkb, mkf, msz, mend, mstart,
+                 mclosed, mn, last_mstart, ovf) = jax.lax.while_loop(
+                    bwd_cond, bwd_body, st)
 
             # append this segment's matches (reversed: sorted by start) to
             # the global buffers — one masked scatter, not a fori_loop (the
@@ -270,6 +314,16 @@ LONG_QUERY_LEN = 512   # above this, drive segments from the host
 SEGMENTS_PER_CALL = 16  # restart segments per device call in the long path
 
 
+def _default_phases(maxi):
+    """Backward-sweep width ladder (decay measured in BENCH_NOTES.md):
+    full width for 4 steps, 3/4 width for 6 more, then 3/8 width for the
+    long plateau tail. Lanes that outgrow a narrower phase are flagged and
+    redone at the next uniform-width tier (~1-2% of reads)."""
+    if maxi < 16:
+        return None
+    return ((4, maxi), (6, (3 * maxi) // 4), (0, (3 * maxi) // 8))
+
+
 def smem_all(index: FMDIndex, seqs: list[np.ndarray], self_match=False,
              maxi: int = 32, maxm: int = 64, batch: int | None = None):
     """All SMEMs for a list of nt6 reads.
@@ -301,7 +355,8 @@ def smem_all(index: FMDIndex, seqs: list[np.ndarray], self_match=False,
             q[i, : len(s)] = s
             lens[i] = len(s)
         out = _smem_batch(index, jnp.asarray(q), jnp.asarray(lens),
-                          self_match, max_len, maxi, maxm)
+                          self_match, max_len, maxi, maxm,
+                          phases=_default_phases(maxi))
         mkb, mkf, msz, mend, mstart, mclosed, mn, _, ovf = map(np.asarray, out)
         for b in range(m):
             if ovf[b]:
