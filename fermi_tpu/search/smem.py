@@ -192,55 +192,62 @@ def _smem_batch(index: FMDIndex, q, l, self_match: bool, max_len: int,
                         cont = okc_sz != 0
                     keep = (~cont) | fl | (i == -1)
 
-                    def scan_j(carry, j):
-                        (ckb, ckf, csz, cnfo, cn, last_csz,
-                         mkb, mkf, msz, mend, mstart, mclosed, mn,
-                         last_mstart, ovf) = carry
-                        valid = j < pn
-                        do_keep = keep[j] & valid & ((cn == 0) | fl[j])
-                        do_mem = do_keep & (fl[j] | (mn == 0)
-                                            | (i + 1 < last_mstart))
-                        at = jnp.minimum(mn, maxm - 1)
-                        mkb = jnp.where(do_mem, mkb.at[at].set(pkb[j]), mkb)
-                        mkf = jnp.where(do_mem, mkf.at[at].set(pkf[j]), mkf)
-                        msz = jnp.where(do_mem, msz.at[at].set(psz[j]), msz)
-                        mend = jnp.where(do_mem, mend.at[at].set(pnfo[j]),
-                                         mend)
-                        mstart = jnp.where(do_mem, mstart.at[at].set(i + 1),
-                                           mstart)
-                        mclosed = jnp.where(do_mem,
-                                            mclosed.at[at].set(ok0_sz[j] != 0),
-                                            mclosed)
-                        ovf = ovf | (do_mem & (mn >= maxm))
-                        mn = mn + do_mem
-                        last_mstart = jnp.where(do_mem, i + 1, last_mstart)
-                        do_curr = cont[j] & valid & (
-                            (pkf[j] < n_seqs) | (cn == 0)
-                            | (okc_sz[j] != last_csz))
-                        cat = jnp.minimum(cn, width - 1)
-                        ckb = jnp.where(do_curr, ckb.at[cat].set(okc_kb[j]),
-                                        ckb)
-                        ckf = jnp.where(do_curr, ckf.at[cat].set(okc_kf[j]),
-                                        ckf)
-                        csz = jnp.where(do_curr, csz.at[cat].set(okc_sz[j]),
-                                        csz)
-                        cnfo = jnp.where(do_curr, cnfo.at[cat].set(pnfo[j]),
-                                         cnfo)
-                        ovf = ovf | (do_curr & (cn >= width))
-                        cn = cn + do_curr
-                        last_csz = jnp.where(do_curr, okc_sz[j], last_csz)
-                        return (ckb, ckf, csz, cnfo, cn, last_csz,
-                                mkb, mkf, msz, mend, mstart, mclosed, mn,
-                                last_mstart, ovf), None
+                    # The reference walks the list sequentially (smem.c:44-66)
+                    # carrying four scalars; here the whole pass is vector ops
+                    # over the width axis — the sequential recurrences
+                    # collapse exactly:
+                    #  * current-set dedup "size != last KEPT size" equals
+                    #    unique-consecutive over candidates, because an entry
+                    #    is only skipped when its size == the last kept size,
+                    #    so the previous candidate's size always equals it;
+                    #  * mem emission admits every full-length hit plus at
+                    #    most the first other keeper, and only when the
+                    #    step-entry state allowed one.
+                    j = jnp.arange(width, dtype=jnp.int32)
+                    valid = j < pn
+                    cand = cont & valid
+                    pidx = jnp.maximum(
+                        jax.lax.cummax(jnp.where(cand, j, -1)), -1)
+                    pidx_prev = jnp.concatenate(
+                        [jnp.full((1,), -1, jnp.int32), pidx[:-1]])
+                    prev_s = okc_sz[jnp.maximum(pidx_prev, 0)]
+                    do_curr = cand & ((pkf < n_seqs) | (pidx_prev < 0)
+                                      | (okc_sz != prev_s))
+                    dci = do_curr.astype(jnp.int32)
+                    cn_before = jnp.cumsum(dci) - dci  # exclusive
+                    cn = cn_before[-1] + dci[-1]
 
-                    init = (jnp.zeros(width, idt), jnp.zeros(width, idt),
-                            jnp.zeros(width, idt), jnp.zeros(width, jnp.int32),
-                            jnp.int32(0), idt.type(-1),
-                            mkb, mkf, msz, mend, mstart, mclosed, mn,
-                            last_mstart, ovf)
-                    (ckb, ckf, csz, cnfo, cn, _, mkb, mkf, msz, mend, mstart,
-                     mclosed, mn, last_mstart, ovf), _ = jax.lax.scan(
-                        scan_j, init, jnp.arange(width, dtype=jnp.int32))
+                    do_keep = keep & valid & ((cn_before == 0) | fl)
+                    base_ok = (mn == 0) | (i + 1 < last_mstart)
+                    abi = do_keep.astype(jnp.int32)
+                    ab_before = jnp.cumsum(abi) - abi
+                    do_mem = do_keep & (fl | (base_ok & (ab_before == 0)))
+                    dmi = do_mem.astype(jnp.int32)
+                    at = mn + jnp.cumsum(dmi) - dmi
+                    ovf = ovf | jnp.any(do_mem & (at >= maxm))
+                    mt = jnp.where(do_mem, jnp.minimum(at, maxm - 1), maxm)
+                    mkb = mkb.at[mt].set(pkb, mode="drop")
+                    mkf = mkf.at[mt].set(pkf, mode="drop")
+                    msz = msz.at[mt].set(psz, mode="drop")
+                    mend = mend.at[mt].set(pnfo, mode="drop")
+                    mstart = mstart.at[mt].set(
+                        jnp.full(width, i + 1, jnp.int32), mode="drop")
+                    mclosed = mclosed.at[mt].set(ok0_sz != 0, mode="drop")
+                    n_mem = at[-1] + dmi[-1] - mn
+                    last_mstart = jnp.where(n_mem > 0, i + 1, last_mstart)
+                    mn = jnp.minimum(mn + n_mem, maxm)
+
+                    ovf = ovf | jnp.any(do_curr & (cn_before >= width))
+                    ct = jnp.where(do_curr,
+                                   jnp.minimum(cn_before, width - 1), width)
+                    ckb = jnp.zeros(width, idt).at[ct].set(okc_kb,
+                                                           mode="drop")
+                    ckf = jnp.zeros(width, idt).at[ct].set(okc_kf,
+                                                           mode="drop")
+                    csz = jnp.zeros(width, idt).at[ct].set(okc_sz,
+                                                           mode="drop")
+                    cnfo = jnp.zeros(width, jnp.int32).at[ct].set(pnfo,
+                                                                  mode="drop")
                     return (steps + 1, i - 1, cn, ckb, ckf, csz, cnfo,
                             mkb, mkf, msz, mend, mstart, mclosed, mn,
                             last_mstart, ovf)
