@@ -43,18 +43,9 @@ class FMDIndex:
     occ: jnp.ndarray
     cnt: jnp.ndarray
     mcnt: jnp.ndarray
-    # occ row (6×i32) and the 128 block symbols as THREE BIT-PLANES
-    # (3×4×i32) fused into one 20×i32 (80 B) row.  Measured on the v5e at
-    # 1M queries (dispatch overhead amortized): the raw row-gather is only
-    # ~1.6 ns/row — rank6's cost is the per-query count compute.  The
-    # bit-plane form replaces the 128×6 masked byte-compare reduction with
-    # 6×4 popcounts of plane conjunctions (~5× less VPU work) and makes the
-    # whole query one gather.  int32-addressable indexes only.
-    packed: jnp.ndarray | None = field(default=None)
 
     def tree_flatten(self):
-        return (self.bwt_blocks, self.occ, self.cnt, self.mcnt,
-                self.packed), None
+        return (self.bwt_blocks, self.occ, self.cnt, self.mcnt), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -83,25 +74,11 @@ class FMDIndex:
         cnt[1:7] = np.cumsum(mcnt[1:7])
         cnt[7] = cnt[6]
         dtype = np.int32 if n < 2**31 - BLOCK else np.int64
-        packed = None
-        if dtype == np.int32:
-            nw = BLOCK // 32
-            fused = np.zeros((n_blocks + 1, 6 + 3 * nw + 2), dtype=np.int32)
-            fused[:, :6] = occ[:, :6].astype(np.int32)
-            bits = (blocks[:, None, :] >> np.arange(3)[None, :, None]) & 1
-            w = bits.reshape(n_blocks + 1, 3, nw, 32)
-            planes = (w.astype(np.uint32)
-                      << np.arange(32, dtype=np.uint32)).sum(
-                axis=3, dtype=np.uint32)
-            fused[:, 6: 6 + 3 * nw] = planes.reshape(
-                n_blocks + 1, 3 * nw).view(np.int32)
-            packed = jnp.asarray(fused)
         return FMDIndex(
             bwt_blocks=jnp.asarray(blocks),
             occ=jnp.asarray(occ.astype(dtype)),
             cnt=jnp.asarray(cnt.astype(dtype)),
             mcnt=jnp.asarray(mcnt.astype(dtype)),
-            packed=packed,
         )
 
     @staticmethod
@@ -129,49 +106,24 @@ class FMDIndex:
 
     # -- core queries (all batched over leading axis) ----------------------
 
-    def _bp_row(self, k):
-        """One fused row-gather: (occ base [B,6], planes [B,3,nw] i32,
-        offset-in-block [B])."""
-        k = k.astype(self.idtype)
-        blk = k >> BLOCK_BITS
-        off = k & (BLOCK - 1)
-        nw = BLOCK // 32
-        row = self.packed[blk]                            # [B, 20] — 1 gather
-        base = row[..., :6]
-        planes = row[..., 6: 6 + 3 * nw].reshape(*row.shape[:-1], 3, nw)
-        return base, planes, off
-
-    @staticmethod
-    def _bp_count(planes, off):
-        """Per-symbol counts of the first `off` block positions from the
-        bit-planes: popcount of the 3-plane conjunction under a prefix
-        mask, for all 6 symbols at once."""
-        nw = BLOCK // 32
-        wid = jnp.arange(nw, dtype=jnp.int32) * 32
-        rem = jnp.clip(off[..., None] - wid, 0, 32)       # [B, nw]
-        mask = jnp.where(rem == 32, jnp.int32(-1),
-                         (jnp.int32(1) << rem) - 1)
-        cbits = jnp.asarray(
-            (np.arange(6)[:, None] >> np.arange(3)[None, :]) & 1)  # [6,3]
-        pl = planes[..., None, :, :]                      # [B,1,3,nw]
-        sel = jnp.where(cbits[:, :, None] == 1, pl, ~pl)  # [B,6,3,nw]
-        conj = sel[..., 0, :] & sel[..., 1, :] & sel[..., 2, :]
-        conj = conj & mask[..., None, :]
-        return jax.lax.population_count(conj).sum(-1)     # [B,6]
-
     def rank6(self, k: jnp.ndarray) -> jnp.ndarray:
-        """Counts of symbols 0..5 in BWT[0..k-1]. k: int [B] -> [B, 6]."""
-        if self.packed is not None:
-            base, planes, off = self._bp_row(k)
-            return base + self._bp_count(planes, off).astype(self.idtype)
+        """Counts of symbols 0..5 in BWT[0..k-1]. k: int [B] -> [B, 6].
+
+        The count runs in [B, 6, BLOCK] layout: the minor dim is the full
+        128-symbol block (one VPU lane row), the 6-symbol dim pads only to
+        the 8 sublanes. The transposed [B, BLOCK, 6] form puts 6 in the
+        128-lane minor position and runs ~20x below peak (measured on the
+        v5e: the whole SMEM kernel was compute-bound on this count)."""
         k = k.astype(self.idtype)
         blk = k >> BLOCK_BITS
         off = k & (BLOCK - 1)
         rows = self.bwt_blocks[blk]                       # [B, BLOCK]
         base = self.occ[blk][..., :6]                     # [B, 6]
-        pos_ok = (jnp.arange(BLOCK, dtype=jnp.int32) < off[..., None])
-        eq = rows[..., None] == jnp.arange(6, dtype=jnp.uint8)   # [B, BLOCK, 6]
-        within = jnp.sum(eq & pos_ok[..., None], axis=-2, dtype=self.idtype)
+        pos_ok = (jnp.arange(BLOCK, dtype=jnp.int32)
+                  < off[..., None, None])                 # [B, 1, BLOCK]
+        eq = (rows[..., None, :]
+              == jnp.arange(6, dtype=jnp.uint8)[:, None])  # [B, 6, BLOCK]
+        within = jnp.sum(eq & pos_ok, axis=-1, dtype=self.idtype)
         return base + within
 
     def sym_at(self, k: jnp.ndarray) -> jnp.ndarray:
@@ -180,20 +132,8 @@ class FMDIndex:
         return self.bwt_blocks[k >> BLOCK_BITS, k & (BLOCK - 1)]
 
     def rank1_sym(self, k: jnp.ndarray):
-        """(BWT[k], rank6(k)) — the pair used by LF walks, served from a
-        single row-gather on the packed path."""
-        if self.packed is None:
-            return self.sym_at(k), self.rank6(k)
-        base, planes, off = self._bp_row(k)
-        cnt = self._bp_count(planes, off).astype(self.idtype)
-        w = (off >> 5).astype(jnp.int32)
-        b = (off & 31).astype(jnp.int32)
-        widx = jnp.broadcast_to(w[..., None, None], (*w.shape, 3, 1))
-        word = jnp.take_along_axis(planes, widx, axis=-1)[..., 0]   # [B, 3]
-        bits = (word >> b[..., None]) & 1
-        sym = (bits[..., 0] | (bits[..., 1] << 1)
-               | (bits[..., 2] << 2)).astype(jnp.uint8)
-        return sym, base + cnt
+        """(BWT[k], rank6(k)) — the pair used by LF walks."""
+        return self.sym_at(k), self.rank6(k)
 
     def lf(self, k: jnp.ndarray):
         """One LF-mapping step: (symbol at k, predecessor position).

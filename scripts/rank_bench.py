@@ -2,7 +2,6 @@
 
 Usage: python scripts/rank_bench.py [n_queries] — runs on the default JAX
 device (axon TPU unless FERMI_TPU_PLATFORM=cpu)."""
-import dataclasses
 import sys
 import time
 
@@ -30,7 +29,6 @@ def timeit(f, *a):
 def main():
     print("backend:", jax.default_backend(), flush=True)
     idx = FMDIndex.restore("/tmp/fermi_tpu_bench/idx_1234_60000.fmd")
-    legacy = dataclasses.replace(idx, packed=None)
     n = int(np.asarray(idx.mcnt[0]))
     print("index on device, n =", n, flush=True)
     rng = np.random.default_rng(0)

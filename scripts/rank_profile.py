@@ -36,9 +36,8 @@ def main():
 
     # gather-only at several row widths
     rows128u8 = idx.bwt_blocks
-    rows24 = idx.packed
-    rows32 = jnp.asarray(np.ascontiguousarray(
-        np.pad(np.asarray(idx.packed), ((0, 0), (0, 8)))))
+    rows24 = jnp.asarray(rng.integers(0, 2**30, (nb, 24)).astype(np.int32))
+    rows32 = jnp.asarray(rng.integers(0, 2**30, (nb, 32)).astype(np.int32))
     rows8 = jnp.asarray(np.asarray(idx.occ))
     for name, arr in (("u8[128]", rows128u8), ("i32[24]", rows24),
                       ("i32[32]", rows32), ("i32[8]", rows8)):
@@ -47,14 +46,9 @@ def main():
         print(f"gather {name:8s}: {t*1e3:7.2f} ms  {t/NQ*1e9:5.1f} ns/row",
               flush=True)
 
-    # full rank6: packed vs legacy
-    import dataclasses
-    legacy = dataclasses.replace(idx, packed=None)
     r6 = jax.jit(lambda i, k: i.rank6(k).sum(0))
-    tp = timeit(r6, idx, k)
-    tl = timeit(r6, legacy, k)
-    print(f"rank6 packed24: {tp*1e3:7.2f} ms   legacy: {tl*1e3:7.2f} ms",
-          flush=True)
+    tl = timeit(r6, idx, k)
+    print(f"rank6 ([B,6,128] layout): {tl*1e3:7.2f} ms", flush=True)
 
     # bit-plane prototype: row = occ[6] ++ plane0[4] ++ plane1[4] ++ plane2[4]
     # ++ pad2 = 20 i32 (80 B)
@@ -97,7 +91,7 @@ def main():
 
     rb = jax.jit(lambda p, k: rank6_bp(p, k).sum(0))
     got = np.asarray(rb(prow_d, k))
-    want = np.asarray(r6(legacy, k))
+    want = np.asarray(r6(idx, k))
     print("bitplane parity:", "OK" if np.array_equal(got, want)
           else "MISMATCH", flush=True)
     tb = timeit(rb, prow_d, k)
