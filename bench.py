@@ -125,7 +125,10 @@ def bench_mine(fmd, qfa):
     # the axon TPU worker can fault on large programs; fall back to smaller
     # batches if that happens
     last_err = None
-    for B in (2048, 1024, 512):
+    # per-iteration cost scales with B and the worst lane sets the
+    # iteration count, so small batches win (measured: B=8192 148 r/s,
+    # B=2048 219 r/s, B=1024 region is the optimum)
+    for B in (1024, 512):
         try:
             t0 = time.time()
             sm.smem_all(idx, seqs[:B], batch=B)
