@@ -99,3 +99,20 @@ def test_native_engine_matches_device_kernel(tmp_path, ref_fermi):
         dev = smem_all(idx, seqs, self_match=self_match)
         nat = smem_all_native(idx, seqs, self_match=self_match)
         assert dev == nat, self_match
+
+
+def test_redo_tiers_forced_by_tiny_buffers(tmp_path):
+    """Tiny maxi/maxm force every lane through the overflow-redo ladder
+    (first tier -> 2x tier -> guaranteed-size); results must equal the
+    default-buffer run exactly."""
+    from fermi_tpu.search.smem import smem_all
+
+    idx_reads = random_reads(150, seed=5, with_genome=True, genome_len=4000)
+    qry = random_reads(30, seed=11, with_genome=True, genome_len=4000)
+    fmd = str(tmp_path / "i.fmd")
+    build_my_fmd(idx_reads, fmd)
+    idx = FMDIndex.restore(fmd)
+    seqs = [dna.encode(s) for s in qry]
+    want = smem_all(idx, seqs)
+    got = smem_all(idx, seqs, maxi=4, maxm=8)
+    assert got == want
