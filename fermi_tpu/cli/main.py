@@ -666,7 +666,34 @@ def main(argv=None):
                 _add_ropebwt):
         add(sub)
     args = ap.parse_args(argv)
-    return args.func(args)
+    ret = args.func(args)
+    _telemetry_endline(argv)
+    return ret
+
+
+def _telemetry_endline(argv):
+    """End-of-run telemetry line, mirroring reference main.c:130-136:
+    `[M::main] Version / CMD / Real time / CPU / RSS` at fm_verbose>=3
+    (the default verbosity is 4, matching utils.c:8)."""
+    import resource
+    import time
+
+    try:
+        ru = resource.getrusage(resource.RUSAGE_SELF)
+        cpu = ru.ru_utime + ru.ru_stime
+        rss_gb = ru.ru_maxrss / 1024.0 / 1024.0  # Linux: KB -> GB
+        real = time.monotonic() - _T0
+        cmdline = " ".join(argv if argv is not None else sys.argv[1:])
+        sys.stderr.write("[M::main] Version: fermi-tpu\n")
+        sys.stderr.write(f"[M::main] CMD: fermi-tpu {cmdline}\n")
+        sys.stderr.write(
+            f"[M::main] Real time: {real:.3f} sec; CPU: {cpu:.3f} sec; "
+            f"RSS: {rss_gb:.3f} GB\n")
+    except Exception:  # telemetry must never break the command
+        pass
+
+
+_T0 = __import__("time").monotonic()
 
 
 if __name__ == "__main__":

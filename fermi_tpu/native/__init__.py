@@ -11,7 +11,11 @@ import subprocess
 import threading
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_LIB_PATH = os.path.join(_HERE, "build", "libfermi_native.so")
+# FERMI_TPU_NATIVE_LIB overrides the library path — used by the TSAN CI test
+# (tests/test_native_tsan.py) to load the -fsanitize=thread build instead.
+_LIB_PATH = os.environ.get(
+    "FERMI_TPU_NATIVE_LIB",
+    os.path.join(_HERE, "build", "libfermi_native.so"))
 _lock = threading.Lock()
 _lib = None
 
