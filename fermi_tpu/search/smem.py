@@ -2,13 +2,19 @@
 
 Reimplements the bidirectional SMEM algorithm of reference smem.c:13-80
 (fm6_smem1_core) and its whole-read driver fm6_smem (smem.c:397-411) as one
-fixed-shape JAX program: one read per vmap lane; the variable-length interval
-lists become masked fixed-width buffers; every fm6_extend of the backward
-sweep is batched across the interval set and across all reads; the per-read
-restart loop over start positions runs inside the kernel, so a batch of reads
-costs one device call and one transfer. Buffer overflow is detected per read
-and those reads are re-run with guaranteed-size buffers, keeping results
-exact for any input.
+fixed-shape JAX program: one read per lane, and — the round-2 redesign — ONE
+device while-loop driving a per-lane *state machine* (mode ∈ {forward sweep,
+backward sweep}, with segment restarts handled inline).  Every loop iteration
+advances every lane by exactly one bidirectional-extension step, so the
+sequential iteration count of a batch is the *maximum total step count over
+reads* (~3·len for a short read) instead of the sum of per-phase maxima over
+four nested loops (~10x more), which measurement showed was the throughput
+wall (31-108 µs per sequential iteration on the v5e regardless of body work;
+BENCH_NOTES.md).
+
+The variable-length interval lists become masked fixed-width buffers; buffer
+overflow is detected per read and those reads are re-run with
+guaranteed-size buffers, keeping results exact for any input.
 
 Output fields per match mirror fm6_write_smem (smem.c:412-419): [start, end)
 on the read, interval size, left-closed flag, and forward-strand start (for
@@ -28,307 +34,334 @@ def _comp6(c):
     return jnp.where((c >= 1) & (c <= 4), 5 - c, c)
 
 
+def _excl_cumsum(m, axis=-1):
+    s = jnp.cumsum(m.astype(jnp.int32), axis=axis)
+    return s - m.astype(jnp.int32), s
+
+
 @partial(jax.jit,
          static_argnames=("self_match", "max_len", "maxi", "maxm",
-                          "max_segments", "phases"))
+                          "max_segments"))
 def _smem_batch(index: FMDIndex, q, l, self_match: bool, max_len: int,
-                maxi: int, maxm: int, x0=None, max_segments: int = 0,
-                phases: tuple | None = None):
-    """SMEMs of every read in the batch.
+                maxi: int, maxm: int, x0=None, max_segments: int = 0):
+    """SMEMs of every read in the batch, one state-machine while loop.
 
     q: uint8 [B, max_len]; l: int32 [B].
     Default (max_segments=0): all restart segments accumulated per read (one
     device call per batch — the short-read fast path). With max_segments=S,
     at most S fm6_smem1 passes from start x0 per lane, returning the
     accumulated matches and the next start; the host drives the outer
-    restart loop — bounds the match buffer for long queries whose total
-    SMEM count is unbounded while amortizing dispatch over S segments.
+    restart loop.
     Returns (mem fields [B, maxm], mem_n [B], ret [B], ovf [B]).
-
-    phases: tuple of (max_steps, width) for the backward sweep — each phase
-    runs at most max_steps (0 = unbounded, for the last) with the interval
-    buffer narrowed to width. None = one unbounded phase at width maxi.
     """
     idt = index.idtype
-    n_seqs = index.mcnt[1]
-    if phases is None:
-        phases = ((0, maxi),)
+    W, M = maxi, maxm
+    B = q.shape[0]
+    n_seqs = index.mcnt[1].astype(idt)
+    cnt6 = index.cnt[:6].astype(idt)
     if x0 is None:
-        x0 = jnp.zeros(q.shape[0], jnp.int32)
+        x0 = jnp.zeros(B, jnp.int32)
+    x0 = x0.astype(jnp.int32)
+    l = l.astype(jnp.int32)
+    jW = jnp.arange(W, dtype=jnp.int32)
+    jM = jnp.arange(M, dtype=jnp.int32)
+    rowW = (jnp.arange(B, dtype=jnp.int32) * W)[:, None]
 
-    def one_read(q, l, x0):
-        # global (whole-read) accumulators
-        gkb = jnp.zeros(maxm, idt)
-        gkf = jnp.zeros(maxm, idt)
-        gsz = jnp.zeros(maxm, idt)
-        gend = jnp.zeros(maxm, jnp.int32)
-        gstart = jnp.zeros(maxm, jnp.int32)
-        gclosed = jnp.zeros(maxm, bool)
-        gmn = jnp.int32(0)
-        govf = jnp.bool_(False)
+    def qat(pos):
+        """q[b, pos[b]] with clamping (callers mask out-of-range)."""
+        safe = jnp.clip(pos, 0, max_len - 1)
+        return jnp.take_along_axis(q, safe[:, None], axis=1)[:, 0]
 
-        def push_intv(bufs, n, ovf, vals):
-            bkb, bkf, bsz, bnfo = bufs
-            at = jnp.minimum(n, maxi - 1)
-            kb, kf, sz, nfo = vals
-            bkb = bkb.at[at].set(kb.astype(idt))
-            bkf = bkf.at[at].set(kf.astype(idt))
-            bsz = bsz.at[at].set(sz.astype(idt))
-            bnfo = bnfo.at[at].set(nfo.astype(jnp.int32))
-            return (bkb, bkf, bsz, bnfo), n + 1, ovf | (n >= maxi)
+    def set_intv(c):
+        ci = c.astype(jnp.int32)
+        comp = jnp.where((ci >= 1) & (ci <= 4), 5 - ci, ci)
+        kb = index.cnt[ci]
+        sz = index.cnt[ci + 1] - index.cnt[ci]
+        kf = index.cnt[comp]
+        return kb.astype(idt), kf.astype(idt), sz.astype(idt)
 
-        def segment(x, glob):
-            """One fm6_smem1_core pass from start position x; appends matches
-            to the global buffers; returns (ret=next x, glob)."""
-            (gkb, gkf, gsz, gend, gstart, gclosed, gmn, govf) = glob
-            c0 = q[x]
-            kb, kf, sz = index.set_intv(c0)
-            bkb = jnp.zeros(maxi, idt)
-            bkf = jnp.zeros(maxi, idt)
-            bsz = jnp.zeros(maxi, idt)
-            bnfo = jnp.zeros(maxi, jnp.int32)
-            n = jnp.int32(0)
-            ovf = jnp.bool_(False)
+    # ---- initial per-lane state -----------------------------------------
+    done0 = x0 >= l
+    c0 = qat(x0)
+    kb0, kf0, sz0 = set_intv(c0)
+    Z_W = jnp.zeros((B, W), idt)
+    Z_Wi = jnp.zeros((B, W), jnp.int32)
+    Z_M = jnp.zeros((B, M), idt)
+    Z_Mi = jnp.zeros((B, M), jnp.int32)
 
-            # ---- forward sweep ----------------------------------------
-            def fwd_cond(st):
-                i, alive, *_ = st
-                return alive & (i < l)
+    state = dict(
+        done=done0,
+        bwd=jnp.zeros(B, bool),          # mode: False=fwd, True=bwd
+        nseg=jnp.zeros(B, jnp.int32),
+        x=x0, i=x0 + 1,
+        kb=kb0, kf=kf0, sz=sz0,
+        Lkb=Z_W, Lkf=Z_W, Lsz=Z_W, Lnfo=Z_Wi,
+        n=jnp.zeros(B, jnp.int32),
+        seg_base=jnp.zeros(B, jnp.int32),
+        last_ms=jnp.zeros(B, jnp.int32),
+        xret=x0,
+        ovf=jnp.zeros(B, bool),
+        gkb=Z_M, gkf=Z_M, gsz=Z_M,
+        gend=Z_Mi, gstart=Z_Mi, gclosed=jnp.zeros((B, M), bool),
+        gmn=jnp.zeros(B, jnp.int32),
+    )
 
-            def fwd_body(st):
-                i, alive, kb, kf, sz, bufs, n, ovf, broke_at = st
-                c = _comp6(q[i]).astype(jnp.int32)
-                KB, KF, SZ = index.extend6(kb, kf, sz, is_back=False)
-                okc_sz = SZ[c]
-                ok0_sz = SZ[0]
-                size_changed = okc_sz != sz
-                push_ik = size_changed & (sz != ok0_sz)
-                bufs2, n2, ovf2 = push_intv(bufs, n, ovf, (kb, kf, sz, i))
-                bufs, n, ovf = jax.tree_util.tree_map(
-                    partial(jnp.where, push_ik), (bufs2, n2, ovf2),
-                    (bufs, n, ovf))
-                push_s = size_changed & (not self_match) & (ok0_sz != 0)
-                bufs2, n2, ovf2 = push_intv(bufs, n, ovf,
-                                            (KB[0], KF[0], ok0_sz, i))
-                bufs, n, ovf = jax.tree_util.tree_map(
-                    partial(jnp.where, push_s), (bufs2, n2, ovf2),
-                    (bufs, n, ovf))
-                dead = (okc_sz < 2) if self_match else (okc_sz == 0)
-                kb = jnp.where(dead, kb, KB[c])
-                kf = jnp.where(dead, kf, KF[c])
-                sz = jnp.where(dead, sz, okc_sz)
-                broke_at = jnp.where(dead & alive, i, broke_at)
-                return (i + 1, alive & ~dead, kb, kf, sz, bufs, n, ovf,
-                        broke_at)
+    def cond(st):
+        return ~jnp.all(st["done"])
 
-            st = (x + 1, jnp.bool_(True), kb, kf, sz,
-                  (bkb, bkf, bsz, bnfo), n, ovf, jnp.int32(-1))
-            i, alive, kb, kf, sz, bufs, n, ovf, broke_at = jax.lax.while_loop(
-                fwd_cond, fwd_body, st)
+    def body(st):
+        done, bwd = st["done"], st["bwd"]
+        i, x, n = st["i"], st["x"], st["n"]
+        kb, kf, sz = st["kb"], st["kf"], st["sz"]
+        Lkb, Lkf, Lsz, Lnfo = st["Lkb"], st["Lkf"], st["Lsz"], st["Lnfo"]
+        gmn, seg_base, ovf = st["gmn"], st["seg_base"], st["ovf"]
 
-            # reached the end: push the last interval (+ sentinel variant).
-            # Masked, not lax.cond: a vmapped cond closing over the index
-            # would lower to a per-lane select broadcasting the whole table.
-            bufs2, n2, ovf2 = push_intv(bufs, n, ovf, (kb, kf, sz, l))
-            bufs, n, ovf = jax.tree_util.tree_map(
-                partial(jnp.where, alive), (bufs2, n2, ovf2), (bufs, n, ovf))
-            if not self_match:
-                KB, KF, SZ = index.extend6(kb, kf, sz, is_back=False)
-                bufs2, n2, ovf2 = push_intv(bufs, n, ovf,
-                                            (KB[0], KF[0], SZ[0], l))
-                bufs, n, ovf = jax.tree_util.tree_map(
-                    partial(jnp.where, alive & (SZ[0] != 0)),
-                    (bufs2, n2, ovf2), (bufs, n, ovf))
-            bkb, bkf, bsz, bnfo = bufs
-            ridx = jnp.where(jnp.arange(maxi) < n,
-                             jnp.maximum(n - 1 - jnp.arange(maxi), 0),
-                             jnp.arange(maxi))
-            bkb, bkf, bsz, bnfo = (bkb[ridx], bkf[ridx], bsz[ridx],
-                                   bnfo[ridx])
-            ret = jnp.where(alive, l,
-                            jnp.where(n > 0, jnp.maximum(broke_at, x + 1),
-                                      x + 1))
-            ret = jnp.where(n > 0, bnfo[0], ret)
+        fw = ~done & ~bwd
+        bw = ~done & bwd
+        at_end = i >= l
 
-            # ---- backward sweep (phased widths) ------------------------
-            # The live interval set starts at the forward-list size (~20-30
-            # on short reads), decays ~2/step for ~10 steps, then plateaus
-            # near 2.5 for the long tail (measured on 100bp reads vs a 3x
-            # index; BENCH_NOTES.md). Every slot extended costs two rank-row
-            # gathers whether live or dead, so the sweep narrows its static
-            # buffer width in phases; a lane whose live count exceeds the
-            # next phase's width is flagged and redone at a wider tier.
-            mkb = jnp.zeros(maxm, idt)
-            mkf = jnp.zeros(maxm, idt)
-            msz = jnp.zeros(maxm, idt)
-            mend = jnp.zeros(maxm, jnp.int32)
-            mstart = jnp.zeros(maxm, jnp.int32)
-            mclosed = jnp.zeros(maxm, bool)
-            mn = jnp.int32(0)
+        # ---- one shared bidirectional extension for every lane ----------
+        # fwd lanes use slot 0 only (their current scalar interval); bwd
+        # lanes extend their whole interval list.  is_back varies per lane:
+        # primary strand and output mapping are selected per lane, the two
+        # rank6 gathers are shared (exact.c:72-88 semantics both ways).
+        slot0 = jW[None, :] == 0
+        Ekb = jnp.where(bwd[:, None], Lkb, jnp.where(slot0, kb[:, None], 0))
+        Ekf = jnp.where(bwd[:, None], Lkf, jnp.where(slot0, kf[:, None], 0))
+        Esz = jnp.where(bwd[:, None], Lsz, jnp.where(slot0, sz[:, None], 0))
+        # fwd lanes keep slot 0 live even at i==l: the end-of-read pushes
+        # need the $-column of the final interval's extension (the
+        # reference's fresh post-loop fm6_extend)
+        live = jnp.where(done[:, None], False,
+                         jnp.where(bwd[:, None], jW[None, :] < n[:, None],
+                                   slot0))
+        # extension symbol: fwd = complement of next char; bwd = prev char
+        # ($=0 at i==-1, smem.c:44)
+        c_f = _comp6(qat(jnp.minimum(i, l - 1)).astype(jnp.int32))
+        c_b = jnp.where(i < 0, 0, qat(i).astype(jnp.int32))
+        c = jnp.where(bwd, c_b, c_f)
 
-            def make_bwd(width, bound):
-                def bwd_cond(st):
-                    steps, i, pn = st[0], st[1], st[2]
-                    ok = (i >= -1) & (pn > 0)
-                    if bound:
-                        ok = ok & (steps < bound)
-                    return ok
+        primary = jnp.where(bwd[:, None], Ekb, Ekf)
+        primary = jnp.where(live, primary, 0)
+        hi = jnp.where(live, primary + Esz, 0)
+        tk = index.rank6(primary)              # [B, W, 6]
+        tl = index.rank6(hi)
+        osz = tl - tk
+        out_primary = cnt6[None, None, :] + tk
+        other_base = jnp.where(bwd[:, None], Ekf, Ekb)
+        # opposite-strand starts via the complement-ordering identity
+        o0 = other_base
+        o4 = o0 + osz[..., 0]
+        o3 = o4 + osz[..., 4]
+        o2 = o3 + osz[..., 3]
+        o1 = o2 + osz[..., 2]
+        o5 = o1 + osz[..., 1]
+        other = jnp.stack([o0, o1, o2, o3, o4, o5], axis=-1)
+        KB = jnp.where(bwd[:, None, None], out_primary, other)
+        KF = jnp.where(bwd[:, None, None], other, out_primary)
+        SZ = osz
 
-                def bwd_body(st):
-                    (steps, i, pn, pkb, pkf, psz, pnfo,
-                     mkb, mkf, msz, mend, mstart, mclosed, mn, last_mstart,
-                     ovf) = st
-                    c = jnp.where(i < 0, 0,
-                                  q[jnp.maximum(i, 0)]).astype(jnp.int32)
-                    KB, KF, SZ = index.extend6(pkb, pkf, psz, is_back=True)
-                    okc_kb = KB[:, c]
-                    okc_kf = KF[:, c]
-                    okc_sz = SZ[:, c]
-                    ok0_sz = SZ[:, 0]
-                    fl = (ok0_sz != 0) & (pkf < n_seqs)
-                    if self_match:
-                        cont = okc_sz > 1
-                    else:
-                        cont = okc_sz != 0
-                    keep = (~cont) | fl | (i == -1)
+        cW = c[:, None, None]
+        okc_kb = jnp.take_along_axis(KB, cW, 2)[:, :, 0]   # [B, W]
+        okc_kf = jnp.take_along_axis(KF, cW, 2)[:, :, 0]
+        okc_sz = jnp.take_along_axis(SZ, cW, 2)[:, :, 0]
+        ok0_sz = SZ[:, :, 0]
 
-                    # The reference walks the list sequentially (smem.c:44-66)
-                    # carrying four scalars; here the whole pass is vector ops
-                    # over the width axis — the sequential recurrences
-                    # collapse exactly:
-                    #  * current-set dedup "size != last KEPT size" equals
-                    #    unique-consecutive over candidates, because an entry
-                    #    is only skipped when its size == the last kept size,
-                    #    so the previous candidate's size always equals it;
-                    #  * mem emission admits every full-length hit plus at
-                    #    most the first other keeper, and only when the
-                    #    step-entry state allowed one.
-                    j = jnp.arange(width, dtype=jnp.int32)
-                    valid = j < pn
-                    cand = cont & valid
-                    pidx = jnp.maximum(
-                        jax.lax.cummax(jnp.where(cand, j, -1)), -1)
-                    pidx_prev = jnp.concatenate(
-                        [jnp.full((1,), -1, jnp.int32), pidx[:-1]])
-                    prev_s = okc_sz[jnp.maximum(pidx_prev, 0)]
-                    do_curr = cand & ((pkf < n_seqs) | (pidx_prev < 0)
-                                      | (okc_sz != prev_s))
-                    dci = do_curr.astype(jnp.int32)
-                    cn_before = jnp.cumsum(dci) - dci  # exclusive
-                    cn = cn_before[-1] + dci[-1]
+        # ================= forward-sweep branch ==========================
+        f_okc_sz = okc_sz[:, 0]
+        f_ok0_sz = ok0_sz[:, 0]
+        f_kb0, f_kf0 = KB[:, 0, 0], KF[:, 0, 0]
+        f_kbc, f_kfc = okc_kb[:, 0], okc_kf[:, 0]
 
-                    do_keep = keep & valid & ((cn_before == 0) | fl)
-                    base_ok = (mn == 0) | (i + 1 < last_mstart)
-                    abi = do_keep.astype(jnp.int32)
-                    ab_before = jnp.cumsum(abi) - abi
-                    do_mem = do_keep & (fl | (base_ok & (ab_before == 0)))
-                    dmi = do_mem.astype(jnp.int32)
-                    at = mn + jnp.cumsum(dmi) - dmi
-                    ovf = ovf | jnp.any(do_mem & (at >= maxm))
-                    mt = jnp.where(do_mem, jnp.minimum(at, maxm - 1), maxm)
-                    mkb = mkb.at[mt].set(pkb, mode="drop")
-                    mkf = mkf.at[mt].set(pkf, mode="drop")
-                    msz = msz.at[mt].set(psz, mode="drop")
-                    mend = mend.at[mt].set(pnfo, mode="drop")
-                    mstart = mstart.at[mt].set(
-                        jnp.full(width, i + 1, jnp.int32), mode="drop")
-                    mclosed = mclosed.at[mt].set(ok0_sz != 0, mode="drop")
-                    n_mem = at[-1] + dmi[-1] - mn
-                    last_mstart = jnp.where(n_mem > 0, i + 1, last_mstart)
-                    mn = jnp.minimum(mn + n_mem, maxm)
+        stepm = fw & ~at_end
+        size_changed = f_okc_sz != sz
+        push1 = stepm & size_changed & (sz != f_ok0_sz)
+        push2 = stepm & size_changed & (not self_match) & (f_ok0_sz != 0)
+        if self_match:
+            dead = stepm & (f_okc_sz < 2)
+        else:
+            dead = stepm & (f_okc_sz == 0)
+        # end-of-read pushes (reference post-loop: last interval + its
+        # $-extension variant), only for lanes arriving alive at i==l
+        pushF1 = fw & at_end
+        pushF2 = fw & at_end & (not self_match) & (f_ok0_sz != 0)
 
-                    ovf = ovf | jnp.any(do_curr & (cn_before >= width))
-                    ct = jnp.where(do_curr,
-                                   jnp.minimum(cn_before, width - 1), width)
-                    ckb = jnp.zeros(width, idt).at[ct].set(okc_kb,
-                                                           mode="drop")
-                    ckf = jnp.zeros(width, idt).at[ct].set(okc_kf,
-                                                           mode="drop")
-                    csz = jnp.zeros(width, idt).at[ct].set(okc_sz,
-                                                           mode="drop")
-                    cnfo = jnp.zeros(width, jnp.int32).at[ct].set(pnfo,
-                                                                  mode="drop")
-                    return (steps + 1, i - 1, cn, ckb, ckf, csz, cnfo,
-                            mkb, mkf, msz, mend, mstart, mclosed, mn,
-                            last_mstart, ovf)
+        def lpush(Lkb, Lkf, Lsz, Lnfo, n, ovf, m, vkb, vkf, vsz, vnfo):
+            at = jnp.minimum(n, W - 1)
+            sel = m[:, None] & (jW[None, :] == at[:, None])
+            Lkb = jnp.where(sel, vkb[:, None].astype(idt), Lkb)
+            Lkf = jnp.where(sel, vkf[:, None].astype(idt), Lkf)
+            Lsz = jnp.where(sel, vsz[:, None].astype(idt), Lsz)
+            Lnfo = jnp.where(sel, vnfo[:, None], Lnfo)
+            ovf = ovf | (m & (n >= W))
+            return Lkb, Lkf, Lsz, Lnfo, n + m.astype(jnp.int32), ovf
 
-                return bwd_cond, bwd_body
+        Lkb, Lkf, Lsz, Lnfo, n2, ovf = lpush(
+            Lkb, Lkf, Lsz, Lnfo, n, ovf, push1, kb, kf, sz, i)
+        Lkb, Lkf, Lsz, Lnfo, n2, ovf = lpush(
+            Lkb, Lkf, Lsz, Lnfo, n2, ovf, push2, f_kb0, f_kf0, f_ok0_sz, i)
+        Lkb, Lkf, Lsz, Lnfo, n2, ovf = lpush(
+            Lkb, Lkf, Lsz, Lnfo, n2, ovf, pushF1, kb, kf, sz, l)
+        Lkb, Lkf, Lsz, Lnfo, n2, ovf = lpush(
+            Lkb, Lkf, Lsz, Lnfo, n2, ovf, pushF2, f_kb0, f_kf0, f_ok0_sz, l)
 
-            def fit(a, w):
-                if w <= a.shape[0]:
-                    return a[:w]
-                return jnp.concatenate(
-                    [a, jnp.zeros(w - a.shape[0], a.dtype)])
+        adv = stepm & ~dead
+        kb = jnp.where(adv, f_kbc, kb)
+        kf = jnp.where(adv, f_kfc, kf)
+        sz = jnp.where(adv, f_okc_sz, sz)
 
-            pkb, pkf, psz, pnfo = bkb, bkf, bsz, bnfo
-            pn = n
-            i = x - 1
-            last_mstart = jnp.int32(0)
-            for bound, w in phases:
-                pkb, pkf, psz, pnfo = (fit(pkb, w), fit(pkf, w),
-                                       fit(psz, w), fit(pnfo, w))
-                ovf = ovf | (pn > w)
-                pn = jnp.minimum(pn, w)
-                bwd_cond, bwd_body = make_bwd(w, bound)
-                st = (jnp.int32(0), i, pn, pkb, pkf, psz, pnfo,
-                      mkb, mkf, msz, mend, mstart, mclosed, mn, last_mstart,
-                      ovf)
-                (_, i, pn, pkb, pkf, psz, pnfo, mkb, mkf, msz, mend, mstart,
-                 mclosed, mn, last_mstart, ovf) = jax.lax.while_loop(
-                    bwd_cond, bwd_body, st)
+        # fwd -> bwd transition: reverse the collected list (start-ascending
+        # order for the sweep), compute the next-segment start (smem.c: the
+        # last recorded shrink point), enter backward mode at i = x-1
+        trans = fw & (dead | at_end)
+        last_nfo = jnp.take_along_axis(
+            Lnfo, jnp.clip(n2 - 1, 0, W - 1)[:, None], 1)[:, 0]
+        ret_seg = jnp.where(n2 > 0, last_nfo, x + 1)
+        ridx = jnp.where(jW[None, :] < n2[:, None],
+                         jnp.maximum(n2[:, None] - 1 - jW[None, :], 0),
+                         jW[None, :])
+        ridx = jnp.where(trans[:, None], ridx, jW[None, :])
+        Lkb = jnp.take_along_axis(Lkb, ridx, 1)
+        Lkf = jnp.take_along_axis(Lkf, ridx, 1)
+        Lsz = jnp.take_along_axis(Lsz, ridx, 1)
+        Lnfo = jnp.take_along_axis(Lnfo, ridx, 1)
 
-            # append this segment's matches (reversed: sorted by start) to
-            # the global buffers — one masked scatter, not a fori_loop (the
-            # sequential 64-iteration append was pure loop overhead)
-            u = jnp.arange(maxm, dtype=jnp.int32)
-            src = jnp.minimum(jnp.maximum(mn - 1 - u, 0), maxm - 1)
-            tgt = jnp.where(u < mn, jnp.minimum(gmn + u, maxm - 1), maxm)
-            gkb = gkb.at[tgt].set(mkb[src], mode="drop")
-            gkf = gkf.at[tgt].set(mkf[src], mode="drop")
-            gsz = gsz.at[tgt].set(msz[src], mode="drop")
-            gend = gend.at[tgt].set(mend[src], mode="drop")
-            gstart = gstart.at[tgt].set(mstart[src], mode="drop")
-            gclosed = gclosed.at[tgt].set(mclosed[src], mode="drop")
-            govf = govf | ovf | (gmn + mn > maxm)
-            gmn = jnp.minimum(gmn + mn, maxm)
-            return ret, (gkb, gkf, gsz, gend, gstart, gclosed, gmn, govf)
+        n = jnp.where(fw, n2, n)
+        bwd = bwd | trans
+        i_f = jnp.where(trans, x - 1, i + 1)
+        i = jnp.where(fw, i_f, i)
+        xret_f = jnp.where(trans, ret_seg, st["xret"])
+        seg_base = jnp.where(trans, gmn, seg_base)
+        last_ms = jnp.where(trans, 0, st["last_ms"])
 
-        glob = (gkb, gkf, gsz, gend, gstart, gclosed, gmn, govf)
-        # restart loop over start positions (fm6_smem do-while), optionally
-        # bounded to max_segments passes per call (host continues the loop)
-        def seg_cond(st):
-            nseg, x, glob = st
-            ok = x < l
-            if max_segments:
-                ok = ok & (nseg < max_segments)
-            return ok
+        # ================= backward-sweep branch =========================
+        # The reference walks the interval list sequentially (smem.c:44-66)
+        # carrying four scalars; here the whole pass is vector ops over the
+        # width axis — the sequential recurrences collapse exactly:
+        #  * current-set dedup "size != last KEPT size" equals
+        #    unique-consecutive over candidates;
+        #  * mem emission admits every full-length hit plus at most the
+        #    first other keeper, and only when the step-entry state allowed.
+        valid = (jW[None, :] < n[:, None]) & bw[:, None]
+        fl = (ok0_sz != 0) & (Ekf < n_seqs)
+        if self_match:
+            contv = okc_sz > 1
+        else:
+            contv = okc_sz != 0
+        keep = (~contv) | fl | (i == -1)[:, None]
+        cand = contv & valid
+        pidx = jnp.maximum(
+            jax.lax.cummax(jnp.where(cand, jW[None, :], -1), axis=1), -1)
+        pidx_prev = jnp.concatenate(
+            [jnp.full((B, 1), -1, jnp.int32), pidx[:, :-1]], axis=1)
+        prev_s = jnp.take_along_axis(okc_sz, jnp.maximum(pidx_prev, 0), 1)
+        do_curr = cand & ((Ekf < n_seqs) | (pidx_prev < 0)
+                          | (okc_sz != prev_s))
+        cn_before, cn_inc = _excl_cumsum(do_curr, axis=1)
+        cnn = cn_inc[:, -1]
 
-        def seg_body(st):
-            nseg, x, glob = st
-            ret, glob = segment(x, glob)
-            ret = jnp.maximum(ret, x + 1)  # guarantee progress
-            return nseg + 1, ret, glob
+        do_keep = keep & valid & ((cn_before == 0) | fl)
+        seg_mn = gmn - seg_base
+        base_ok = (seg_mn == 0) | ((i + 1) < last_ms)
+        ab_before, _ = _excl_cumsum(do_keep, axis=1)
+        do_mem = do_keep & (fl | (base_ok[:, None] & (ab_before == 0)))
+        dm_before, dm_inc = _excl_cumsum(do_mem, axis=1)
+        at = gmn[:, None] + dm_before
+        ovf = ovf | jnp.any(do_mem & (at >= M), axis=1)
+        # scatter matches into the global per-read buffers (flat indices)
+        tgt = jnp.where(do_mem,
+                        (jnp.arange(B, dtype=jnp.int32) * M)[:, None]
+                        + jnp.minimum(at, M - 1),
+                        B * M)
+        tgt = tgt.reshape(-1)
+        gkb = st["gkb"].reshape(-1).at[tgt].set(
+            Ekb.reshape(-1), mode="drop").reshape(B, M)
+        gkf = st["gkf"].reshape(-1).at[tgt].set(
+            Ekf.reshape(-1), mode="drop").reshape(B, M)
+        gsz = st["gsz"].reshape(-1).at[tgt].set(
+            Esz.reshape(-1), mode="drop").reshape(B, M)
+        gend = st["gend"].reshape(-1).at[tgt].set(
+            Lnfo.reshape(-1), mode="drop").reshape(B, M)
+        gstart = st["gstart"].reshape(-1).at[tgt].set(
+            jnp.broadcast_to((i + 1)[:, None], (B, W)).reshape(-1),
+            mode="drop").reshape(B, M)
+        gclosed = st["gclosed"].reshape(-1).at[tgt].set(
+            (ok0_sz != 0).reshape(-1), mode="drop").reshape(B, M)
+        n_mem = dm_inc[:, -1]
+        last_ms = jnp.where(bw & (n_mem > 0), i + 1, last_ms)
+        gmn = jnp.where(bw, jnp.minimum(gmn + n_mem, M), gmn)
 
-        _, ret, glob = jax.lax.while_loop(
-            seg_cond, seg_body, (jnp.int32(0), x0.astype(jnp.int32), glob))
-        gkb, gkf, gsz, gend, gstart, gclosed, gmn, govf = glob
-        return gkb, gkf, gsz, gend, gstart, gclosed, gmn, ret, govf
+        # rebuild the live list (compaction scatter, flat indices)
+        ovf = ovf | jnp.any(do_curr & (cn_before >= W), axis=1)
+        ltgt = jnp.where(do_curr, rowW + jnp.minimum(cn_before, W - 1),
+                         B * W).reshape(-1)
+        nLkb = Z_W.reshape(-1).at[ltgt].set(
+            okc_kb.reshape(-1), mode="drop").reshape(B, W)
+        nLkf = Z_W.reshape(-1).at[ltgt].set(
+            okc_kf.reshape(-1), mode="drop").reshape(B, W)
+        nLsz = Z_W.reshape(-1).at[ltgt].set(
+            okc_sz.reshape(-1), mode="drop").reshape(B, W)
+        nLnfo = Z_Wi.reshape(-1).at[ltgt].set(
+            Lnfo.reshape(-1), mode="drop").reshape(B, W)
+        Lkb = jnp.where(bw[:, None], nLkb, Lkb)
+        Lkf = jnp.where(bw[:, None], nLkf, Lkf)
+        Lsz = jnp.where(bw[:, None], nLsz, Lsz)
+        Lnfo = jnp.where(bw[:, None], nLnfo, Lnfo)
+        n = jnp.where(bw, cnn, n)
+        i_b = i - 1
+        i = jnp.where(bw, i_b, i)
 
-    return jax.vmap(one_read)(q, l, x0)
+        # bwd termination: segment complete — reverse this segment's matches
+        # into start-ascending order, then either restart (next segment,
+        # inline) or finish the lane
+        term = bw & ((i_b < -1) | (cnn == 0))
+        rend = jnp.clip(gmn, 0, M)
+        rbeg = jnp.clip(seg_base, 0, M)
+        in_seg = (jM[None, :] >= rbeg[:, None]) & (jM[None, :] < rend[:, None])
+        rev = jnp.clip(rbeg[:, None] + (rend[:, None] - 1 - jM[None, :]),
+                       0, M - 1)
+        gidx = jnp.where(term[:, None] & in_seg, rev, jM[None, :])
+        gkb = jnp.take_along_axis(gkb, gidx, 1)
+        gkf = jnp.take_along_axis(gkf, gidx, 1)
+        gsz = jnp.take_along_axis(gsz, gidx, 1)
+        gend = jnp.take_along_axis(gend, gidx, 1)
+        gstart = jnp.take_along_axis(gstart, gidx, 1)
+        gclosed = jnp.take_along_axis(gclosed, gidx, 1)
+
+        nseg = st["nseg"] + term.astype(jnp.int32)
+        x_new = jnp.maximum(xret_f, x + 1)       # guarantee progress
+        xret = jnp.where(term, x_new, xret_f)
+        fin = (x_new >= l)
+        if max_segments:
+            fin = fin | (nseg >= max_segments)
+        done = done | (term & fin)
+        restart = term & ~fin
+        # inline segment restart (fm6_smem do-while, smem.c:400-408)
+        xr = jnp.where(restart, x_new, x)
+        cr = qat(xr)
+        rkb, rkf, rsz = set_intv(cr)
+        kb = jnp.where(restart, rkb, kb)
+        kf = jnp.where(restart, rkf, kf)
+        sz = jnp.where(restart, rsz, sz)
+        x = xr
+        i = jnp.where(restart, x_new + 1, i)
+        n = jnp.where(restart, 0, n)
+        bwd = bwd & ~restart
+
+        return dict(done=done, bwd=bwd, nseg=nseg, x=x, i=i,
+                    kb=kb, kf=kf, sz=sz,
+                    Lkb=Lkb, Lkf=Lkf, Lsz=Lsz, Lnfo=Lnfo, n=n,
+                    seg_base=seg_base, last_ms=last_ms, xret=xret, ovf=ovf,
+                    gkb=gkb, gkf=gkf, gsz=gsz, gend=gend, gstart=gstart,
+                    gclosed=gclosed, gmn=gmn)
+
+    st = jax.lax.while_loop(cond, body, state)
+    return (st["gkb"], st["gkf"], st["gsz"], st["gend"], st["gstart"],
+            st["gclosed"], st["gmn"], st["xret"], st["ovf"])
 
 
-LONG_QUERY_LEN = 512   # above this, drive segments from the host
+LONG_QUERY_LEN = 512   # above this, use the native sequential engine
 SEGMENTS_PER_CALL = 16  # restart segments per device call in the long path
-
-
-def _default_phases(maxi):
-    """Backward-sweep width ladder (decay measured in BENCH_NOTES.md):
-    full width for 4 steps, 3/4 width for 6 more, then 3/8 width for the
-    long plateau tail. Lanes that outgrow a narrower phase are flagged and
-    redone at the next uniform-width tier (~1-2% of reads)."""
-    if maxi < 16:
-        return None
-    return ((4, maxi), (6, (3 * maxi) // 4), (0, (3 * maxi) // 8))
 
 
 def smem_all(index: FMDIndex, seqs: list[np.ndarray], self_match=False,
@@ -337,13 +370,12 @@ def smem_all(index: FMDIndex, seqs: list[np.ndarray], self_match=False,
 
     Returns per read a list of (start, end, size, left_closed, kf) tuples, in
     the same order the reference fm6_smem emits them. Short reads run fully
-    in-kernel (one call per batch); long queries (contigs) run one segment
-    per call with host restarts, since their total match count is unbounded.
+    in-kernel (one call per batch); long queries (contigs) go to the native
+    sequential engine, since their interval sets reach hundreds of entries.
 
     maxi=32 default: measured on 100 bp reads against a 3x-coverage index,
-    per-segment interval lists run 17-32 entries (every read overflowed the
-    old maxi=16 first tier into a full-batch 64-wide redo — a 2.5x row-traffic
-    tax); at 32 the redo rate is ~0.2%.
+    per-segment interval lists run 17-32 entries; at 32 the redo rate is
+    ~0.2%.
     """
     B = len(seqs)
     if B == 0:
@@ -362,8 +394,7 @@ def smem_all(index: FMDIndex, seqs: list[np.ndarray], self_match=False,
             q[i, : len(s)] = s
             lens[i] = len(s)
         out = _smem_batch(index, jnp.asarray(q), jnp.asarray(lens),
-                          self_match, max_len, maxi, maxm,
-                          phases=_default_phases(maxi))
+                          self_match, max_len, maxi, maxm)
         mkb, mkf, msz, mend, mstart, mclosed, mn, _, ovf = map(np.asarray, out)
         for b in range(m):
             if ovf[b]:
@@ -400,75 +431,6 @@ def smem_all(index: FMDIndex, seqs: list[np.ndarray], self_match=False,
                      bool(bclosed[t, u]), int(bkf[t, u])) for u in range(k)]
             redo = np.array(still, dtype=np.int64)
         assert not redo.size, "SMEM overflow at guaranteed buffer size"
-    return results
-
-
-def _smem_all_segmented(index, seqs, self_match, maxi, maxm, batch):
-    """Host-driven restart loop: one fm6_smem1 segment per device call."""
-    B = len(seqs)
-    max_len = max(len(s) for s in seqs)
-    results = [[] for _ in range(B)]
-    for lo in range(0, B, batch):
-        chunk = seqs[lo: lo + batch]
-        m = len(chunk)
-        q = np.zeros((batch, max_len), np.uint8)
-        lens = np.zeros(batch, np.int32)
-        for i, s in enumerate(chunk):
-            q[i, : len(s)] = s
-            lens[i] = len(s)
-        qd = jnp.asarray(q)
-        ld = jnp.asarray(lens)
-        x = np.zeros(batch, np.int32)
-        active = lens > 0
-        while active.any():
-            out = _smem_batch(index, qd, ld, self_match, max_len, maxi, maxm,
-                              x0=jnp.asarray(x), max_segments=SEGMENTS_PER_CALL)
-            mkb, mkf, msz, mend, mstart, mclosed, mn, ret, ovf = map(
-                np.asarray, out)
-            ret = ret.astype(np.int32).copy()
-            redo = ovf & active
-            if redo.any():
-                # tiered redo: first retry ONE segment with the same buffer
-                # shapes (matches per single segment almost always fit, and
-                # the compile is shared-size); only truly pathological lanes
-                # fall through to the guaranteed-size kernel
-                sel = np.flatnonzero(redo)
-                for tier_maxi, tier_maxm, tier_seg in (
-                        (maxi, maxm, 1),
-                        (2 * max_len + 4, 4 * max_len + 8, 1)):
-                    if not sel.size:
-                        break
-                    qr = np.zeros_like(q)
-                    lr = np.zeros_like(lens)
-                    xr = np.zeros_like(x)
-                    qr[: len(sel)] = q[sel]
-                    lr[: len(sel)] = lens[sel]
-                    xr[: len(sel)] = x[sel]
-                    big = _smem_batch(index, jnp.asarray(qr), jnp.asarray(lr),
-                                      self_match, max_len, tier_maxi,
-                                      tier_maxm, x0=jnp.asarray(xr),
-                                      max_segments=tier_seg)
-                    bkb, bkf, bsz, bend, bstart, bclosed, bmn, bret, bovf =                         map(np.asarray, big)
-                    still = []
-                    for t, b in enumerate(sel):
-                        if bovf[t]:
-                            still.append(b)
-                            continue
-                        k = int(bmn[t])
-                        results[lo + b].extend(
-                            (int(bstart[t, u]), int(bend[t, u]),
-                             int(bsz[t, u]), bool(bclosed[t, u]),
-                             int(bkf[t, u])) for u in range(k))
-                        ret[b] = bret[t]
-                    sel = np.array(still, dtype=np.int64)
-                assert not sel.size, "SMEM overflow at guaranteed buffer size"
-            for b in np.flatnonzero(active & ~redo):
-                k = int(mn[b])
-                results[lo + b].extend(
-                    (int(mstart[b, u]), int(mend[b, u]), int(msz[b, u]),
-                     bool(mclosed[b, u]), int(mkf[b, u])) for u in range(k))
-            x = np.where(active, ret, x)
-            active = active & (x < lens)
     return results
 
 
