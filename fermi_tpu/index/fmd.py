@@ -26,6 +26,49 @@ import jax.numpy as jnp
 BLOCK_BITS = 7
 BLOCK = 1 << BLOCK_BITS  # 128 symbols per occ block
 
+_NIB1 = 0x11111111  # bit0 of every nibble
+
+
+def _pallas_rank_mode() -> str:
+    """Rank-kernel dispatch: '1' = Pallas (TPU), 'interp' = Pallas
+    interpreter (CPU tests), '0' = fused XLA SWAR.  FERMI_TPU_PALLAS_RANK
+    overrides; default 'auto' picks Pallas on TPU-class backends and XLA
+    SWAR on CPU."""
+    import os
+
+    mode = os.environ.get("FERMI_TPU_PALLAS_RANK", "auto")
+    if mode != "auto":
+        return mode
+    return "1" if jax.default_backend() not in ("cpu",) else "0"
+
+
+def _swar_rank_count(words: jnp.ndarray, off: jnp.ndarray) -> jnp.ndarray:
+    """Per-symbol prefix counts within one 128-symbol block.
+
+    words: int32 [..., 16] nibble-packed symbols; off: int32 [...] prefix
+    length in [0, 128].  Returns int32 [..., 6].
+
+    Pure int32 SWAR (shared verbatim by the Pallas kernel, which cannot use
+    sub-32-bit vectors): symbol c's count per word = number of zero nibbles
+    of words ^ (c * 0x11111111), restricted to nibbles below the query
+    offset; zero-nibble marks are summed with the * 0x11111111 >> 28 trick.
+    Nibble values are <= 6 and patterns <= 5, so xor nibbles are <= 7 and
+    no bit3 carries occur."""
+    i32 = jnp.int32
+    jpos = (jnp.arange(16, dtype=i32) * 8)
+    # allowed nibbles of word j: t = clamp(off - 8j, 0, 8) low nibbles
+    t = jnp.clip(off[..., None] - jpos, 0, 8)
+    allowed = jnp.where(t >= 8, i32(_NIB1),
+                        ((i32(1) << (4 * jnp.minimum(t, 7))) - 1) & _NIB1)
+    outs = []
+    for c in range(6):
+        x = words ^ i32(c * _NIB1)
+        nz = (x | (x >> 1) | (x >> 2) | (x >> 3)) & _NIB1
+        zeros = (~nz) & allowed
+        per_word = ((zeros * i32(_NIB1)) >> 28) & 15
+        outs.append(jnp.sum(per_word, axis=-1, dtype=i32))
+    return jnp.stack(outs, axis=-1)
+
 
 @jax.tree_util.register_pytree_node_class
 @dataclass
@@ -43,9 +86,11 @@ class FMDIndex:
     occ: jnp.ndarray
     cnt: jnp.ndarray
     mcnt: jnp.ndarray
+    bwt_packed: jnp.ndarray = None  # int32 [n_blocks+1, 16], 8 nibbles/word
 
     def tree_flatten(self):
-        return (self.bwt_blocks, self.occ, self.cnt, self.mcnt), None
+        return (self.bwt_blocks, self.occ, self.cnt, self.mcnt,
+                self.bwt_packed), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -74,11 +119,20 @@ class FMDIndex:
         cnt[1:7] = np.cumsum(mcnt[1:7])
         cnt[7] = cnt[6]
         dtype = np.int32 if n < 2**31 - BLOCK else np.int64
+        # nibble-packed blocks: 8 symbols per int32 word, symbol at block
+        # offset j*8+s lives in nibble s of word j.  Max nibble value is 6,
+        # so words stay positive in int32.  Halves rank-gather rows to 64 B
+        # and feeds the SWAR rank count (see rank6) and the Pallas kernel.
+        w = blocks.astype(np.uint32).reshape(n_blocks + 1, 16, 8)
+        packed = np.zeros((n_blocks + 1, 16), np.uint32)
+        for s in range(8):
+            packed |= w[:, :, s] << (4 * s)
         return FMDIndex(
             bwt_blocks=jnp.asarray(blocks),
             occ=jnp.asarray(occ.astype(dtype)),
             cnt=jnp.asarray(cnt.astype(dtype)),
             mcnt=jnp.asarray(mcnt.astype(dtype)),
+            bwt_packed=jnp.asarray(packed.astype(np.int32)),
         )
 
     @staticmethod
@@ -107,13 +161,38 @@ class FMDIndex:
     # -- core queries (all batched over leading axis) ----------------------
 
     def rank6(self, k: jnp.ndarray) -> jnp.ndarray:
-        """Counts of symbols 0..5 in BWT[0..k-1]. k: int [B] -> [B, 6].
+        """Counts of symbols 0..5 in BWT[0..k-1]. k: int [...] -> [..., 6].
 
-        The count runs in [B, 6, BLOCK] layout: the minor dim is the full
+        Default path: SWAR count over the nibble-packed blocks — the gather
+        row is 64 B and the per-symbol count is ~8 int32 ops per word plus a
+        16-lane reduce, with no [.., 6, BLOCK] one-hot intermediate (the
+        dense one-hot count materialized ~50 MB/extend6 in HBM at B=2048
+        and bounded the round-1 SMEM kernel; BENCH_NOTES.md)."""
+        if self.bwt_packed is None:
+            return self.rank6_dense(k)
+        k = k.astype(self.idtype)
+        blk = k >> BLOCK_BITS
+        off = (k & (BLOCK - 1)).astype(jnp.int32)
+        words = self.bwt_packed[blk]                      # [..., 16] int32
+        base = self.occ[blk][..., :6]                     # [..., 6]
+        mode = _pallas_rank_mode()
+        if mode != "0":
+            from fermi_tpu.ops import rank_pallas
+            shp = words.shape[:-1]
+            cnts = rank_pallas.rank_block_counts(
+                words.reshape(-1, 16), off.reshape(-1),
+                interpret=(mode == "interp"))
+            within = cnts[:, :6].reshape(*shp, 6)
+        else:
+            within = _swar_rank_count(words, off)
+        return base + within.astype(self.idtype)
+
+    def rank6_dense(self, k: jnp.ndarray) -> jnp.ndarray:
+        """One-hot count over the uint8 blocks (fallback/oracle path).
+
+        Count runs in [B, 6, BLOCK] layout: the minor dim is the full
         128-symbol block (one VPU lane row), the 6-symbol dim pads only to
-        the 8 sublanes. The transposed [B, BLOCK, 6] form puts 6 in the
-        128-lane minor position and runs ~20x below peak (measured on the
-        v5e: the whole SMEM kernel was compute-bound on this count)."""
+        the 8 sublanes (the transposed form ran ~20x below peak)."""
         k = k.astype(self.idtype)
         blk = k >> BLOCK_BITS
         off = k & (BLOCK - 1)
