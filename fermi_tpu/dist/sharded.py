@@ -1,13 +1,24 @@
-"""Multi-chip sharding of the FMD-index and its queries.
+"""Multi-chip sharding of the FMD-index and its query kernels.
 
 Parallel axes (the framework's mesh vocabulary — SURVEY.md §2.6):
   dp — reads/queries sharded across devices (data parallel)
-  tp — the rank table (BWT blocks + occ rows) sharded by block range; a rank
-       query is answered by the owning shard and combined with a psum over
-       ICI (suffix-range "tensor parallel" of the index)
+  tp — the rank table (nibble-packed BWT blocks + occ rows) sharded by block
+       range; a rank query is answered by the owning shard and combined with
+       a psum over ICI (suffix-range "tensor parallel" of the index,
+       reference mechanism P8: the mmap-shared read-only index)
 
-Both combine in one mesh; backward search / extension steps run under
-shard_map with queries on dp and the index on tp.
+What runs sharded (all under shard_map over one dp×tp mesh):
+  * the full SMEM state-machine kernel (search/smem.py) — queries on dp, the
+    index on tp, every bidirectional-extension rank psum-combined; this is
+    the whole fm6_smem1_core loop on the mesh, not a single search step
+  * index merging (reference merge.c:21-137): the gap walks are dp-sharded
+    batched LF+rank steps (each e1 read one lane, both indexes tp-shardable),
+    and the stream interleave is a device segmented scan (two cumsums)
+  * one backward-search step (kept for the compile-check entry)
+
+Multi-host note: the same code runs under jax.distributed.initialize() —
+the mesh then spans hosts and psum/ppermute ride ICI within a slice and DCN
+across; nothing here assumes single-process other than the test harness.
 """
 
 from functools import partial
@@ -15,22 +26,284 @@ from functools import partial
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
-from fermi_tpu.index.fmd import BLOCK_BITS, BLOCK
+from fermi_tpu.index.fmd import (BLOCK_BITS, BLOCK, FMDIndex,
+                                 _swar_rank_count)
+from fermi_tpu.search.smem import _smem_batch_impl
+from fermi_tpu.search import smem as smem_mod
 
 
 def make_mesh(devices=None, dp=None, tp=None) -> Mesh:
+    """dp×tp device mesh. Arbitrary shapes: pass dp and/or tp; the missing
+    factor is derived from the device count (default tp=1: replicate the
+    index, shard queries)."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
+    if dp is None and tp is None:
+        tp = 1
     if tp is None:
-        tp = 2 if n % 2 == 0 and n > 1 else 1
+        tp = n // dp
     if dp is None:
         dp = n // tp
+    if dp * tp > n:
+        raise ValueError(f"mesh dp={dp} x tp={tp} needs {dp*tp} devices, "
+                         f"have {n}")
     dev = np.asarray(devices[: dp * tp]).reshape(dp, tp)
     return Mesh(dev, ("dp", "tp"))
 
+
+class _TpIndexView:
+    """Per-device view of a tp-sharded FMD-index, duck-typing the FMDIndex
+    query interface used by the kernels (rank6 / lf / set_intv fields).
+    Constructed INSIDE shard_map from the local shard; every rank answer is
+    a psum over the tp axis (non-owners contribute zeros)."""
+
+    def __init__(self, packed_l, occ_l, cnt, mcnt, axis="tp"):
+        self.packed_l = packed_l      # [nb_local, 16] int32
+        self.occ_l = occ_l            # [nb_local, 8-or-6] idtype
+        self.cnt = cnt                # [8] replicated
+        self.mcnt = mcnt              # [8] replicated
+        self.axis = axis
+        self.nb_local = packed_l.shape[0]
+
+    @property
+    def idtype(self):
+        return self.occ_l.dtype
+
+    def _local(self, k):
+        k = k.astype(self.idtype)
+        blk = k >> BLOCK_BITS
+        off = (k & (BLOCK - 1)).astype(jnp.int32)
+        lo = jax.lax.axis_index(self.axis).astype(self.idtype) * self.nb_local
+        lblk = jnp.clip(blk - lo, 0, self.nb_local - 1)
+        owned = (blk >= lo) & (blk < lo + self.nb_local)
+        return lblk, off, owned
+
+    def rank6(self, k):
+        lblk, off, owned = self._local(k)
+        words = self.packed_l[lblk]
+        base = self.occ_l[lblk][..., :6]
+        within = _swar_rank_count(words, off)
+        out = base + within.astype(self.idtype)
+        return jax.lax.psum(jnp.where(owned[..., None], out, 0), self.axis)
+
+    def sym_at(self, k):
+        lblk, off, owned = self._local(k)
+        words = self.packed_l[lblk]
+        w = jnp.take_along_axis(words, (off >> 3)[..., None], -1)[..., 0]
+        sym = (w >> (4 * (off & 7))) & 15
+        return jax.lax.psum(jnp.where(owned, sym, 0), self.axis)
+
+    def lf(self, k):
+        """(symbol at k, LF(k)) — one fused psum for rank+symbol."""
+        lblk, off, owned = self._local(k)
+        words = self.packed_l[lblk]
+        base = self.occ_l[lblk][..., :6]
+        within = _swar_rank_count(words, off)
+        rank = base + within.astype(self.idtype)
+        w = jnp.take_along_axis(words, (off >> 3)[..., None], -1)[..., 0]
+        sym = ((w >> (4 * (off & 7))) & 15).astype(self.idtype)
+        payload = jnp.concatenate(
+            [jnp.where(owned[..., None], rank, 0),
+             jnp.where(owned, sym, 0)[..., None]], axis=-1)
+        payload = jax.lax.psum(payload, self.axis)
+        r, c = payload[..., :6], payload[..., 6].astype(jnp.uint8)
+        ci = c.astype(jnp.int32)
+        kp = self.cnt[ci] + jnp.take_along_axis(r, ci[..., None], -1)[..., 0]
+        return c, kp
+
+
+def shard_index(index: FMDIndex, mesh: Mesh):
+    """Pad + device_put the index arrays: packed blocks and occ sharded over
+    tp (replicated over dp), cnt/mcnt replicated. Returns device arrays."""
+    tp = mesh.shape["tp"]
+    packed = np.asarray(index.bwt_packed)
+    occ = np.asarray(index.occ)
+    nb = packed.shape[0]
+    pad = (-nb) % tp
+    if pad:
+        packed = np.concatenate(
+            [packed, np.full((pad, 16), 0x66666666, packed.dtype)])
+        occ = np.concatenate([occ, np.repeat(occ[-1:], pad, axis=0)])
+    packed_d = jax.device_put(packed, NamedSharding(mesh, P("tp", None)))
+    occ_d = jax.device_put(occ, NamedSharding(mesh, P("tp", None)))
+    cnt_d = jax.device_put(np.asarray(index.cnt), NamedSharding(mesh, P()))
+    mcnt_d = jax.device_put(np.asarray(index.mcnt), NamedSharding(mesh, P()))
+    return packed_d, occ_d, cnt_d, mcnt_d
+
+
+# ---------------------------------------------------------------------------
+# sharded SMEM: the full state-machine kernel on the mesh
+# ---------------------------------------------------------------------------
+
+def _sharded_smem_fn(mesh: Mesh, self_match: bool, max_len: int, maxi: int,
+                     maxm: int):
+    @partial(jax.jit, static_argnums=())
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P("tp", None), P("tp", None), P(), P(),
+                       P("dp", None), P("dp")),
+             out_specs=tuple([P("dp", None)] * 6 + [P("dp")] * 3),
+             check_rep=False)
+    def run(packed_l, occ_l, cnt, mcnt, q_l, l_l):
+        view = _TpIndexView(packed_l, occ_l, cnt, mcnt)
+        return _smem_batch_impl(view, q_l, l_l, self_match, max_len,
+                                maxi, maxm)
+    return run
+
+
+class ShardedSMEM:
+    """smem_all over a dp×tp mesh: queries data-parallel, index
+    suffix-range-sharded. Results (and the overflow-redo ladder) are
+    identical to the single-device path — tests/test_dist.py asserts
+    equality against search.smem.smem_all."""
+
+    def __init__(self, index: FMDIndex, mesh: Mesh):
+        self.index = index
+        self.mesh = mesh
+        self.arrays = shard_index(index, mesh)
+        self._fns = {}
+
+    def smem_all(self, seqs, self_match=False, maxi=32, maxm=64,
+                 batch=None):
+        dp = self.mesh.shape["dp"]
+        B = len(seqs)
+        if B == 0:
+            return []
+        batch = batch or B
+        batch = ((batch + dp - 1) // dp) * dp
+        max_len = max(len(s) for s in seqs)
+        if max_len > smem_mod.LONG_QUERY_LEN:
+            return smem_mod.smem_all_native(self.index, seqs, self_match)
+
+        def runner(q, lens, mi, mm):
+            key = (self_match, q.shape[1], mi, mm)
+            if key not in self._fns:
+                self._fns[key] = _sharded_smem_fn(
+                    self.mesh, self_match, q.shape[1], mi, mm)
+            qd = jax.device_put(
+                q, NamedSharding(self.mesh, P("dp", None)))
+            ld = jax.device_put(lens, NamedSharding(self.mesh, P("dp")))
+            return self._fns[key](*self.arrays, qd, ld)
+
+        return smem_mod.smem_all(self.index, seqs, self_match=self_match,
+                                 maxi=maxi, maxm=maxm, batch=batch,
+                                 runner=runner)
+
+
+# ---------------------------------------------------------------------------
+# distributed merge (reference merge.c as mesh collectives)
+# ---------------------------------------------------------------------------
+
+def _sharded_gap_chunk_fn(mesh: Mesh, steps: int):
+    """dp-sharded version of algos.merge._gap_walk_chunk: every lane walks
+    one e1 read backward through both indexes (merge.c:31-66), both indexes
+    tp-sharded. Emits merged-position hits."""
+
+    @jax.jit
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P("tp", None), P("tp", None), P(), P(),
+                       P("tp", None), P("tp", None), P(), P(),
+                       P("dp"), P("dp"), P("dp")),
+             out_specs=(P("dp"), P("dp"), P("dp"), P("dp", None)),
+             check_rep=False)
+    def run(p1, o1, c1, m1, p0, o0, c0, m0, k, i, done):
+        e1 = _TpIndexView(p1, o1, c1, m1)
+        e0 = _TpIndexView(p0, o0, c0, m0)
+        B = k.shape[0]
+        pos = jnp.full((B, steps), -1, dtype=jnp.int64)
+
+        def body(step, carry):
+            k, i, done, pos = carry
+            c, kp = e1.lf(k)
+            ci = c.astype(jnp.int32)
+            r0 = e0.rank6(i + 1)
+            ip = (e0.cnt[ci]
+                  + jnp.take_along_axis(r0, ci[:, None], axis=1)[:, 0] - 1)
+            hit_end = c == 0
+            active = ~done & ~hit_end
+            k = jnp.where(active, kp, k)
+            i = jnp.where(active, ip, i)
+            pos = pos.at[:, step].set(
+                jnp.where(active, (k + i + 1).astype(jnp.int64), -1))
+            done = done | hit_end
+            return k, i, done, pos
+
+        return jax.lax.fori_loop(0, steps, body, (k, i, done, pos))
+
+    return run
+
+
+def compute_gap_bits_sharded(e0: FMDIndex, e1: FMDIndex, mesh: Mesh,
+                             batch=8192, chunk_steps=128) -> np.ndarray:
+    """bool[n0+n1] gap vector via mesh-parallel walks (merge.c:21-66: one
+    update_bits per step, here a host OR over the dp-gathered emit
+    buffers)."""
+    dp = mesh.shape["dp"]
+    batch = ((batch + dp - 1) // dp) * dp
+    a0 = shard_index(e0, mesh)
+    a1 = shard_index(e1, mesh)
+    fn = _sharded_gap_chunk_fn(mesh, chunk_steps)
+    n0 = int(np.asarray(e0.mcnt[0]))
+    n1 = int(np.asarray(e1.mcnt[0]))
+    n1_seqs = int(np.asarray(e1.mcnt[1]))
+    n0_seqs = int(np.asarray(e0.mcnt[1]))
+    bits = np.zeros(n0 + n1, bool)
+    idt = e1.idtype
+    dput = lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec))
+    for lo in range(0, n1_seqs, batch):
+        chunk = np.arange(lo, min(lo + batch, n1_seqs), dtype=np.int64)
+        m = len(chunk)
+        k = dput(np.pad(chunk, (0, batch - m)).astype(idt), P("dp"))
+        i = dput(np.full(batch, n0_seqs - 1, dtype=idt), P("dp"))
+        done = dput(np.arange(batch) >= m, P("dp"))
+        bits[np.asarray(k)[:m] + n0_seqs] = True  # initial emit (merge.c:42)
+        while not bool(np.asarray(jnp.all(done))):
+            k, i, done, pos = fn(*a1, *a0, k, i, done)
+            p = np.asarray(pos).ravel()
+            bits[p[p >= 0]] = True
+    return bits
+
+
+def interleave_device(mesh: Mesh, bwt0, bwt1, bits):
+    """The merge interleave (merge.c:100-137) as a device segmented scan:
+    destination ranks of both streams come from two cumsums over the
+    dp-sharded gap vector; XLA lowers the sharded cumsum + gathers to
+    per-shard scans with ICI collectives."""
+    n = bits.shape[0]
+    dp = mesh.shape["dp"]
+    npad = ((n + dp - 1) // dp) * dp
+
+    @jax.jit
+    def run(bwt0, bwt1, bits):
+        sel1 = jnp.cumsum(bits) - bits          # exclusive: rank within bwt1
+        sel0 = jnp.arange(npad, dtype=sel1.dtype) - (sel1 + bits)
+        return jnp.where(bits.astype(bool),
+                         bwt1[jnp.clip(sel1, 0, bwt1.shape[0] - 1)],
+                         bwt0[jnp.clip(sel0, 0, bwt0.shape[0] - 1)])
+
+    spec = NamedSharding(mesh, P("dp"))
+    rep = NamedSharding(mesh, P())
+    bits_p = np.zeros(npad, np.int32)
+    bits_p[:n] = np.asarray(bits)
+    out = run(jax.device_put(np.asarray(bwt0), rep),
+              jax.device_put(np.asarray(bwt1), rep),
+              jax.device_put(bits_p, spec))
+    return np.asarray(out)[:n].astype(np.uint8)
+
+
+def fm_merge_sharded(e0: FMDIndex, bwt0, e1: FMDIndex, bwt1, mesh: Mesh,
+                     batch=8192) -> np.ndarray:
+    """Mesh-parallel fm_merge: dp-sharded gap walks + device interleave.
+    Byte-equal to algos.merge.fm_merge (tested)."""
+    bits = compute_gap_bits_sharded(e0, e1, mesh, batch=batch)
+    return interleave_device(mesh, bwt0, bwt1, bits)
+
+
+# ---------------------------------------------------------------------------
+# single backward-search step (compile-check entry; kept from round 1)
+# ---------------------------------------------------------------------------
 
 def pad_index_for_tp(blocks: np.ndarray, occ: np.ndarray, tp: int):
     """Pad block count to a multiple of tp so rows shard evenly."""
@@ -44,14 +317,13 @@ def pad_index_for_tp(blocks: np.ndarray, occ: np.ndarray, tp: int):
 
 
 def sharded_rank6(mesh: Mesh):
-    """Returns rank6(blocks, occ, cnt, k) with blocks/occ sharded over tp and
-    k sharded over dp; the owning tp shard answers, psum combines."""
+    """rank6(blocks, occ, k) with u8 blocks/occ sharded over tp and k over
+    dp; the owning tp shard answers, psum combines."""
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P("tp", None), P("tp", None), P("dp")),
              out_specs=P("dp", None))
     def rank6(blocks_l, occ_l, k):
-        tp = jax.lax.axis_size("tp")
         d = jax.lax.axis_index("tp")
         nb_local = blocks_l.shape[0]
         blk = (k >> BLOCK_BITS).astype(jnp.int32)

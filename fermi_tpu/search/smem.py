@@ -39,11 +39,9 @@ def _excl_cumsum(m, axis=-1):
     return s - m.astype(jnp.int32), s
 
 
-@partial(jax.jit,
-         static_argnames=("self_match", "max_len", "maxi", "maxm",
-                          "max_segments"))
-def _smem_batch(index: FMDIndex, q, l, self_match: bool, max_len: int,
-                maxi: int, maxm: int, x0=None, max_segments: int = 0):
+def _smem_batch_impl(index, q, l, self_match: bool, max_len: int,
+                     maxi: int, maxm: int, x0=None, max_segments: int = 0,
+                     debug_iters: bool = False):
     """SMEMs of every read in the batch, one state-machine while loop.
 
     q: uint8 [B, max_len]; l: int32 [B].
@@ -104,6 +102,7 @@ def _smem_batch(index: FMDIndex, q, l, self_match: bool, max_len: int,
         gkb=Z_M, gkf=Z_M, gsz=Z_M,
         gend=Z_Mi, gstart=Z_Mi, gclosed=jnp.zeros((B, M), bool),
         gmn=jnp.zeros(B, jnp.int32),
+        it=jnp.int32(0),
     )
 
     def cond(st):
@@ -353,11 +352,23 @@ def _smem_batch(index: FMDIndex, q, l, self_match: bool, max_len: int,
                     Lkb=Lkb, Lkf=Lkf, Lsz=Lsz, Lnfo=Lnfo, n=n,
                     seg_base=seg_base, last_ms=last_ms, xret=xret, ovf=ovf,
                     gkb=gkb, gkf=gkf, gsz=gsz, gend=gend, gstart=gstart,
-                    gclosed=gclosed, gmn=gmn)
+                    gclosed=gclosed, gmn=gmn, it=st["it"] + 1)
 
     st = jax.lax.while_loop(cond, body, state)
-    return (st["gkb"], st["gkf"], st["gsz"], st["gend"], st["gstart"],
-            st["gclosed"], st["gmn"], st["xret"], st["ovf"])
+    out = (st["gkb"], st["gkf"], st["gsz"], st["gend"], st["gstart"],
+           st["gclosed"], st["gmn"], st["xret"], st["ovf"])
+    if debug_iters:
+        return out + (st["it"],)
+    return out
+
+
+# jitted entry for the single-device path; dist.sharded reuses the impl
+# directly inside shard_map (the index argument there is a per-device view
+# whose rank6 psum-combines over the tp axis).
+_smem_batch = partial(jax.jit,
+                      static_argnames=("self_match", "max_len", "maxi",
+                                       "maxm", "max_segments"))(
+    _smem_batch_impl)
 
 
 LONG_QUERY_LEN = 512   # above this, use the native sequential engine
@@ -365,7 +376,8 @@ SEGMENTS_PER_CALL = 16  # restart segments per device call in the long path
 
 
 def smem_all(index: FMDIndex, seqs: list[np.ndarray], self_match=False,
-             maxi: int = 32, maxm: int = 64, batch: int | None = None):
+             maxi: int = 32, maxm: int = 64, batch: int | None = None,
+             runner=None):
     """All SMEMs for a list of nt6 reads.
 
     Returns per read a list of (start, end, size, left_closed, kf) tuples, in
@@ -384,6 +396,10 @@ def smem_all(index: FMDIndex, seqs: list[np.ndarray], self_match=False,
     max_len = max(len(s) for s in seqs)
     if max_len > LONG_QUERY_LEN:
         return smem_all_native(index, seqs, self_match)
+    if runner is None:
+        def runner(q, lens, mi, mm):
+            return _smem_batch(index, jnp.asarray(q), jnp.asarray(lens),
+                               self_match, max_len, mi, mm)
     results = [None] * B
     for lo in range(0, B, batch):
         chunk = seqs[lo: lo + batch]
@@ -393,8 +409,7 @@ def smem_all(index: FMDIndex, seqs: list[np.ndarray], self_match=False,
         for i, s in enumerate(chunk):
             q[i, : len(s)] = s
             lens[i] = len(s)
-        out = _smem_batch(index, jnp.asarray(q), jnp.asarray(lens),
-                          self_match, max_len, maxi, maxm)
+        out = runner(q, lens, maxi, maxm)
         mkb, mkf, msz, mend, mstart, mclosed, mn, _, ovf = map(np.asarray, out)
         for b in range(m):
             if ovf[b]:
@@ -415,9 +430,7 @@ def smem_all(index: FMDIndex, seqs: list[np.ndarray], self_match=False,
             lr = np.zeros_like(lens)
             qr[: len(redo)] = q[redo]
             lr[: len(redo)] = lens[redo]
-            big = _smem_batch(index, jnp.asarray(qr),
-                              jnp.asarray(lr), self_match, max_len,
-                              wi, wm)
+            big = runner(qr, lr, wi, wm)
             bkb, bkf, bsz, bend, bstart, bclosed, bmn, _, bovf = map(
                 np.asarray, big)
             still = []
