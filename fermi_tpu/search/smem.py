@@ -19,6 +19,17 @@ guaranteed-size buffers, keeping results exact for any input.
 Output fields per match mirror fm6_write_smem (smem.c:412-419): [start, end)
 on the read, interval size, left-closed flag, and forward-strand start (for
 the 'T'/'O' full-length flag).
+
+Body-cost rules (measured on the v5e, scripts/body_profile.py): dynamic
+minor-axis gathers (take_along_axis) cost ~9 ns/element and scatters
+~0.3 ms each, while jnp.where selects, static flips and log-step shifts are
+effectively free.  The loop body therefore avoids ALL per-iteration dynamic
+gathers: the interval list keeps an alive-mask instead of compacting, the
+backward walk runs right-to-left via static flips instead of reversing the
+list, symbol selection is a 6-way where-select, dedup state forward-fills in
+log2(W) shift steps, and match emission packs (seg, end, start, closed)
+into one int32 so the whole emission is 4 scatters; the reference's
+per-segment output reversal happens on host from the emitted segment ids.
 """
 
 from functools import partial
@@ -62,8 +73,6 @@ def _smem_batch_impl(index, q, l, self_match: bool, max_len: int,
     x0 = x0.astype(jnp.int32)
     l = l.astype(jnp.int32)
     jW = jnp.arange(W, dtype=jnp.int32)
-    jM = jnp.arange(M, dtype=jnp.int32)
-    rowW = (jnp.arange(B, dtype=jnp.int32) * W)[:, None]
 
     def qat(pos):
         """q[b, pos[b]] with clamping (callers mask out-of-range)."""
@@ -94,13 +103,14 @@ def _smem_batch_impl(index, q, l, self_match: bool, max_len: int,
         x=x0, i=x0 + 1,
         kb=kb0, kf=kf0, sz=sz0,
         Lkb=Z_W, Lkf=Z_W, Lsz=Z_W, Lnfo=Z_Wi,
+        Lal=jnp.zeros((B, W), bool),
         n=jnp.zeros(B, jnp.int32),
         seg_base=jnp.zeros(B, jnp.int32),
         last_ms=jnp.zeros(B, jnp.int32),
         xret=x0,
         ovf=jnp.zeros(B, bool),
         gkb=Z_M, gkf=Z_M, gsz=Z_M,
-        gend=Z_Mi, gstart=Z_Mi, gclosed=jnp.zeros((B, M), bool),
+        gmeta=Z_Mi,
         gmn=jnp.zeros(B, jnp.int32),
         it=jnp.int32(0),
     )
@@ -108,11 +118,27 @@ def _smem_batch_impl(index, q, l, self_match: bool, max_len: int,
     def cond(st):
         return ~jnp.all(st["done"])
 
+    def sel6(X, c):
+        """X[b, w, c[b]] without a gather: 6-way where-select."""
+        out = jnp.zeros_like(X[:, :, 0])
+        for s in range(6):
+            out = jnp.where((c == s)[:, None], X[:, :, s], out)
+        return out
+
+    def shr(a, k, fill):
+        """Shift right by k along the slot axis (static, no gather)."""
+        pad = jnp.full((B, k), fill, a.dtype)
+        return jnp.concatenate([pad, a[:, :-k]], axis=1)
+
+    def flipW(a):
+        return jnp.flip(a, axis=1)
+
     def body(st):
         done, bwd = st["done"], st["bwd"]
         i, x, n = st["i"], st["x"], st["n"]
         kb, kf, sz = st["kb"], st["kf"], st["sz"]
         Lkb, Lkf, Lsz, Lnfo = st["Lkb"], st["Lkf"], st["Lsz"], st["Lnfo"]
+        Lal = st["Lal"]
         gmn, seg_base, ovf = st["gmn"], st["seg_base"], st["ovf"]
 
         fw = ~done & ~bwd
@@ -132,8 +158,7 @@ def _smem_batch_impl(index, q, l, self_match: bool, max_len: int,
         # need the $-column of the final interval's extension (the
         # reference's fresh post-loop fm6_extend)
         live = jnp.where(done[:, None], False,
-                         jnp.where(bwd[:, None], jW[None, :] < n[:, None],
-                                   slot0))
+                         jnp.where(bwd[:, None], Lal, slot0))
         # extension symbol: fwd = complement of next char; bwd = prev char
         # ($=0 at i==-1, smem.c:44)
         c_f = _comp6(qat(jnp.minimum(i, l - 1)).astype(jnp.int32))
@@ -160,10 +185,9 @@ def _smem_batch_impl(index, q, l, self_match: bool, max_len: int,
         KF = jnp.where(bwd[:, None, None], other, out_primary)
         SZ = osz
 
-        cW = c[:, None, None]
-        okc_kb = jnp.take_along_axis(KB, cW, 2)[:, :, 0]   # [B, W]
-        okc_kf = jnp.take_along_axis(KF, cW, 2)[:, :, 0]
-        okc_sz = jnp.take_along_axis(SZ, cW, 2)[:, :, 0]
+        okc_kb = sel6(KB, c)                               # [B, W]
+        okc_kf = sel6(KF, c)
+        okc_sz = sel6(SZ, c)
         ok0_sz = SZ[:, :, 0]
 
         # ================= forward-sweep branch ==========================
@@ -185,45 +209,42 @@ def _smem_batch_impl(index, q, l, self_match: bool, max_len: int,
         pushF1 = fw & at_end
         pushF2 = fw & at_end & (not self_match) & (f_ok0_sz != 0)
 
-        def lpush(Lkb, Lkf, Lsz, Lnfo, n, ovf, m, vkb, vkf, vsz, vnfo):
+        def lpush(Lkb, Lkf, Lsz, Lnfo, Lal, n, ovf, m, vkb, vkf, vsz, vnfo):
             at = jnp.minimum(n, W - 1)
             sel = m[:, None] & (jW[None, :] == at[:, None])
             Lkb = jnp.where(sel, vkb[:, None].astype(idt), Lkb)
             Lkf = jnp.where(sel, vkf[:, None].astype(idt), Lkf)
             Lsz = jnp.where(sel, vsz[:, None].astype(idt), Lsz)
             Lnfo = jnp.where(sel, vnfo[:, None], Lnfo)
+            Lal = Lal | sel
             ovf = ovf | (m & (n >= W))
-            return Lkb, Lkf, Lsz, Lnfo, n + m.astype(jnp.int32), ovf
+            return Lkb, Lkf, Lsz, Lnfo, Lal, n + m.astype(jnp.int32), ovf
 
-        Lkb, Lkf, Lsz, Lnfo, n2, ovf = lpush(
-            Lkb, Lkf, Lsz, Lnfo, n, ovf, push1, kb, kf, sz, i)
-        Lkb, Lkf, Lsz, Lnfo, n2, ovf = lpush(
-            Lkb, Lkf, Lsz, Lnfo, n2, ovf, push2, f_kb0, f_kf0, f_ok0_sz, i)
-        Lkb, Lkf, Lsz, Lnfo, n2, ovf = lpush(
-            Lkb, Lkf, Lsz, Lnfo, n2, ovf, pushF1, kb, kf, sz, l)
-        Lkb, Lkf, Lsz, Lnfo, n2, ovf = lpush(
-            Lkb, Lkf, Lsz, Lnfo, n2, ovf, pushF2, f_kb0, f_kf0, f_ok0_sz, l)
+        Lkb, Lkf, Lsz, Lnfo, Lal, n2, ovf = lpush(
+            Lkb, Lkf, Lsz, Lnfo, Lal, n, ovf, push1, kb, kf, sz, i)
+        Lkb, Lkf, Lsz, Lnfo, Lal, n2, ovf = lpush(
+            Lkb, Lkf, Lsz, Lnfo, Lal, n2, ovf, push2, f_kb0, f_kf0,
+            f_ok0_sz, i)
+        Lkb, Lkf, Lsz, Lnfo, Lal, n2, ovf = lpush(
+            Lkb, Lkf, Lsz, Lnfo, Lal, n2, ovf, pushF1, kb, kf, sz, l)
+        Lkb, Lkf, Lsz, Lnfo, Lal, n2, ovf = lpush(
+            Lkb, Lkf, Lsz, Lnfo, Lal, n2, ovf, pushF2, f_kb0, f_kf0,
+            f_ok0_sz, l)
 
         adv = stepm & ~dead
         kb = jnp.where(adv, f_kbc, kb)
         kf = jnp.where(adv, f_kfc, kf)
         sz = jnp.where(adv, f_okc_sz, sz)
 
-        # fwd -> bwd transition: reverse the collected list (start-ascending
-        # order for the sweep), compute the next-segment start (smem.c: the
-        # last recorded shrink point), enter backward mode at i = x-1
+        # fwd -> bwd transition: the collected list stays in push order
+        # (end-ascending); the backward sweep walks it right-to-left via
+        # static flips, so no reversal gather is needed.  Compute the
+        # next-segment start (smem.c: the last recorded shrink point) and
+        # enter backward mode at i = x-1.
         trans = fw & (dead | at_end)
         last_nfo = jnp.take_along_axis(
             Lnfo, jnp.clip(n2 - 1, 0, W - 1)[:, None], 1)[:, 0]
         ret_seg = jnp.where(n2 > 0, last_nfo, x + 1)
-        ridx = jnp.where(jW[None, :] < n2[:, None],
-                         jnp.maximum(n2[:, None] - 1 - jW[None, :], 0),
-                         jW[None, :])
-        ridx = jnp.where(trans[:, None], ridx, jW[None, :])
-        Lkb = jnp.take_along_axis(Lkb, ridx, 1)
-        Lkf = jnp.take_along_axis(Lkf, ridx, 1)
-        Lsz = jnp.take_along_axis(Lsz, ridx, 1)
-        Lnfo = jnp.take_along_axis(Lnfo, ridx, 1)
 
         n = jnp.where(fw, n2, n)
         bwd = bwd | trans
@@ -241,7 +262,9 @@ def _smem_batch_impl(index, q, l, self_match: bool, max_len: int,
         #    unique-consecutive over candidates;
         #  * mem emission admits every full-length hit plus at most the
         #    first other keeper, and only when the step-entry state allowed.
-        valid = (jW[None, :] < n[:, None]) & bw[:, None]
+        # The walk order is push-order-DESCENDING: all directional scans run
+        # in flip space (static jnp.flip, no gathers).
+        valid = Lal & bw[:, None]
         fl = (ok0_sz != 0) & (Ekf < n_seqs)
         if self_match:
             contv = okc_sz > 1
@@ -249,84 +272,76 @@ def _smem_batch_impl(index, q, l, self_match: bool, max_len: int,
             contv = okc_sz != 0
         keep = (~contv) | fl | (i == -1)[:, None]
         cand = contv & valid
-        pidx = jnp.maximum(
-            jax.lax.cummax(jnp.where(cand, jW[None, :], -1), axis=1), -1)
-        pidx_prev = jnp.concatenate(
-            [jnp.full((B, 1), -1, jnp.int32), pidx[:, :-1]], axis=1)
-        prev_s = jnp.take_along_axis(okc_sz, jnp.maximum(pidx_prev, 0), 1)
-        do_curr = cand & ((Ekf < n_seqs) | (pidx_prev < 0)
-                          | (okc_sz != prev_s))
-        cn_before, cn_inc = _excl_cumsum(do_curr, axis=1)
-        cnn = cn_inc[:, -1]
 
-        do_keep = keep & valid & ((cn_before == 0) | fl)
+        candF = flipW(cand)
+        szF = flipW(okc_sz)
+        # previous candidate's size in walk order: log-step inclusive
+        # forward-fill of (cand, sz), then shift for the exclusive view
+        hasF = candF
+        valF = jnp.where(candF, szF, 0)
+        k = 1
+        while k < W:
+            hasF_s = shr(hasF, k, False)
+            valF_s = shr(valF, k, 0)
+            valF = jnp.where(hasF, valF, valF_s)
+            hasF = hasF | hasF_s
+            k *= 2
+        prevF_has = shr(hasF, 1, False)
+        prevF_s = shr(valF, 1, 0)
+        do_currF = candF & (flipW(Ekf < n_seqs) | ~prevF_has
+                            | (szF != prevF_s))
+        do_curr = flipW(do_currF)
+        cnn = jnp.sum(do_curr, axis=1, dtype=jnp.int32)
+
+        cnF_before, _ = _excl_cumsum(do_currF, axis=1)
+        do_keepF = flipW(keep & valid) & ((cnF_before == 0) | flipW(fl))
         seg_mn = gmn - seg_base
         base_ok = (seg_mn == 0) | ((i + 1) < last_ms)
-        ab_before, _ = _excl_cumsum(do_keep, axis=1)
-        do_mem = do_keep & (fl | (base_ok[:, None] & (ab_before == 0)))
-        dm_before, dm_inc = _excl_cumsum(do_mem, axis=1)
-        at = gmn[:, None] + dm_before
+        abF_before, _ = _excl_cumsum(do_keepF, axis=1)
+        do_memF = do_keepF & (flipW(fl)
+                              | (base_ok[:, None] & (abF_before == 0)))
+        dmF_before, dmF_inc = _excl_cumsum(do_memF, axis=1)
+        do_mem = flipW(do_memF)
+        at = gmn[:, None] + flipW(dmF_before)
         ovf = ovf | jnp.any(do_mem & (at >= M), axis=1)
-        # scatter matches into the global per-read buffers (flat indices)
+        # scatter matches into the global per-read buffers (flat indices);
+        # (seg, end, start, closed) pack into one int32 so emission is 4
+        # scatters; the per-segment output reversal happens on host from
+        # the seg field (_decode_matches)
         tgt = jnp.where(do_mem,
                         (jnp.arange(B, dtype=jnp.int32) * M)[:, None]
                         + jnp.minimum(at, M - 1),
                         B * M)
         tgt = tgt.reshape(-1)
+        meta = ((st["nseg"][:, None] << 21) | (Lnfo << 11)
+                | ((i + 1)[:, None] << 1)
+                | (ok0_sz != 0).astype(jnp.int32))
         gkb = st["gkb"].reshape(-1).at[tgt].set(
             Ekb.reshape(-1), mode="drop").reshape(B, M)
         gkf = st["gkf"].reshape(-1).at[tgt].set(
             Ekf.reshape(-1), mode="drop").reshape(B, M)
         gsz = st["gsz"].reshape(-1).at[tgt].set(
             Esz.reshape(-1), mode="drop").reshape(B, M)
-        gend = st["gend"].reshape(-1).at[tgt].set(
-            Lnfo.reshape(-1), mode="drop").reshape(B, M)
-        gstart = st["gstart"].reshape(-1).at[tgt].set(
-            jnp.broadcast_to((i + 1)[:, None], (B, W)).reshape(-1),
-            mode="drop").reshape(B, M)
-        gclosed = st["gclosed"].reshape(-1).at[tgt].set(
-            (ok0_sz != 0).reshape(-1), mode="drop").reshape(B, M)
-        n_mem = dm_inc[:, -1]
+        gmeta = st["gmeta"].reshape(-1).at[tgt].set(
+            meta.reshape(-1), mode="drop").reshape(B, M)
+        n_mem = dmF_inc[:, -1]
         last_ms = jnp.where(bw & (n_mem > 0), i + 1, last_ms)
         gmn = jnp.where(bw, jnp.minimum(gmn + n_mem, M), gmn)
 
-        # rebuild the live list (compaction scatter, flat indices)
-        ovf = ovf | jnp.any(do_curr & (cn_before >= W), axis=1)
-        ltgt = jnp.where(do_curr, rowW + jnp.minimum(cn_before, W - 1),
-                         B * W).reshape(-1)
-        nLkb = Z_W.reshape(-1).at[ltgt].set(
-            okc_kb.reshape(-1), mode="drop").reshape(B, W)
-        nLkf = Z_W.reshape(-1).at[ltgt].set(
-            okc_kf.reshape(-1), mode="drop").reshape(B, W)
-        nLsz = Z_W.reshape(-1).at[ltgt].set(
-            okc_sz.reshape(-1), mode="drop").reshape(B, W)
-        nLnfo = Z_Wi.reshape(-1).at[ltgt].set(
-            Lnfo.reshape(-1), mode="drop").reshape(B, W)
-        Lkb = jnp.where(bw[:, None], nLkb, Lkb)
-        Lkf = jnp.where(bw[:, None], nLkf, Lkf)
-        Lsz = jnp.where(bw[:, None], nLsz, Lsz)
-        Lnfo = jnp.where(bw[:, None], nLnfo, Lnfo)
+        # surviving (deduped, continuing) entries keep their slots with the
+        # extended intervals; everything else just goes dead in the mask
+        upd = bw[:, None] & do_curr
+        Lkb = jnp.where(upd, okc_kb, Lkb)
+        Lkf = jnp.where(upd, okc_kf, Lkf)
+        Lsz = jnp.where(upd, okc_sz, Lsz)
+        Lal = jnp.where(bw[:, None], do_curr, Lal)
         n = jnp.where(bw, cnn, n)
         i_b = i - 1
         i = jnp.where(bw, i_b, i)
 
-        # bwd termination: segment complete — reverse this segment's matches
-        # into start-ascending order, then either restart (next segment,
+        # bwd termination: segment complete — either restart (next segment,
         # inline) or finish the lane
         term = bw & ((i_b < -1) | (cnn == 0))
-        rend = jnp.clip(gmn, 0, M)
-        rbeg = jnp.clip(seg_base, 0, M)
-        in_seg = (jM[None, :] >= rbeg[:, None]) & (jM[None, :] < rend[:, None])
-        rev = jnp.clip(rbeg[:, None] + (rend[:, None] - 1 - jM[None, :]),
-                       0, M - 1)
-        gidx = jnp.where(term[:, None] & in_seg, rev, jM[None, :])
-        gkb = jnp.take_along_axis(gkb, gidx, 1)
-        gkf = jnp.take_along_axis(gkf, gidx, 1)
-        gsz = jnp.take_along_axis(gsz, gidx, 1)
-        gend = jnp.take_along_axis(gend, gidx, 1)
-        gstart = jnp.take_along_axis(gstart, gidx, 1)
-        gclosed = jnp.take_along_axis(gclosed, gidx, 1)
-
         nseg = st["nseg"] + term.astype(jnp.int32)
         x_new = jnp.maximum(xret_f, x + 1)       # guarantee progress
         xret = jnp.where(term, x_new, xret_f)
@@ -345,18 +360,19 @@ def _smem_batch_impl(index, q, l, self_match: bool, max_len: int,
         x = xr
         i = jnp.where(restart, x_new + 1, i)
         n = jnp.where(restart, 0, n)
+        Lal = jnp.where(restart[:, None], False, Lal)
         bwd = bwd & ~restart
 
         return dict(done=done, bwd=bwd, nseg=nseg, x=x, i=i,
                     kb=kb, kf=kf, sz=sz,
-                    Lkb=Lkb, Lkf=Lkf, Lsz=Lsz, Lnfo=Lnfo, n=n,
+                    Lkb=Lkb, Lkf=Lkf, Lsz=Lsz, Lnfo=Lnfo, Lal=Lal, n=n,
                     seg_base=seg_base, last_ms=last_ms, xret=xret, ovf=ovf,
-                    gkb=gkb, gkf=gkf, gsz=gsz, gend=gend, gstart=gstart,
-                    gclosed=gclosed, gmn=gmn, it=st["it"] + 1)
+                    gkb=gkb, gkf=gkf, gsz=gsz, gmeta=gmeta,
+                    gmn=gmn, it=st["it"] + 1)
 
     st = jax.lax.while_loop(cond, body, state)
-    out = (st["gkb"], st["gkf"], st["gsz"], st["gend"], st["gstart"],
-           st["gclosed"], st["gmn"], st["xret"], st["ovf"])
+    out = (st["gkb"], st["gkf"], st["gsz"], st["gmeta"],
+           st["gmn"], st["xret"], st["ovf"])
     if debug_iters:
         return out + (st["it"],)
     return out
@@ -410,14 +426,12 @@ def smem_all(index: FMDIndex, seqs: list[np.ndarray], self_match=False,
             q[i, : len(s)] = s
             lens[i] = len(s)
         out = runner(q, lens, maxi, maxm)
-        mkb, mkf, msz, mend, mstart, mclosed, mn, _, ovf = map(np.asarray, out)
+        mkb, mkf, msz, mmeta, mn, _, ovf = map(np.asarray, out)
         for b in range(m):
             if ovf[b]:
                 continue
-            k = int(mn[b])
-            results[lo + b] = [
-                (int(mstart[b, u]), int(mend[b, u]), int(msz[b, u]),
-                 bool(mclosed[b, u]), int(mkf[b, u])) for u in range(k)]
+            results[lo + b] = _decode_matches(mkf[b], msz[b], mmeta[b],
+                                              int(mn[b]))
         redo = np.flatnonzero(ovf[:m])
         # tiered redo: try a 4x-wider kernel before the guaranteed-size one
         # (the 2L-wide variant is rarely needed and very expensive to compile).
@@ -431,20 +445,44 @@ def smem_all(index: FMDIndex, seqs: list[np.ndarray], self_match=False,
             qr[: len(redo)] = q[redo]
             lr[: len(redo)] = lens[redo]
             big = runner(qr, lr, wi, wm)
-            bkb, bkf, bsz, bend, bstart, bclosed, bmn, _, bovf = map(
-                np.asarray, big)
+            bkb, bkf, bsz, bmeta, bmn, _, bovf = map(np.asarray, big)
             still = []
             for t, b in enumerate(redo.tolist()):
                 if bovf[t]:
                     still.append(b)
                     continue
-                k = int(bmn[t])
-                results[lo + b] = [
-                    (int(bstart[t, u]), int(bend[t, u]), int(bsz[t, u]),
-                     bool(bclosed[t, u]), int(bkf[t, u])) for u in range(k)]
+                results[lo + b] = _decode_matches(bkf[t], bsz[t], bmeta[t],
+                                                  int(bmn[t]))
             redo = np.array(still, dtype=np.int64)
         assert not redo.size, "SMEM overflow at guaranteed buffer size"
     return results
+
+
+def _decode_matches(kf, sz, meta, k):
+    """Unpack the kernel's per-read match buffers into the reference's
+    emission order.
+
+    meta packs (seg << 21 | end << 11 | start << 1 | closed); matches were
+    appended start-DESCENDING within each segment (the backward walk), and
+    fm6_smem emits them start-ascending — reverse each segment's slice
+    (replacing the old in-kernel take_along_axis reversal, which cost ~7 ms
+    per loop iteration at B=2048)."""
+    meta = np.asarray(meta[:k])
+    seg = meta >> 21
+    end = (meta >> 11) & 1023
+    start = (meta >> 1) & 1023
+    closed = meta & 1
+    out = []
+    u = 0
+    while u < k:
+        v = u
+        while v < k and seg[v] == seg[u]:
+            v += 1
+        for w in range(v - 1, u - 1, -1):
+            out.append((int(start[w]), int(end[w]), int(sz[w]),
+                        bool(closed[w]), int(kf[w])))
+        u = v
+    return out
 
 
 def format_smem(index: FMDIndex, match) -> str:
