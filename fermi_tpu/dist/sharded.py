@@ -144,7 +144,7 @@ def _sharded_smem_fn(mesh: Mesh, self_match: bool, max_len: int, maxi: int,
     @partial(shard_map, mesh=mesh,
              in_specs=(P("tp", None), P("tp", None), P(), P(),
                        P("dp", None), P("dp")),
-             out_specs=tuple([P("dp", None)] * 4 + [P("dp")] * 3),
+             out_specs=tuple([P("dp", None)] * 3 + [P("dp")] * 3),
              check_rep=False)
     def run(packed_l, occ_l, cnt, mcnt, q_l, l_l):
         view = _TpIndexView(packed_l, occ_l, cnt, mcnt)

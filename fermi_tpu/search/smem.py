@@ -28,7 +28,7 @@ gathers: the interval list keeps an alive-mask instead of compacting, the
 backward walk runs right-to-left via static flips instead of reversing the
 list, symbol selection is a 6-way where-select, dedup state forward-fills in
 log2(W) shift steps, and match emission packs (seg, end, start, closed)
-into one int32 so the whole emission is 4 scatters; the reference's
+into one int32 so the whole emission is 3 scatters; the reference's
 per-segment output reversal happens on host from the emitted segment ids.
 """
 
@@ -45,6 +45,16 @@ def _comp6(c):
     return jnp.where((c >= 1) & (c <= 4), 5 - c, c)
 
 
+# Opposite-strand starts follow the complement-ordering chain
+# o0=base, o4=o0+s0, o3=o4+s4, o2=o3+s3, o1=o2+s2, o5=o1+s1 (rld.h fm6_set
+# intervals); _MC[c, d] = 1 iff osz_d is part of o_c's partial sum.
+_MC = np.zeros((6, 6), np.int32)
+for _c, _ds in ((4, (0,)), (3, (0, 4)), (2, (0, 4, 3)),
+                (1, (0, 4, 3, 2)), (5, (0, 4, 3, 2, 1))):
+    _MC[_c, list(_ds)] = 1
+_MC = jnp.asarray(_MC)
+
+
 def _excl_cumsum(m, axis=-1):
     s = jnp.cumsum(m.astype(jnp.int32), axis=axis)
     return s - m.astype(jnp.int32), s
@@ -52,7 +62,7 @@ def _excl_cumsum(m, axis=-1):
 
 def _smem_batch_impl(index, q, l, self_match: bool, max_len: int,
                      maxi: int, maxm: int, x0=None, max_segments: int = 0,
-                     debug_iters: bool = False):
+                     debug_iters: bool = False, lanes: int = 0):
     """SMEMs of every read in the batch, one state-machine while loop.
 
     q: uint8 [B, max_len]; l: int32 [B].
@@ -62,22 +72,39 @@ def _smem_batch_impl(index, q, l, self_match: bool, max_len: int,
     accumulated matches and the next start; the host drives the outer
     restart loop.
     Returns (mem fields [B, maxm], mem_n [B], ret [B], ovf [B]).
+
+    lanes>0 selects POOL mode: q/l hold a whole read pool [NP, max_len] and
+    only `lanes` device lanes run; a lane that finishes a read pulls the
+    next unassigned read from the pool inside the while loop.  The loop's
+    sequential iteration count then tracks the MEAN per-read step count
+    (total work / lanes) instead of the max over a fixed batch — the
+    straggler lanes that dominate fixed batches disappear.  Outputs are
+    per-read [NP, maxm] / [NP].  (max_segments/x0 are unsupported here.)
     """
     idt = index.idtype
     W, M = maxi, maxm
-    B = q.shape[0]
+    pool = lanes > 0
+    NP = q.shape[0]
+    B = lanes if pool else NP
     n_seqs = index.mcnt[1].astype(idt)
     cnt6 = index.cnt[:6].astype(idt)
-    if x0 is None:
+    if pool:
+        assert x0 is None and max_segments == 0
+        x0 = jnp.zeros(B, jnp.int32)
+    elif x0 is None:
         x0 = jnp.zeros(B, jnp.int32)
     x0 = x0.astype(jnp.int32)
     l = l.astype(jnp.int32)
     jW = jnp.arange(W, dtype=jnp.int32)
+    jB = jnp.arange(B, dtype=jnp.int32)
+    qflat = q.reshape(-1)
+    rid0 = jnp.minimum(jB, NP - 1)
+    ll0 = l[rid0]                       # per-lane read length
 
-    def qat(pos):
-        """q[b, pos[b]] with clamping (callers mask out-of-range)."""
+    def qat(pos, rid):
+        """q[rid[b], pos[b]] with clamping (callers mask out-of-range)."""
         safe = jnp.clip(pos, 0, max_len - 1)
-        return jnp.take_along_axis(q, safe[:, None], axis=1)[:, 0]
+        return qflat[rid * max_len + safe]
 
     def set_intv(c):
         ci = c.astype(jnp.int32)
@@ -88,16 +115,20 @@ def _smem_batch_impl(index, q, l, self_match: bool, max_len: int,
         return kb.astype(idt), kf.astype(idt), sz.astype(idt)
 
     # ---- initial per-lane state -----------------------------------------
-    done0 = x0 >= l
-    c0 = qat(x0)
+    done0 = (x0 >= ll0) | (jB >= NP)
+    c0 = qat(x0, rid0)
     kb0, kf0, sz0 = set_intv(c0)
     Z_W = jnp.zeros((B, W), idt)
     Z_Wi = jnp.zeros((B, W), jnp.int32)
-    Z_M = jnp.zeros((B, M), idt)
-    Z_Mi = jnp.zeros((B, M), jnp.int32)
+    NO = NP if pool else B              # output rows (per read)
+    Z_M = jnp.zeros((NO, M), idt)
+    Z_Mi = jnp.zeros((NO, M), jnp.int32)
 
     state = dict(
         done=done0,
+        rid=rid0, ll=ll0, nxt=jnp.int32(B),
+        out_n=jnp.zeros(NO, jnp.int32),
+        out_ovf=jnp.zeros(NO, bool),
         bwd=jnp.zeros(B, bool),          # mode: False=fwd, True=bwd
         nseg=jnp.zeros(B, jnp.int32),
         x=x0, i=x0 + 1,
@@ -109,11 +140,13 @@ def _smem_batch_impl(index, q, l, self_match: bool, max_len: int,
         last_ms=jnp.zeros(B, jnp.int32),
         xret=x0,
         ovf=jnp.zeros(B, bool),
-        gkb=Z_M, gkf=Z_M, gsz=Z_M,
+        gkf=Z_M, gsz=Z_M,
         gmeta=Z_Mi,
         gmn=jnp.zeros(B, jnp.int32),
         it=jnp.int32(0),
     )
+    if not pool:
+        del state["nxt"], state["out_n"], state["out_ovf"]
 
     def cond(st):
         return ~jnp.all(st["done"])
@@ -141,9 +174,10 @@ def _smem_batch_impl(index, q, l, self_match: bool, max_len: int,
         Lal = st["Lal"]
         gmn, seg_base, ovf = st["gmn"], st["seg_base"], st["ovf"]
 
+        rid, ll = st["rid"], st["ll"]
         fw = ~done & ~bwd
         bw = ~done & bwd
-        at_end = i >= l
+        at_end = i >= ll
 
         # ---- one shared bidirectional extension for every lane ----------
         # fwd lanes use slot 0 only (their current scalar interval); bwd
@@ -161,39 +195,46 @@ def _smem_batch_impl(index, q, l, self_match: bool, max_len: int,
                          jnp.where(bwd[:, None], Lal, slot0))
         # extension symbol: fwd = complement of next char; bwd = prev char
         # ($=0 at i==-1, smem.c:44)
-        c_f = _comp6(qat(jnp.minimum(i, l - 1)).astype(jnp.int32))
-        c_b = jnp.where(i < 0, 0, qat(i).astype(jnp.int32))
+        c_f = _comp6(qat(jnp.minimum(i, ll - 1), rid).astype(jnp.int32))
+        c_b = jnp.where(i < 0, 0, qat(i, rid).astype(jnp.int32))
         c = jnp.where(bwd, c_b, c_f)
 
         primary = jnp.where(bwd[:, None], Ekb, Ekf)
         primary = jnp.where(live, primary, 0)
         hi = jnp.where(live, primary + Esz, 0)
-        tk = index.rank6(primary)              # [B, W, 6]
-        tl = index.rank6(hi)
+        # one fused rank battery for both interval ends
+        tkl = index.rank6(jnp.concatenate([primary, hi], axis=1))
+        tk, tl = tkl[:, :W], tkl[:, W:]        # [B, W, 6] each
         osz = tl - tk
-        out_primary = cnt6[None, None, :] + tk
         other_base = jnp.where(bwd[:, None], Ekf, Ekb)
-        # opposite-strand starts via the complement-ordering identity
-        o0 = other_base
-        o4 = o0 + osz[..., 0]
-        o3 = o4 + osz[..., 4]
-        o2 = o3 + osz[..., 3]
-        o1 = o2 + osz[..., 2]
-        o5 = o1 + osz[..., 1]
-        other = jnp.stack([o0, o1, o2, o3, o4, o5], axis=-1)
-        KB = jnp.where(bwd[:, None, None], out_primary, other)
-        KF = jnp.where(bwd[:, None, None], other, out_primary)
-        SZ = osz
 
-        okc_kb = sel6(KB, c)                               # [B, W]
-        okc_kf = sel6(KF, c)
-        okc_sz = sel6(SZ, c)
-        ok0_sz = SZ[:, :, 0]
+        # Only the class-c (and class-0) columns are consumed downstream, so
+        # never materialize the full 6-column KB/KF stacks: select class c
+        # directly, and collapse the opposite-strand complement-ordering
+        # chain (o0..o5 partial sums) into one masked row-sum with a
+        # constant prefix matrix MC[c, d] = "osz_d contributes to o_c".
+        tk_c = sel6(tk, c)
+        okc_sz = sel6(osz, c)
+        ok0_sz = osz[..., 0]
+        cnt6_c = jnp.zeros_like(c, dtype=idt)
+        for s in range(6):
+            cnt6_c = jnp.where(c == s, cnt6[s], cnt6_c)
+        primary_c = cnt6_c[:, None] + tk_c
+        mc_c = jnp.zeros((B, 6), idt)
+        for s in range(6):
+            mc_c = jnp.where((c == s)[:, None], _MC[s].astype(idt), mc_c)
+        other_c = other_base + jnp.sum(osz * mc_c[:, None, :], axis=-1,
+                                       dtype=idt)
+        okc_kb = jnp.where(bwd[:, None], primary_c, other_c)   # [B, W]
+        okc_kf = jnp.where(bwd[:, None], other_c, primary_c)
 
         # ================= forward-sweep branch ==========================
+        # (f_* values are consumed only under fw masks, where bwd is False:
+        # KB collapses to the `other` chain and KF to the primary column)
         f_okc_sz = okc_sz[:, 0]
         f_ok0_sz = ok0_sz[:, 0]
-        f_kb0, f_kf0 = KB[:, 0, 0], KF[:, 0, 0]
+        f_kb0 = other_base[:, 0]
+        f_kf0 = cnt6[0] + tk[:, 0, 0]
         f_kbc, f_kfc = okc_kb[:, 0], okc_kf[:, 0]
 
         stepm = fw & ~at_end
@@ -226,10 +267,10 @@ def _smem_batch_impl(index, q, l, self_match: bool, max_len: int,
             Lkb, Lkf, Lsz, Lnfo, Lal, n2, ovf, push2, f_kb0, f_kf0,
             f_ok0_sz, i)
         Lkb, Lkf, Lsz, Lnfo, Lal, n2, ovf = lpush(
-            Lkb, Lkf, Lsz, Lnfo, Lal, n2, ovf, pushF1, kb, kf, sz, l)
+            Lkb, Lkf, Lsz, Lnfo, Lal, n2, ovf, pushF1, kb, kf, sz, ll)
         Lkb, Lkf, Lsz, Lnfo, Lal, n2, ovf = lpush(
             Lkb, Lkf, Lsz, Lnfo, Lal, n2, ovf, pushF2, f_kb0, f_kf0,
-            f_ok0_sz, l)
+            f_ok0_sz, ll)
 
         adv = stepm & ~dead
         kb = jnp.where(adv, f_kbc, kb)
@@ -305,25 +346,23 @@ def _smem_batch_impl(index, q, l, self_match: bool, max_len: int,
         at = gmn[:, None] + flipW(dmF_before)
         ovf = ovf | jnp.any(do_mem & (at >= M), axis=1)
         # scatter matches into the global per-read buffers (flat indices);
-        # (seg, end, start, closed) pack into one int32 so emission is 4
+        # (seg, end, start, closed) pack into one int32 so emission is 3
         # scatters; the per-segment output reversal happens on host from
         # the seg field (_decode_matches)
+        row = rid if pool else jB
         tgt = jnp.where(do_mem,
-                        (jnp.arange(B, dtype=jnp.int32) * M)[:, None]
-                        + jnp.minimum(at, M - 1),
-                        B * M)
+                        (row * M)[:, None] + jnp.minimum(at, M - 1),
+                        NO * M)
         tgt = tgt.reshape(-1)
         meta = ((st["nseg"][:, None] << 21) | (Lnfo << 11)
                 | ((i + 1)[:, None] << 1)
                 | (ok0_sz != 0).astype(jnp.int32))
-        gkb = st["gkb"].reshape(-1).at[tgt].set(
-            Ekb.reshape(-1), mode="drop").reshape(B, M)
         gkf = st["gkf"].reshape(-1).at[tgt].set(
-            Ekf.reshape(-1), mode="drop").reshape(B, M)
+            Ekf.reshape(-1), mode="drop").reshape(NO, M)
         gsz = st["gsz"].reshape(-1).at[tgt].set(
-            Esz.reshape(-1), mode="drop").reshape(B, M)
+            Esz.reshape(-1), mode="drop").reshape(NO, M)
         gmeta = st["gmeta"].reshape(-1).at[tgt].set(
-            meta.reshape(-1), mode="drop").reshape(B, M)
+            meta.reshape(-1), mode="drop").reshape(NO, M)
         n_mem = dmF_inc[:, -1]
         last_ms = jnp.where(bw & (n_mem > 0), i + 1, last_ms)
         gmn = jnp.where(bw, jnp.minimum(gmn + n_mem, M), gmn)
@@ -345,14 +384,39 @@ def _smem_batch_impl(index, q, l, self_match: bool, max_len: int,
         nseg = st["nseg"] + term.astype(jnp.int32)
         x_new = jnp.maximum(xret_f, x + 1)       # guarantee progress
         xret = jnp.where(term, x_new, xret_f)
-        fin = (x_new >= l)
+        fin = (x_new >= ll)
         if max_segments:
             fin = fin | (nseg >= max_segments)
-        done = done | (term & fin)
         restart = term & ~fin
+        finl = term & fin
+        gmn2 = gmn
+        if pool:
+            # write the finished read's outputs, then pull the next read
+            rtgt = jnp.where(finl, rid, NO)
+            st_out_n = st["out_n"].at[rtgt].set(gmn, mode="drop")
+            st_out_ovf = st["out_ovf"].at[rtgt].set(ovf, mode="drop")
+            rank, inc = _excl_cumsum(finl)
+            rid_new = st["nxt"] + rank
+            have = rid_new < NP
+            take = finl & have
+            done = done | (finl & ~have)
+            nxt = st["nxt"] + inc[-1]
+            rid = jnp.where(take, jnp.minimum(rid_new, NP - 1), rid)
+            ll = jnp.where(take, l[jnp.minimum(rid_new, NP - 1)], ll)
+            # a fresh read re-enters like a segment restart from x=0
+            restart = restart | take
+            x_new = jnp.where(take, 0, x_new)
+            nseg = jnp.where(take, 0, nseg)
+            gmn = jnp.where(take, 0, gmn)
+            gmn2 = gmn
+            seg_base = jnp.where(take, 0, seg_base)
+            ovf = ovf & ~take
+            xret = jnp.where(take, 0, xret)
+        else:
+            done = done | finl
         # inline segment restart (fm6_smem do-while, smem.c:400-408)
         xr = jnp.where(restart, x_new, x)
-        cr = qat(xr)
+        cr = qat(xr, rid)
         rkb, rkf, rsz = set_intv(cr)
         kb = jnp.where(restart, rkb, kb)
         kf = jnp.where(restart, rkf, kf)
@@ -361,18 +425,27 @@ def _smem_batch_impl(index, q, l, self_match: bool, max_len: int,
         i = jnp.where(restart, x_new + 1, i)
         n = jnp.where(restart, 0, n)
         Lal = jnp.where(restart[:, None], False, Lal)
+        last_ms = jnp.where(restart, 0, last_ms)
         bwd = bwd & ~restart
 
-        return dict(done=done, bwd=bwd, nseg=nseg, x=x, i=i,
+        nst = dict(done=done, bwd=bwd, nseg=nseg, x=x, i=i,
                     kb=kb, kf=kf, sz=sz,
                     Lkb=Lkb, Lkf=Lkf, Lsz=Lsz, Lnfo=Lnfo, Lal=Lal, n=n,
                     seg_base=seg_base, last_ms=last_ms, xret=xret, ovf=ovf,
-                    gkb=gkb, gkf=gkf, gsz=gsz, gmeta=gmeta,
-                    gmn=gmn, it=st["it"] + 1)
+                    gkf=gkf, gsz=gsz, gmeta=gmeta,
+                    gmn=gmn2, it=st["it"] + 1,
+                    rid=rid, ll=ll)
+        if pool:
+            nst.update(nxt=nxt, out_n=st_out_n, out_ovf=st_out_ovf)
+        return nst
 
     st = jax.lax.while_loop(cond, body, state)
-    out = (st["gkb"], st["gkf"], st["gsz"], st["gmeta"],
-           st["gmn"], st["xret"], st["ovf"])
+    if pool:
+        out = (st["gkf"], st["gsz"], st["gmeta"],
+               st["out_n"], st["xret"], st["out_ovf"])
+    else:
+        out = (st["gkf"], st["gsz"], st["gmeta"],
+               st["gmn"], st["xret"], st["ovf"])
     if debug_iters:
         return out + (st["it"],)
     return out
@@ -383,12 +456,13 @@ def _smem_batch_impl(index, q, l, self_match: bool, max_len: int,
 # whose rank6 psum-combines over the tp axis).
 _smem_batch = partial(jax.jit,
                       static_argnames=("self_match", "max_len", "maxi",
-                                       "maxm", "max_segments"))(
+                                       "maxm", "max_segments", "lanes"))(
     _smem_batch_impl)
 
 
 LONG_QUERY_LEN = 512   # above this, use the native sequential engine
 SEGMENTS_PER_CALL = 16  # restart segments per device call in the long path
+POOL_MAX = 65536        # reads per pool-mode device call
 
 
 def smem_all(index: FMDIndex, seqs: list[np.ndarray], self_match=False,
@@ -398,8 +472,10 @@ def smem_all(index: FMDIndex, seqs: list[np.ndarray], self_match=False,
 
     Returns per read a list of (start, end, size, left_closed, kf) tuples, in
     the same order the reference fm6_smem emits them. Short reads run fully
-    in-kernel (one call per batch); long queries (contigs) go to the native
-    sequential engine, since their interval sets reach hundreds of entries.
+    in-kernel with lane refill over a read pool (see _smem_batch_impl pool
+    mode); long queries (contigs) go to the native sequential engine, since
+    their interval sets reach hundreds of entries.  A custom `runner` (the
+    distributed layer) uses the fixed-batch path.
 
     maxi=32 default: measured on 100 bp reads against a 3x-coverage index,
     per-segment interval lists run 17-32 entries; at 32 the redo rate is
@@ -413,9 +489,8 @@ def smem_all(index: FMDIndex, seqs: list[np.ndarray], self_match=False,
     if max_len > LONG_QUERY_LEN:
         return smem_all_native(index, seqs, self_match)
     if runner is None:
-        def runner(q, lens, mi, mm):
-            return _smem_batch(index, jnp.asarray(q), jnp.asarray(lens),
-                               self_match, max_len, mi, mm)
+        return _smem_all_pool(index, seqs, self_match, maxi, maxm,
+                              min(batch, 2048), max_len)
     results = [None] * B
     for lo in range(0, B, batch):
         chunk = seqs[lo: lo + batch]
@@ -426,12 +501,11 @@ def smem_all(index: FMDIndex, seqs: list[np.ndarray], self_match=False,
             q[i, : len(s)] = s
             lens[i] = len(s)
         out = runner(q, lens, maxi, maxm)
-        mkb, mkf, msz, mmeta, mn, _, ovf = map(np.asarray, out)
+        mkf, msz, mmeta, mn, _, ovf = map(np.asarray, out)
+        dec = _decode_batch(mkf, msz, mmeta, mn)
         for b in range(m):
-            if ovf[b]:
-                continue
-            results[lo + b] = _decode_matches(mkf[b], msz[b], mmeta[b],
-                                              int(mn[b]))
+            if not ovf[b]:
+                results[lo + b] = dec[b]
         redo = np.flatnonzero(ovf[:m])
         # tiered redo: try a 4x-wider kernel before the guaranteed-size one
         # (the 2L-wide variant is rarely needed and very expensive to compile).
@@ -445,44 +519,110 @@ def smem_all(index: FMDIndex, seqs: list[np.ndarray], self_match=False,
             qr[: len(redo)] = q[redo]
             lr[: len(redo)] = lens[redo]
             big = runner(qr, lr, wi, wm)
-            bkb, bkf, bsz, bmeta, bmn, _, bovf = map(np.asarray, big)
+            bkf, bsz, bmeta, bmn, _, bovf = map(np.asarray, big)
+            dec = _decode_batch(bkf, bsz, bmeta, bmn)
             still = []
             for t, b in enumerate(redo.tolist()):
                 if bovf[t]:
                     still.append(b)
                     continue
-                results[lo + b] = _decode_matches(bkf[t], bsz[t], bmeta[t],
-                                                  int(bmn[t]))
+                results[lo + b] = dec[t]
             redo = np.array(still, dtype=np.int64)
         assert not redo.size, "SMEM overflow at guaranteed buffer size"
     return results
 
 
-def _decode_matches(kf, sz, meta, k):
+def _smem_all_pool(index, seqs, self_match, maxi, maxm, lanes, max_len):
+    """Pool-mode driver: one device call per POOL_MAX reads, lane refill
+    inside the kernel; the rare buffer-overflow reads re-run through the
+    fixed-batch redo ladder."""
+    Bn = len(seqs)
+    results = [None] * Bn
+    ids_all = []
+    for i, s in enumerate(seqs):
+        if len(s) == 0:
+            results[i] = []     # reference emits nothing for empty queries
+        else:
+            ids_all.append(i)
+    if not ids_all:
+        return results
+    # pad the pool to a power of two (few compiled shapes); pads are
+    # length-1 reads that burn ~3 iterations each across all lanes
+    NPc = 1
+    while NPc < min(len(ids_all), POOL_MAX):
+        NPc *= 2
+    NPc = max(NPc, 16)
+    lanes = min(lanes, NPc)
+    redo = []
+    for lo in range(0, len(ids_all), NPc):
+        ids = ids_all[lo: lo + NPc]
+        q = np.zeros((NPc, max_len), np.uint8)
+        lens = np.ones(NPc, np.int32)
+        for t, si in enumerate(ids):
+            s = seqs[si]
+            q[t, : len(s)] = s
+            lens[t] = len(s)
+        out = _smem_batch(index, jnp.asarray(q), jnp.asarray(lens),
+                          self_match, max_len, maxi, maxm, lanes=lanes)
+        mkf, msz, mmeta, mn, _, ovf = map(np.asarray, out)
+        dec = _decode_batch(mkf, msz, mmeta, mn)
+        for t, si in enumerate(ids):
+            if ovf[t]:
+                redo.append(si)
+            else:
+                results[si] = dec[t]
+    # redo ladder (fixed-batch mode, wider buffers), padded to pow2 shapes
+    for wi, wm in ((2 * maxi, 4 * maxm), (2 * max_len + 4, 4 * max_len + 8)):
+        if not redo:
+            break
+        R = 1
+        while R < len(redo):
+            R *= 2
+        q = np.zeros((R, max_len), np.uint8)
+        lens = np.zeros(R, np.int32)
+        for t, si in enumerate(redo):
+            s = seqs[si]
+            q[t, : len(s)] = s
+            lens[t] = len(s)
+        big = _smem_batch(index, jnp.asarray(q), jnp.asarray(lens),
+                          self_match, max_len, wi, wm)
+        bkf, bsz, bmeta, bmn, _, bovf = map(np.asarray, big)
+        dec = _decode_batch(bkf, bsz, bmeta, bmn)
+        still = []
+        for t, si in enumerate(redo):
+            if bovf[t]:
+                still.append(si)
+            else:
+                results[si] = dec[t]
+        redo = still
+    assert not redo, "SMEM overflow at guaranteed buffer size"
+    return results
+
+
+def _decode_batch(mkf, msz, mmeta, mn):
     """Unpack the kernel's per-read match buffers into the reference's
-    emission order.
+    emission order, for a whole batch at once (one lexsort; the per-read
+    python walk cost ~55 us/read and capped pool throughput).
 
     meta packs (seg << 21 | end << 11 | start << 1 | closed); matches were
     appended start-DESCENDING within each segment (the backward walk), and
-    fm6_smem emits them start-ascending — reverse each segment's slice
-    (replacing the old in-kernel take_along_axis reversal, which cost ~7 ms
-    per loop iteration at B=2048)."""
-    meta = np.asarray(meta[:k])
-    seg = meta >> 21
-    end = (meta >> 11) & 1023
-    start = (meta >> 1) & 1023
-    closed = meta & 1
-    out = []
-    u = 0
-    while u < k:
-        v = u
-        while v < k and seg[v] == seg[u]:
-            v += 1
-        for w in range(v - 1, u - 1, -1):
-            out.append((int(start[w]), int(end[w]), int(sz[w]),
-                        bool(closed[w]), int(kf[w])))
-        u = v
-    return out
+    fm6_smem emits them start-ascending — the lexsort reverses each
+    segment's slice (replacing the old in-kernel take_along_axis reversal,
+    which cost ~7 ms per loop iteration at B=2048)."""
+    NP, M = mmeta.shape
+    mn = np.minimum(np.asarray(mn), M)
+    cols = np.arange(M)
+    rows, cc = np.nonzero(cols[None, :] < mn[:, None])
+    meta = mmeta[rows, cc]
+    order = np.lexsort((-cc, meta >> 21, rows))
+    m2 = meta[order]
+    tup = list(zip(((m2 >> 1) & 1023).tolist(),
+                   ((m2 >> 11) & 1023).tolist(),
+                   msz[rows, cc][order].tolist(),
+                   (m2 & 1).astype(bool).tolist(),
+                   mkf[rows, cc][order].tolist()))
+    off = np.concatenate([[0], np.cumsum(mn)])
+    return [tup[off[r]: off[r + 1]] for r in range(NP)]
 
 
 def format_smem(index: FMDIndex, match) -> str:

@@ -34,16 +34,11 @@ def main():
         seqs = seqs[:nq]
     for B in bs:
         t0 = time.time()
-        r0 = sm.smem_all(idx, seqs[:B], batch=B)
-        print(f"B={B}: warmup+compile {time.time()-t0:.1f}s", flush=True)
+        r0 = sm.smem_all(idx, seqs, batch=B)   # pool mode: lanes=B
+        print(f"B={B}: warmup+compile+run {time.time()-t0:.1f}s", flush=True)
         t0 = time.time()
-        nm = 0
-        for lo in range(0, len(seqs), B):
-            res = sm.smem_all(idx, seqs[lo:lo + B], batch=B)
-            nm += sum(len(r) for r in res)
-            el = time.time() - t0
-            print(f"  B={B} {min(lo+B,len(seqs))}/{len(seqs)} "
-                  f"{min(lo+B,len(seqs))/el:.0f} r/s", flush=True)
+        res = sm.smem_all(idx, seqs, batch=B)
+        nm = sum(len(r) for r in res)
         dt = time.time() - t0
         print(f"B={B}: {len(seqs)} reads in {dt:.2f}s = "
               f"{len(seqs)/dt:.0f} reads/s ({nm} SMEMs)", flush=True)
