@@ -80,6 +80,28 @@ class Pipeline:
         th.start()
         return th
 
+    @staticmethod
+    def _build_bwt(text):
+        """BWT builder dispatch: the blocked device path (wsort blocks +
+        gap-bit merge, construct/blocked.py) when a TPU-class backend is
+        present, the threaded host SA engine otherwise.
+        FERMI_TPU_DEVICE_BUILD=1/0 forces either."""
+        from fermi_tpu.construct import suffix
+
+        mode = os.environ.get("FERMI_TPU_DEVICE_BUILD", "auto")
+        use_dev = mode == "1"
+        if mode == "auto":
+            try:
+                import jax
+                use_dev = jax.default_backend() not in ("cpu",)
+            except Exception:
+                use_dev = False
+        if use_dev:
+            from fermi_tpu.construct import blocked
+            return blocked.device_build_text(
+                text, progress=lambda m: log("build", m))
+        return suffix.multistring_bwt(text)
+
     # -- stages ------------------------------------------------------------
 
     def build_index(self, reads_iter, out_fmd, cut_n=True):
@@ -109,7 +131,7 @@ class Pipeline:
             f"{n_frags} fragments, {text.size / 1e6:.1f}M symbols")
         if warm is not None:
             warm.join()
-        bwt = suffix.multistring_bwt(text)
+        bwt = self._build_bwt(text)
         runs = rld.Runs.from_bwt(bwt)
         rld.write_fmd(runs, out_fmd)
         self._cache[("runs", out_fmd)] = runs

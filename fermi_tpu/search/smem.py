@@ -148,8 +148,15 @@ def _smem_batch_impl(index, q, l, self_match: bool, max_len: int,
     if not pool:
         del state["nxt"], state["out_n"], state["out_ovf"]
 
-    def cond(st):
-        return ~jnp.all(st["done"])
+    import os as _os
+    _ablate = _os.environ.get("FERMI_SMEM_ABLATE", "")
+
+    if _ablate:
+        def cond(st):
+            return st["it"] < 200
+    else:
+        def cond(st):
+            return ~jnp.all(st["done"])
 
     def sel6(X, c):
         """X[b, w, c[b]] without a gather: 6-way where-select."""
@@ -203,7 +210,12 @@ def _smem_batch_impl(index, q, l, self_match: bool, max_len: int,
         primary = jnp.where(live, primary, 0)
         hi = jnp.where(live, primary + Esz, 0)
         # one fused rank battery for both interval ends
-        tkl = index.rank6(jnp.concatenate([primary, hi], axis=1))
+        if _ablate == "norank":
+            tkl = jnp.zeros((B, 2 * W, 6), idt)
+        elif _ablate == "nogather":
+            tkl = index.rank6(jnp.zeros((B, 2 * W), idt))
+        else:
+            tkl = index.rank6(jnp.concatenate([primary, hi], axis=1))
         tk, tl = tkl[:, :W], tkl[:, W:]        # [B, W, 6] each
         osz = tl - tk
         other_base = jnp.where(bwd[:, None], Ekf, Ekb)
@@ -357,12 +369,15 @@ def _smem_batch_impl(index, q, l, self_match: bool, max_len: int,
         meta = ((st["nseg"][:, None] << 21) | (Lnfo << 11)
                 | ((i + 1)[:, None] << 1)
                 | (ok0_sz != 0).astype(jnp.int32))
-        gkf = st["gkf"].reshape(-1).at[tgt].set(
-            Ekf.reshape(-1), mode="drop").reshape(NO, M)
-        gsz = st["gsz"].reshape(-1).at[tgt].set(
-            Esz.reshape(-1), mode="drop").reshape(NO, M)
-        gmeta = st["gmeta"].reshape(-1).at[tgt].set(
-            meta.reshape(-1), mode="drop").reshape(NO, M)
+        if _ablate == "noscat":
+            gkf, gsz, gmeta = st["gkf"], st["gsz"], st["gmeta"]
+        else:
+            gkf = st["gkf"].reshape(-1).at[tgt].set(
+                Ekf.reshape(-1), mode="drop").reshape(NO, M)
+            gsz = st["gsz"].reshape(-1).at[tgt].set(
+                Esz.reshape(-1), mode="drop").reshape(NO, M)
+            gmeta = st["gmeta"].reshape(-1).at[tgt].set(
+                meta.reshape(-1), mode="drop").reshape(NO, M)
         n_mem = dmF_inc[:, -1]
         last_ms = jnp.where(bw & (n_mem > 0), i + 1, last_ms)
         gmn = jnp.where(bw, jnp.minimum(gmn + n_mem, M), gmn)
@@ -393,8 +408,11 @@ def _smem_batch_impl(index, q, l, self_match: bool, max_len: int,
         if pool:
             # write the finished read's outputs, then pull the next read
             rtgt = jnp.where(finl, rid, NO)
-            st_out_n = st["out_n"].at[rtgt].set(gmn, mode="drop")
-            st_out_ovf = st["out_ovf"].at[rtgt].set(ovf, mode="drop")
+            if _ablate == "noscat":
+                st_out_n, st_out_ovf = st["out_n"], st["out_ovf"]
+            else:
+                st_out_n = st["out_n"].at[rtgt].set(gmn, mode="drop")
+                st_out_ovf = st["out_ovf"].at[rtgt].set(ovf, mode="drop")
             rank, inc = _excl_cumsum(finl)
             rid_new = st["nxt"] + rank
             have = rid_new < NP

@@ -73,3 +73,24 @@ def test_wsort_window_boundary_lengths():
         text = suffix.build_text(_nt6(reads))
         assert np.array_equal(suffix.multistring_bwt(text),
                               wsort_bwt(text)), L
+
+
+def test_blocked_build_matches_host():
+    """Blocked wsort + device gap-bit merge == whole-text host SA, at block
+    sizes that force 1, 2, and many blocks (reference split->build->merge,
+    run-fermi.pl:108-121)."""
+    from fermi_tpu.construct.blocked import device_build_bwt, device_build_text
+
+    reads = random_reads(80, seed=7, with_genome=True, genome_len=1500)
+    seqs = _nt6(reads)
+    text = suffix.build_text(seqs)
+    ref = suffix.multistring_bwt(text)
+    for blk in (1 << 30, 4000, 700):
+        got = device_build_text(text, block_symbols=blk)
+        assert np.array_equal(ref, got), blk
+    # list-of-reads entry (strand expansion handled by caller): same order
+    ends = np.flatnonzero(text == 0)
+    starts = np.concatenate([[0], ends[:-1] + 1])
+    strands = [text[s:e] for s, e in zip(starts, ends)]
+    got = device_build_bwt(strands, block_symbols=2500)
+    assert np.array_equal(ref, got)
