@@ -175,5 +175,29 @@ def get_lib() -> ctypes.CDLL:
                 ctypes.POINTER(ctypes.c_int32),
                 ctypes.c_int,
             ]
+            lib.frld_enc_open.restype = ctypes.c_void_p
+            lib.frld_enc_open.argtypes = [ctypes.c_int, ctypes.c_int]
+            lib.frld_enc_put.restype = None
+            lib.frld_enc_put.argtypes = [
+                ctypes.c_void_p,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int64,
+            ]
+            lib.frld_enc_finish.restype = ctypes.c_int
+            lib.frld_enc_finish.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+            lib.fmmap_open.restype = ctypes.c_void_p
+            lib.fmmap_open.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64)]
+            lib.fmmap_close.restype = None
+            lib.fmmap_close.argtypes = [ctypes.c_void_p]
+            lib.fmmap_rank6.restype = None
+            lib.fmmap_rank6.argtypes = [
+                ctypes.c_void_p,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int,
+            ]
             _lib = lib
     return _lib

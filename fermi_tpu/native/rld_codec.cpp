@@ -17,10 +17,16 @@
 // rld_enc() would (pending-run merging), so any run decomposition of the same
 // BWT string encodes to identical bytes.
 
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <unistd.h>
+
+#include <algorithm>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <thread>
 #include <vector>
 #include <string>
 
@@ -336,6 +342,100 @@ class RldDecoder {
 }  // namespace
 
 // ---------------------------------------------------------------------------
+// Mmapped compressed-domain index (reference rld_restore_mmap semantics,
+// rld.c:327-346 + rld_locate_blk/rld_rank1a rld.c:352-446): rank queries walk
+// the delta-coded blocks directly through the sampled frame index, so a
+// bigger-than-RAM .fmd can be queried with RSS bounded by the touched pages.
+// Fresh implementation over the same on-disk format as RldEncoder above.
+// ---------------------------------------------------------------------------
+
+struct FmmapIndex {
+  int fd = -1;
+  const uint64_t* mem = nullptr;
+  size_t map_len = 0;
+  int asize = 0, asize1 = 0, sbits = 0, ssize = 0, abits = 0, ibits = 0;
+  int hdr16 = 0, hdr32 = 0;
+  uint64_t n_bytes = 0, n_frames = 0;
+  const uint64_t* words = nullptr;  // payload (linear superblock concat)
+  const uint64_t* frame = nullptr;  // n_frames x asize1
+  std::vector<uint64_t> cnt;        // cumulative counts (C array), asize1
+  std::vector<uint64_t> mcnt;       // [0]=total, [1..asize]=marginals
+};
+
+namespace {
+
+// total + per-symbol counts of the block ENDING at word offset `at` (the
+// encoder writes each block's counts into the NEXT block's header; see
+// RldEncoder::next_block).
+static inline uint64_t fmmap_header(const FmmapIndex* e, uint64_t at,
+                                    uint64_t* add) {
+  const uint64_t* h = e->words + at;
+  uint32_t first = (uint32_t)(*h);
+  if (first >> 31) {
+    const uint32_t* q = reinterpret_cast<const uint32_t*>(h);
+    for (int j = 1; j <= e->asize; ++j) add[j - 1] = q[j];
+    return first & 0x7fffffff;
+  }
+  const uint16_t* q = reinterpret_cast<const uint16_t*>(h);
+  for (int j = 1; j <= e->asize; ++j) add[j - 1] = q[j];
+  return q[0];
+}
+
+// Exclusive rank: counts of every symbol in BWT[0, k).
+static void fmmap_rank6_one(const FmmapIndex* e, uint64_t k, int64_t* out) {
+  for (int j = 0; j < e->asize; ++j) out[j] = 0;
+  if (k == 0) return;
+  const uint64_t kk = k - 1;  // coordinate of the last counted position
+  const uint64_t* z = e->frame + (kk >> e->ibits) * e->asize1;
+  uint64_t off = z[0];
+  uint64_t cnt[8], add[8], sum = 0;
+  for (int j = 0; j < e->asize; ++j) sum += (cnt[j] = z[j + 1]);
+  while (true) {  // seek to the block holding position kk
+    uint64_t nxt = off + e->ssize;
+    uint64_t c = fmmap_header(e, nxt, add);
+    if (sum + c > kk) break;
+    for (int j = 0; j < e->asize; ++j) cnt[j] += add[j];
+    sum += c;
+    off = nxt;
+  }
+  // decode the block at `off` until k symbols are covered
+  const uint64_t* w = e->words;
+  uint64_t blk_end_in_super = (off & (kSuperWords - 1)) + e->ssize;
+  uint64_t stail =
+      off + e->ssize - (blk_end_in_super == kSuperWords ? 2 : 1);
+  uint64_t p = off + (((uint32_t)w[off] >> 31) ? e->hdr32 : e->hdr16);
+  int r = 64;
+  uint64_t zpos = sum;
+  while (true) {
+    uint64_t x =
+        w[p] << (64 - r) | (p != stail && r != 64 ? w[p + 1] >> r : 0);
+    int64_t len;
+    int width;
+    if (x >> 63 == 0) {
+      // Elias-delta: gamma(y+1) then low y bits of the length
+      int lead = __builtin_clzll(x);
+      int y = (int)(x >> (63 - 2 * lead) & ((1ull << (lead + 1)) - 1)) - 1;
+      width = 2 * lead + 1;
+      len = (int64_t)(x << width >> (64 - y) | 1ull << y);
+      width += y;
+    } else {
+      width = 1;
+      len = 1;
+    }
+    int c = (int)(x << width >> (64 - e->abits));
+    width += e->abits;
+    if (r > width) r -= width;
+    else { ++p; r = 64 + r - width; }
+    if (zpos + (uint64_t)len >= k) { out[c] += k - zpos; break; }
+    zpos += len;
+    out[c] += len;
+  }
+  for (int j = 0; j < e->asize; ++j) out[j] += (int64_t)cnt[j];
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
 // C ABI
 // ---------------------------------------------------------------------------
 
@@ -368,5 +468,98 @@ int frld_decode_file(const char* path, int64_t** run_len, uint8_t** run_sym,
 }
 
 void frld_free(void* p) { free(p); }
+
+// -- streaming encoder (chunked puts; lets callers write .fmd files much
+//    larger than RAM) -------------------------------------------------------
+
+void* frld_enc_open(int asize, int sbits) {
+  return new RldEncoder(asize, sbits);
+}
+
+void frld_enc_put(void* h, const int64_t* run_len, const uint8_t* run_sym,
+                  int64_t n_runs) {
+  RldEncoder* enc = static_cast<RldEncoder*>(h);
+  for (int64_t i = 0; i < n_runs; ++i) enc->put(run_len[i], run_sym[i]);
+}
+
+int frld_enc_finish(void* h, const char* path) {
+  RldEncoder* enc = static_cast<RldEncoder*>(h);
+  enc->finish();
+  int rc = enc->dump(path);
+  delete enc;
+  return rc;
+}
+
+// -- mmapped compressed-domain queries --------------------------------------
+
+// info layout (int64): [0]=asize [1]=sbits [2]=ibits [3]=n_bytes [4]=n_frames
+// [5..5+asize]=cnt (cumulative, asize+1 entries) [13..13+asize]=mcnt
+void* fmmap_open(const char* path, int64_t* info) {
+  int fd = open(path, O_RDONLY);
+  if (fd < 0) return nullptr;
+  off_t len = lseek(fd, 0, SEEK_END);
+  void* mem = mmap(nullptr, (size_t)len, PROT_READ, MAP_PRIVATE, fd, 0);
+  if (mem == MAP_FAILED) { close(fd); return nullptr; }
+  madvise(mem, (size_t)len, MADV_RANDOM);
+  const uint64_t* m = static_cast<const uint64_t*>(mem);
+  if (memcmp(m, "RLD\2", 4) != 0) {
+    munmap(mem, (size_t)len); close(fd); return nullptr;
+  }
+  FmmapIndex* e = new FmmapIndex;
+  e->fd = fd; e->mem = m; e->map_len = (size_t)len;
+  uint32_t x = reinterpret_cast<const uint32_t*>(m)[1];
+  e->asize = (int)(x >> 16); e->sbits = (int)(x & 0xffff);
+  e->asize1 = e->asize + 1;
+  e->ssize = 1 << e->sbits;
+  e->abits = floor_log2(e->asize) + 1;
+  e->hdr16 = (e->asize1 * 16 + 63) / 64;
+  e->hdr32 = (e->asize1 * 32 + 63) / 64;
+  e->n_bytes = m[2]; e->n_frames = m[3];
+  e->mcnt.assign(e->asize1, 0);
+  e->cnt.assign(e->asize1, 0);
+  uint64_t total = 0;
+  for (int i = 1; i <= e->asize; ++i) {
+    e->mcnt[i] = m[4 + i - 1];
+    total += e->mcnt[i];
+    e->cnt[i] = e->cnt[i - 1] + e->mcnt[i];
+  }
+  e->mcnt[0] = total;
+  e->words = m + 4 + e->asize;
+  e->frame = e->words + e->n_bytes / 8;
+  uint64_t n_blks = e->n_bytes * 8 / 64 / e->ssize + 1;
+  e->ibits = floor_log2(total / n_blks) + 4;
+  info[0] = e->asize; info[1] = e->sbits; info[2] = e->ibits;
+  info[3] = (int64_t)e->n_bytes; info[4] = (int64_t)e->n_frames;
+  for (int i = 0; i <= e->asize; ++i) info[5 + i] = (int64_t)e->cnt[i];
+  for (int i = 0; i <= e->asize; ++i) info[13 + i] = (int64_t)e->mcnt[i];
+  return e;
+}
+
+void fmmap_close(void* h) {
+  FmmapIndex* e = static_cast<FmmapIndex*>(h);
+  munmap(const_cast<uint64_t*>(e->mem), e->map_len);
+  close(e->fd);
+  delete e;
+}
+
+// out[i*asize .. i*asize+asize) = exclusive rank of every symbol at ks[i]
+void fmmap_rank6(void* h, const int64_t* ks, int64_t n, int64_t* out,
+                 int n_threads) {
+  FmmapIndex* e = static_cast<FmmapIndex*>(h);
+  if (n_threads < 1) n_threads = 1;
+  auto work = [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i)
+      fmmap_rank6_one(e, (uint64_t)ks[i], out + i * e->asize);
+  };
+  if (n_threads == 1 || n < 256) { work(0, n); return; }
+  std::vector<std::thread> ths;
+  int64_t per = (n + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; ++t) {
+    int64_t lo = t * per, hi = std::min(n, lo + per);
+    if (lo >= hi) break;
+    ths.emplace_back(work, lo, hi);
+  }
+  for (auto& t : ths) t.join();
+}
 
 }  // extern "C"
