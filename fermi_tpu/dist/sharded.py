@@ -139,17 +139,17 @@ def shard_index(index: FMDIndex, mesh: Mesh):
 # ---------------------------------------------------------------------------
 
 def _sharded_smem_fn(mesh: Mesh, self_match: bool, max_len: int, maxi: int,
-                     maxm: int):
+                     maxm: int, emax: int = 8):
     @partial(jax.jit, static_argnums=())
     @partial(shard_map, mesh=mesh,
              in_specs=(P("tp", None), P("tp", None), P(), P(),
                        P("dp", None), P("dp")),
-             out_specs=tuple([P("dp", None)] * 3 + [P("dp")] * 3),
+             out_specs=(P("dp", None, None), P("dp"), P("dp"), P("dp")),
              check_rep=False)
     def run(packed_l, occ_l, cnt, mcnt, q_l, l_l):
         view = _TpIndexView(packed_l, occ_l, cnt, mcnt)
         return _smem_batch_impl(view, q_l, l_l, self_match, max_len,
-                                maxi, maxm)
+                                maxi, maxm, emax=emax)
     return run
 
 
@@ -177,11 +177,11 @@ class ShardedSMEM:
         if max_len > smem_mod.LONG_QUERY_LEN:
             return smem_mod.smem_all_native(self.index, seqs, self_match)
 
-        def runner(q, lens, mi, mm):
-            key = (self_match, q.shape[1], mi, mm)
+        def runner(q, lens, mi, mm, em=8):
+            key = (self_match, q.shape[1], mi, mm, em)
             if key not in self._fns:
                 self._fns[key] = _sharded_smem_fn(
-                    self.mesh, self_match, q.shape[1], mi, mm)
+                    self.mesh, self_match, q.shape[1], mi, mm, em)
             qd = jax.device_put(
                 q, NamedSharding(self.mesh, P("dp", None)))
             ld = jax.device_put(lens, NamedSharding(self.mesh, P("dp")))

@@ -91,9 +91,14 @@ class Pipeline:
         mode = os.environ.get("FERMI_TPU_DEVICE_BUILD", "auto")
         use_dev = mode == "1"
         if mode == "auto":
+            # device build wins whenever host<->device bandwidth is sane
+            # (PCIe ~16 GB/s); over a remote-tunneled chip (the axon dev
+            # platform, ~10 MB/s measured) round-tripping text+BWT always
+            # loses to the threaded host SA engine, so auto skips it there
             try:
                 import jax
-                use_dev = jax.default_backend() not in ("cpu",)
+                use_dev = (jax.default_backend() not in ("cpu",)
+                           and "axon" not in jax._src.xla_bridge.backends())
             except Exception:
                 use_dev = False
         if use_dev:

@@ -62,7 +62,8 @@ def _excl_cumsum(m, axis=-1):
 
 def _smem_batch_impl(index, q, l, self_match: bool, max_len: int,
                      maxi: int, maxm: int, x0=None, max_segments: int = 0,
-                     debug_iters: bool = False, lanes: int = 0):
+                     debug_iters: bool = False, lanes: int = 0,
+                     unroll: int = 1, emax: int = 8, compact: int = 0):
     """SMEMs of every read in the batch, one state-machine while loop.
 
     q: uint8 [B, max_len]; l: int32 [B].
@@ -121,14 +122,11 @@ def _smem_batch_impl(index, q, l, self_match: bool, max_len: int,
     Z_W = jnp.zeros((B, W), idt)
     Z_Wi = jnp.zeros((B, W), jnp.int32)
     NO = NP if pool else B              # output rows (per read)
-    Z_M = jnp.zeros((NO, M), idt)
-    Z_Mi = jnp.zeros((NO, M), jnp.int32)
 
     state = dict(
         done=done0,
         rid=rid0, ll=ll0, nxt=jnp.int32(B),
-        out_n=jnp.zeros(NO, jnp.int32),
-        out_ovf=jnp.zeros(NO, bool),
+        out_info=jnp.zeros(NO, jnp.int32),
         bwd=jnp.zeros(B, bool),          # mode: False=fwd, True=bwd
         nseg=jnp.zeros(B, jnp.int32),
         x=x0, i=x0 + 1,
@@ -140,13 +138,12 @@ def _smem_batch_impl(index, q, l, self_match: bool, max_len: int,
         last_ms=jnp.zeros(B, jnp.int32),
         xret=x0,
         ovf=jnp.zeros(B, bool),
-        gkf=Z_M, gsz=Z_M,
-        gmeta=Z_Mi,
+        g3=jnp.zeros((NO * M, 3), idt),
         gmn=jnp.zeros(B, jnp.int32),
         it=jnp.int32(0),
     )
     if not pool:
-        del state["nxt"], state["out_n"], state["out_ovf"]
+        del state["nxt"], state["out_info"]
 
     import os as _os
     _ablate = _os.environ.get("FERMI_SMEM_ABLATE", "")
@@ -357,27 +354,36 @@ def _smem_batch_impl(index, q, l, self_match: bool, max_len: int,
         do_mem = flipW(do_memF)
         at = gmn[:, None] + flipW(dmF_before)
         ovf = ovf | jnp.any(do_mem & (at >= M), axis=1)
-        # scatter matches into the global per-read buffers (flat indices);
-        # (seg, end, start, closed) pack into one int32 so emission is 3
-        # scatters; the per-segment output reversal happens on host from
-        # the seg field (_decode_matches)
-        row = rid if pool else jB
-        tgt = jnp.where(do_mem,
-                        (row * M)[:, None] + jnp.minimum(at, M - 1),
-                        NO * M)
-        tgt = tgt.reshape(-1)
         meta = ((st["nseg"][:, None] << 21) | (Lnfo << 11)
                 | ((i + 1)[:, None] << 1)
                 | (ok0_sz != 0).astype(jnp.int32))
+        # Compact this step's emissions to E ordinals per lane BEFORE the
+        # global scatter: TPU scatter lowers to sort + apply whose cost is
+        # per scattered ELEMENT (trace: the [B*W] scatter chain was 44% of
+        # the compute line), and a lane emits far fewer than W matches per
+        # step.  ord == flipW(dmF_before); >E emissions in one step flag
+        # ovf and ride the redo ladder like any buffer overflow.
+        E = min(emax, W)
+        ordn = flipW(dmF_before)
+        ovf = ovf | jnp.any(do_mem & (ordn >= E), axis=1)
+        onehot = (do_mem & (ordn < E))[:, :, None] & \
+            (ordn[:, :, None] == jnp.arange(E, dtype=jnp.int32))  # [B,W,E]
+        def pick(v):
+            return jnp.sum(jnp.where(onehot, v[:, :, None], 0), axis=1)
+        e_kf = pick(Ekf)                       # [B, E]
+        e_sz = pick(Esz)
+        e_meta = pick(meta.astype(idt))
+        e_has = jnp.any(onehot, axis=1)        # [B, E]
+        row = rid if pool else jB
+        e_at = gmn[:, None] + jnp.arange(E, dtype=jnp.int32)
+        tgt = jnp.where(e_has & (e_at < M),
+                        (row * M)[:, None] + jnp.minimum(e_at, M - 1),
+                        NO * M)
+        val3 = jnp.stack([e_kf, e_sz, e_meta], axis=-1).reshape(-1, 3)
         if _ablate == "noscat":
-            gkf, gsz, gmeta = st["gkf"], st["gsz"], st["gmeta"]
+            g3 = st["g3"]
         else:
-            gkf = st["gkf"].reshape(-1).at[tgt].set(
-                Ekf.reshape(-1), mode="drop").reshape(NO, M)
-            gsz = st["gsz"].reshape(-1).at[tgt].set(
-                Esz.reshape(-1), mode="drop").reshape(NO, M)
-            gmeta = st["gmeta"].reshape(-1).at[tgt].set(
-                meta.reshape(-1), mode="drop").reshape(NO, M)
+            g3 = st["g3"].at[tgt.reshape(-1)].set(val3, mode="drop")
         n_mem = dmF_inc[:, -1]
         last_ms = jnp.where(bw & (n_mem > 0), i + 1, last_ms)
         gmn = jnp.where(bw, jnp.minimum(gmn + n_mem, M), gmn)
@@ -409,10 +415,10 @@ def _smem_batch_impl(index, q, l, self_match: bool, max_len: int,
             # write the finished read's outputs, then pull the next read
             rtgt = jnp.where(finl, rid, NO)
             if _ablate == "noscat":
-                st_out_n, st_out_ovf = st["out_n"], st["out_ovf"]
+                st_out_info = st["out_info"]
             else:
-                st_out_n = st["out_n"].at[rtgt].set(gmn, mode="drop")
-                st_out_ovf = st["out_ovf"].at[rtgt].set(ovf, mode="drop")
+                st_out_info = st["out_info"].at[rtgt].set(
+                    gmn | (ovf.astype(jnp.int32) << 30), mode="drop")
             rank, inc = _excl_cumsum(finl)
             rid_new = st["nxt"] + rank
             have = rid_new < NP
@@ -450,20 +456,48 @@ def _smem_batch_impl(index, q, l, self_match: bool, max_len: int,
                     kb=kb, kf=kf, sz=sz,
                     Lkb=Lkb, Lkf=Lkf, Lsz=Lsz, Lnfo=Lnfo, Lal=Lal, n=n,
                     seg_base=seg_base, last_ms=last_ms, xret=xret, ovf=ovf,
-                    gkf=gkf, gsz=gsz, gmeta=gmeta,
+                    g3=g3,
                     gmn=gmn2, it=st["it"] + 1,
                     rid=rid, ll=ll)
         if pool:
-            nst.update(nxt=nxt, out_n=st_out_n, out_ovf=st_out_ovf)
+            nst.update(nxt=nxt, out_info=st_out_info)
         return nst
 
-    st = jax.lax.while_loop(cond, body, state)
+    def body_n(st):
+        # Unrolled steps amortize the while-iteration DMA overhead (XLA
+        # re-stages the loop-invariant rank table into scoped VMEM and
+        # round-trips every carried array per iteration — measured ~2/3 of
+        # the body wall at B=2048; scripts/smem_trace.py).  The body is
+        # idempotent for done lanes, so extra steps never change results.
+        for _ in range(max(1, unroll)):
+            st = body(st)
+        return st
+
+    st = jax.lax.while_loop(cond, body_n, state)
+    if pool and compact:
+        # device-side output compaction: the per-read [NO, M] buffers are
+        # mostly padding (mean ~12 matches vs M=64), and d2h over the axon
+        # tunnel runs ~10 MB/s — transfer only the valid rows, in read
+        # order (positions preserved, so host decode is unchanged).
+        info = st["out_info"]
+        mn = jnp.minimum(info & ((1 << 30) - 1), M)
+        valid = (jnp.arange(M, dtype=jnp.int32)[None, :]
+                 < mn[:, None]).reshape(-1)
+        pos = jnp.cumsum(valid.astype(jnp.int32)) - valid.astype(jnp.int32)
+        tot = pos[-1] + valid[-1].astype(jnp.int32)
+        tgt = jnp.where(valid & (pos < compact), pos, compact)
+        cvals = jnp.zeros((compact, 3), idt).at[tgt].set(
+            st["g3"], mode="drop")
+        out = (cvals, info, st["xret"], tot)
+        if debug_iters:
+            return out + (st["it"],)
+        return out
+    g3 = st["g3"].reshape(NO, M, 3)
     if pool:
-        out = (st["gkf"], st["gsz"], st["gmeta"],
-               st["out_n"], st["xret"], st["out_ovf"])
+        info = st["out_info"]
+        out = (g3, info & ((1 << 30) - 1), st["xret"], info >> 30)
     else:
-        out = (st["gkf"], st["gsz"], st["gmeta"],
-               st["gmn"], st["xret"], st["ovf"])
+        out = (g3, st["gmn"], st["xret"], st["ovf"])
     if debug_iters:
         return out + (st["it"],)
     return out
@@ -474,7 +508,8 @@ def _smem_batch_impl(index, q, l, self_match: bool, max_len: int,
 # whose rank6 psum-combines over the tp axis).
 _smem_batch = partial(jax.jit,
                       static_argnames=("self_match", "max_len", "maxi",
-                                       "maxm", "max_segments", "lanes"))(
+                                       "maxm", "max_segments", "lanes",
+                                       "unroll", "emax", "compact"))(
     _smem_batch_impl)
 
 
@@ -518,9 +553,9 @@ def smem_all(index: FMDIndex, seqs: list[np.ndarray], self_match=False,
         for i, s in enumerate(chunk):
             q[i, : len(s)] = s
             lens[i] = len(s)
-        out = runner(q, lens, maxi, maxm)
-        mkf, msz, mmeta, mn, _, ovf = map(np.asarray, out)
-        dec = _decode_batch(mkf, msz, mmeta, mn)
+        out = runner(q, lens, maxi, maxm, 8)
+        g3, mn, _, ovf = map(np.asarray, out)
+        dec = _decode_batch(g3, mn)
         for b in range(m):
             if not ovf[b]:
                 results[lo + b] = dec[b]
@@ -536,9 +571,9 @@ def smem_all(index: FMDIndex, seqs: list[np.ndarray], self_match=False,
             lr = np.zeros_like(lens)
             qr[: len(redo)] = q[redo]
             lr[: len(redo)] = lens[redo]
-            big = runner(qr, lr, wi, wm)
-            bkf, bsz, bmeta, bmn, _, bovf = map(np.asarray, big)
-            dec = _decode_batch(bkf, bsz, bmeta, bmn)
+            big = runner(qr, lr, wi, wm, wi)
+            bg3, bmn, _, bovf = map(np.asarray, big)
+            dec = _decode_batch(bg3, bmn)
             still = []
             for t, b in enumerate(redo.tolist()):
                 if bovf[t]:
@@ -572,6 +607,7 @@ def _smem_all_pool(index, seqs, self_match, maxi, maxm, lanes, max_len):
     NPc = max(NPc, 16)
     lanes = min(lanes, NPc)
     redo = []
+    CAP = NPc * 16          # compacted-output budget (mean ~12 matches/read)
     for lo in range(0, len(ids_all), NPc):
         ids = ids_all[lo: lo + NPc]
         q = np.zeros((NPc, max_len), np.uint8)
@@ -580,10 +616,28 @@ def _smem_all_pool(index, seqs, self_match, maxi, maxm, lanes, max_len):
             s = seqs[si]
             q[t, : len(s)] = s
             lens[t] = len(s)
-        out = _smem_batch(index, jnp.asarray(q), jnp.asarray(lens),
-                          self_match, max_len, maxi, maxm, lanes=lanes)
-        mkf, msz, mmeta, mn, _, ovf = map(np.asarray, out)
-        dec = _decode_batch(mkf, msz, mmeta, mn)
+        qd, ld = jnp.asarray(q), jnp.asarray(lens)
+        out = _smem_batch(index, qd, ld, self_match, max_len, maxi, maxm,
+                          lanes=lanes, compact=CAP)
+        # transfer order matters on a slow link: the scalar total first,
+        # then only the valid prefix of the match buffer (device-side
+        # slice), never the xret vector (unused in pool mode)
+        tot = int(np.asarray(out[3]))
+        if tot > CAP:
+            # rare: pool denser than the budget — uncompacted fallback
+            out = _smem_batch(index, qd, ld, self_match, max_len, maxi,
+                              maxm, lanes=lanes)
+            g3, mn, _, ovf = map(np.asarray, out)
+            dec = _decode_batch(g3, mn)
+        else:
+            # pad the device slice to a 64k multiple: each distinct slice
+            # shape is a (remote) compile on this backend
+            tpad = min(CAP, ((max(tot, 1) + 65535) // 65536) * 65536)
+            cvals = np.asarray(out[0][:tpad])
+            info = np.asarray(out[1])
+            mn = np.minimum(info & ((1 << 30) - 1), maxm)
+            ovf = info >> 30
+            dec = _decode_compact(cvals, mn)
         for t, si in enumerate(ids):
             if ovf[t]:
                 redo.append(si)
@@ -603,9 +657,9 @@ def _smem_all_pool(index, seqs, self_match, maxi, maxm, lanes, max_len):
             q[t, : len(s)] = s
             lens[t] = len(s)
         big = _smem_batch(index, jnp.asarray(q), jnp.asarray(lens),
-                          self_match, max_len, wi, wm)
-        bkf, bsz, bmeta, bmn, _, bovf = map(np.asarray, big)
-        dec = _decode_batch(bkf, bsz, bmeta, bmn)
+                          self_match, max_len, wi, wm, emax=wi)
+        bg3, bmn, _, bovf = map(np.asarray, big)
+        dec = _decode_batch(bg3, bmn)
         still = []
         for t, si in enumerate(redo):
             if bovf[t]:
@@ -617,7 +671,27 @@ def _smem_all_pool(index, seqs, self_match, maxi, maxm, lanes, max_len):
     return results
 
 
-def _decode_batch(mkf, msz, mmeta, mn):
+def _decode_compact(cvals, mn):
+    """Decode the device-compacted output: cvals [CAP, 3] holds the valid
+    (kf, sz, meta) rows of every read back to back in read order; mn gives
+    per-read counts.  Same emission-order lexsort as _decode_batch, with the
+    flat position standing in for the per-read column."""
+    NPn = mn.shape[0]
+    tot = int(mn.sum())
+    rows = np.repeat(np.arange(NPn), mn)
+    meta = cvals[:tot, 2].astype(np.int64)
+    order = np.lexsort((-np.arange(tot), meta >> 21, rows))
+    m2 = meta[order]
+    tup = list(zip(((m2 >> 1) & 1023).tolist(),
+                   ((m2 >> 11) & 1023).tolist(),
+                   cvals[:tot, 1][order].tolist(),
+                   (m2 & 1).astype(bool).tolist(),
+                   cvals[:tot, 0][order].tolist()))
+    off = np.concatenate([[0], np.cumsum(mn)])
+    return [tup[off[r]: off[r + 1]] for r in range(NPn)]
+
+
+def _decode_batch(g3, mn):
     """Unpack the kernel's per-read match buffers into the reference's
     emission order, for a whole batch at once (one lexsort; the per-read
     python walk cost ~55 us/read and capped pool throughput).
@@ -627,6 +701,7 @@ def _decode_batch(mkf, msz, mmeta, mn):
     fm6_smem emits them start-ascending — the lexsort reverses each
     segment's slice (replacing the old in-kernel take_along_axis reversal,
     which cost ~7 ms per loop iteration at B=2048)."""
+    mkf, msz, mmeta = g3[..., 0], g3[..., 1], g3[..., 2].astype(np.int64)
     NP, M = mmeta.shape
     mn = np.minimum(np.asarray(mn), M)
     cols = np.arange(M)

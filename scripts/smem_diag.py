@@ -57,7 +57,7 @@ def main():
         out = [np.asarray(o) for o in out]
     dt = (time.time() - t0) / reps
     it = int(out[-1])
-    nm = int(out[6].sum())
+    nm = int(out[1].sum())
     print(f"batch {dt*1e3:.0f} ms  iters={it}  {dt/it*1e6:.0f} us/iter  "
           f"{B/dt:.0f} reads/s  ({nm} SMEMs)", flush=True)
 

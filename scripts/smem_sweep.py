@@ -59,8 +59,8 @@ def main():
         out = run(lanes, W)
         dt = time.time() - t0
         it = int(out[-1])
-        novf = int(out[5].sum())
-        nm = int(out[3].sum())
+        novf = int(out[3].sum())
+        nm = int(out[1].sum())
         print(f"lanes={lanes:5d} W={W:2d}: {len(seqs)/dt:6.0f} reads/s "
               f"({dt:5.2f}s, compile+1st {tc:5.1f}s) iters={it} "
               f"{dt/it*1e6:6.0f} us/iter ovf={novf} mems={nm}", flush=True)
