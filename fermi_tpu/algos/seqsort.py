@@ -12,10 +12,10 @@ import numpy as np
 import jax.numpy as jnp
 
 from fermi_tpu.index.fmd import FMDIndex
-from fermi_tpu.search.extend import retrieve2
+from fermi_tpu.search.extend import seqrank_walk
 
 
-def seqsort(index: FMDIndex, batch: int = 8192, max_len: int = 1 << 12,
+def seqsort(index: FMDIndex, batch: int = 32768, max_len: int = 1 << 12,
             verbose: bool = True) -> np.ndarray:
     n_seqs = int(np.asarray(index.mcnt[1]))
     sorted_arr = np.zeros(n_seqs, np.uint64)
@@ -25,7 +25,7 @@ def seqsort(index: FMDIndex, batch: int = 8192, max_len: int = 1 << 12,
         m = len(chunk)
         pad = batch - m
         x = jnp.asarray(np.pad(chunk, (0, pad)))
-        _, _, k, kb, kf, sz, contained = retrieve2(index, x, max_len)
+        k, kb, kf, sz, contained = seqrank_walk(index, x, max_len)
         k = np.asarray(k)[:m].astype(np.int64)
         kb = np.asarray(kb)[:m].astype(np.int64)
         kf = np.asarray(kf)[:m].astype(np.int64)

@@ -240,7 +240,9 @@ class Pipeline:
             return
         from fermi_tpu.algos.remap import remap
 
-        idx = self._fmd(self._p("ec.fmd"))
+        # host mirror: remap's contig queries run in the native SMEM engine,
+        # so a device-resident index would only add full-BWT d2h transfers
+        idx = self._host(self._p("ec.fmd"))
         sorted_arr = np.fromfile(self._p("ec.rank"), np.uint64)
         with io.TextIOWrapper(gzip.open(out + ".tmp", "wb", 1)) as fp:
             avg, std, cap = remap(idx, self._p("p2.mag.gz"), fp, sorted_arr)
@@ -268,7 +270,7 @@ class Pipeline:
         from fermi_tpu.algos.remap import remap
 
         stats = json.load(open(self._p("insert.json")))
-        idx = self._fmd(self._p("ec.fmd"))
+        idx = self._host(self._p("ec.fmd"))
         sorted_arr = np.fromfile(self._p("ec.rank"), np.uint64)
         with io.TextIOWrapper(gzip.open(out + ".tmp", "wb", 1)) as fp:
             remap(idx, self._p("p4.fa.gz"), fp, sorted_arr, min_pcv=2,
@@ -277,16 +279,20 @@ class Pipeline:
 
     def run(self, fastx_paths):
         t0 = time.time()
-        self.stage_raw_fmd(fastx_paths)
-        self.stage_correct(fastx_paths)
+        stages = [("raw_fmd", lambda: self.stage_raw_fmd(fastx_paths)),
+                  ("correct", lambda: self.stage_correct(fastx_paths))]
         if not self.skip_ec:
-            self.stage_ec_fmd()
-        self.stage_rank()
-        self.stage_unitig()
-        self.stage_clean()
-        self.stage_remap()
-        self.stage_scaf()
-        self.stage_final_remap()
+            stages.append(("ec_fmd", self.stage_ec_fmd))
+        stages += [("rank", self.stage_rank),
+                   ("unitig", self.stage_unitig),
+                   ("clean", self.stage_clean),
+                   ("remap", self.stage_remap),
+                   ("scaf", self.stage_scaf),
+                   ("final_remap", self.stage_final_remap)]
+        for name, fn in stages:
+            ts = time.time()
+            fn()
+            log("run", f"stage {name}: {time.time() - ts:.1f}s")
         final = "p5.fq.gz" if self.paired else "p2.mag.gz"
         log("run", f"done -> {self._p(final)} in {time.time() - t0:.1f}s")
         return self._p(final)

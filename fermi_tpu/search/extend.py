@@ -205,6 +205,89 @@ def retrieve2(index: FMDIndex, x: jnp.ndarray, max_len: int):
     return out, length, k, KB[:, 0], KF[:, 0], SZ[:, 0], contained
 
 
+@partial(jax.jit, static_argnames=("max_iters",))
+def seqrank_walk(index: FMDIndex, x: jnp.ndarray, max_iters: int):
+    """retrieve2 minus the sequence buffer: LF-walk from sentinel rank x
+    tracking only the full-read bi-interval — all seqsort needs
+    (reference seqsort.c:12-35 calls fm6_retrieve but uses only the
+    interval and flags).
+
+    retrieve2's [B, max_len] u8 output is a while-loop carry, so XLA
+    round-trips the whole buffer through VMEM every iteration and the
+    column write pads to (8,128) tiles; at B=8192/max_len=4096 that is a
+    33 MB carry per ~103 iterations and dominated the pipeline's rank
+    stage (140.8 s of 494.5 s at 500k pairs).  This walk carries only
+    [B] scalars and fuses the three per-step rank queries (LF symbol,
+    interval start, interval end) into one stacked rank6 battery.
+
+    Returns (k, kb, kf, sz, contained) with retrieve2 semantics.
+    """
+    B = x.shape[0]
+    idt = index.idtype
+    k = x.astype(idt)
+    done = jnp.zeros(B, dtype=bool)
+    started = jnp.zeros(B, dtype=bool)
+    kb = jnp.zeros(B, idt)
+    kf = jnp.zeros(B, idt)
+    sz = jnp.zeros(B, idt)
+
+    def cond(carry):
+        i, k, done, started, kb, kf, sz = carry
+        return (i < max_iters) & ~jnp.all(done)
+
+    def body(carry):
+        i, k, done, started, kb, kf, sz = carry
+        c = index.sym_at(k)
+        ci = c.astype(jnp.int32)
+        r = index.rank6(jnp.stack([k, kb, kb + sz], axis=0))   # [3, B, 6]
+        kp = index.cnt[ci] + \
+            jnp.take_along_axis(r[0], ci[:, None], axis=-1)[:, 0]
+        hit_end = c == 0
+        emit = ~done & ~hit_end
+        first = emit & ~started
+        # backward extend6 of (kb, kf, sz) by symbol c, from the stacked ranks
+        tk = r[1]
+        osz = r[2] - tk
+        ekb = index.cnt[ci] + jnp.take_along_axis(tk, ci[:, None], axis=-1)[:, 0]
+        esz = jnp.take_along_axis(osz, ci[:, None], axis=-1)[:, 0]
+        # forward-strand start via the complement-ordering identity (0,4,3,2,1,5)
+        off = jnp.stack([
+            jnp.zeros_like(osz[:, 0]),
+            osz[:, 0] + osz[:, 4] + osz[:, 3] + osz[:, 2],
+            osz[:, 0] + osz[:, 4] + osz[:, 3],
+            osz[:, 0] + osz[:, 4],
+            osz[:, 0],
+            osz[:, 0] + osz[:, 4] + osz[:, 3] + osz[:, 2] + osz[:, 1],
+        ], axis=-1)
+        ekf = kf + jnp.take_along_axis(off, ci[:, None], axis=-1)[:, 0]
+        skb, skf, ssz = index.set_intv(ci)
+        one = sz == 1
+        nkb = jnp.where(first, skb, jnp.where(one, kp, ekb))
+        nkf = jnp.where(first, skf, jnp.where(one, kf, ekf))
+        nsz = jnp.where(first, ssz, jnp.where(one, sz, esz))
+        kb = jnp.where(emit, nkb, kb)
+        kf = jnp.where(emit, nkf, kf)
+        sz = jnp.where(emit, nsz, sz)
+        started = started | emit
+        k = jnp.where(done, k, kp)
+        done = done | hit_end
+        return i + 1, k, done, started, kb, kf, sz
+
+    _, k, done, started, kb, kf, sz = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), k, done, started, kb, kf, sz))
+    contained = jnp.zeros(B, jnp.int32)
+    KB, KF, SZ = index.extend6(kb, kf, sz, is_back=True)
+    left = (SZ[:, 0] != sz) & (sz != 1)
+    kb2 = jnp.where(sz == 1, k, KB[:, 0])
+    kf2 = jnp.where(sz == 1, kf, KF[:, 0])
+    sz2 = jnp.where(sz == 1, sz, SZ[:, 0])
+    contained = contained | left.astype(jnp.int32)
+    KB, KF, SZ = index.extend6(kb2, kf2, sz2, is_back=False)
+    right = SZ[:, 0] != sz2
+    contained = contained | (right.astype(jnp.int32) << 1)
+    return k, KB[:, 0], KF[:, 0], SZ[:, 0], contained
+
+
 def retrieve_strings(index: FMDIndex, ids, max_len: int = 512):
     """Host convenience: retrieve sequences as forward nt6 numpy arrays."""
     ids = jnp.asarray(np.asarray(ids, dtype=np.int64))

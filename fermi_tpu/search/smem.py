@@ -138,7 +138,12 @@ def _smem_batch_impl(index, q, l, self_match: bool, max_len: int,
         last_ms=jnp.zeros(B, jnp.int32),
         xret=x0,
         ovf=jnp.zeros(B, bool),
-        g3=jnp.zeros((NO * M, 3), idt),
+        # three flat 1-D match buffers: a [NO*M, 3] carry tiles as (8,128)
+        # with 3 of 128 lanes used, so every scatter's read-modify-write of
+        # the destination moved 42x the logical bytes (trace: fusion.150)
+        gkf=jnp.zeros(NO * M, idt),
+        gsz=jnp.zeros(NO * M, idt),
+        gmt=jnp.zeros(NO * M, jnp.int32),
         gmn=jnp.zeros(B, jnp.int32),
         it=jnp.int32(0),
     )
@@ -372,18 +377,19 @@ def _smem_batch_impl(index, q, l, self_match: bool, max_len: int,
             return jnp.sum(jnp.where(onehot, v[:, :, None], 0), axis=1)
         e_kf = pick(Ekf)                       # [B, E]
         e_sz = pick(Esz)
-        e_meta = pick(meta.astype(idt))
+        e_meta = pick(meta.astype(jnp.int32))
         e_has = jnp.any(onehot, axis=1)        # [B, E]
         row = rid if pool else jB
         e_at = gmn[:, None] + jnp.arange(E, dtype=jnp.int32)
         tgt = jnp.where(e_has & (e_at < M),
                         (row * M)[:, None] + jnp.minimum(e_at, M - 1),
-                        NO * M)
-        val3 = jnp.stack([e_kf, e_sz, e_meta], axis=-1).reshape(-1, 3)
+                        NO * M).reshape(-1)
         if _ablate == "noscat":
-            g3 = st["g3"]
+            gkf, gsz, gmt = st["gkf"], st["gsz"], st["gmt"]
         else:
-            g3 = st["g3"].at[tgt.reshape(-1)].set(val3, mode="drop")
+            gkf = st["gkf"].at[tgt].set(e_kf.reshape(-1), mode="drop")
+            gsz = st["gsz"].at[tgt].set(e_sz.reshape(-1), mode="drop")
+            gmt = st["gmt"].at[tgt].set(e_meta.reshape(-1), mode="drop")
         n_mem = dmF_inc[:, -1]
         last_ms = jnp.where(bw & (n_mem > 0), i + 1, last_ms)
         gmn = jnp.where(bw, jnp.minimum(gmn + n_mem, M), gmn)
@@ -456,7 +462,7 @@ def _smem_batch_impl(index, q, l, self_match: bool, max_len: int,
                     kb=kb, kf=kf, sz=sz,
                     Lkb=Lkb, Lkf=Lkf, Lsz=Lsz, Lnfo=Lnfo, Lal=Lal, n=n,
                     seg_base=seg_base, last_ms=last_ms, xret=xret, ovf=ovf,
-                    g3=g3,
+                    gkf=gkf, gsz=gsz, gmt=gmt,
                     gmn=gmn2, it=st["it"] + 1,
                     rid=rid, ll=ll)
         if pool:
@@ -486,13 +492,17 @@ def _smem_batch_impl(index, q, l, self_match: bool, max_len: int,
         pos = jnp.cumsum(valid.astype(jnp.int32)) - valid.astype(jnp.int32)
         tot = pos[-1] + valid[-1].astype(jnp.int32)
         tgt = jnp.where(valid & (pos < compact), pos, compact)
-        cvals = jnp.zeros((compact, 3), idt).at[tgt].set(
-            st["g3"], mode="drop")
+        cvals = jnp.stack([
+            jnp.zeros(compact, idt).at[tgt].set(st["gkf"], mode="drop"),
+            jnp.zeros(compact, idt).at[tgt].set(st["gsz"], mode="drop"),
+            jnp.zeros(compact, idt).at[tgt].set(
+                st["gmt"].astype(idt), mode="drop")], axis=-1)
         out = (cvals, info, st["xret"], tot)
         if debug_iters:
             return out + (st["it"],)
         return out
-    g3 = st["g3"].reshape(NO, M, 3)
+    g3 = jnp.stack([st["gkf"], st["gsz"], st["gmt"].astype(idt)],
+                   axis=-1).reshape(NO, M, 3)
     if pool:
         info = st["out_info"]
         out = (g3, info & ((1 << 30) - 1), st["xret"], info >> 30)
@@ -539,7 +549,7 @@ def smem_all(index: FMDIndex, seqs: list[np.ndarray], self_match=False,
         return []
     batch = batch or B
     max_len = max(len(s) for s in seqs)
-    if max_len > LONG_QUERY_LEN:
+    if max_len > LONG_QUERY_LEN or not isinstance(index, FMDIndex):
         return smem_all_native(index, seqs, self_match)
     if runner is None:
         return _smem_all_pool(index, seqs, self_match, maxi, maxm,
@@ -726,26 +736,46 @@ def format_smem(index: FMDIndex, match) -> str:
     return f"{start}\t{end}\t{size}\t{'OT'[int(closed)]}{'OT'[int(kf < n_seqs)]}"
 
 
-def smem_all_native(index: FMDIndex, seqs, self_match=False):
-    """Exact SMEMs via the native sequential engine (native/smem.cpp) —
-    the long-query path, where per-segment interval sets reach hundreds and
-    fixed-width device buffers would mostly carry padding."""
-    import ctypes
-    from fermi_tpu import native
-
-    lib = native.get_lib()
-    blocks = np.asarray(index.bwt_blocks)
+def _native_index_arrays(index):
+    """Host-contiguous (blocks, occ8, cnt, n_seqs) views of an index, cached
+    on the index object: remap calls smem_all once per contig batch, and
+    re-extracting a device-resident FMDIndex meant a full BWT d2h transfer
+    per batch (~seconds each over the tunneled dev chip)."""
+    cached = getattr(index, "_native_arrays", None)
+    if cached is not None:
+        return cached
+    blocks_src = getattr(index, "bwt_blocks", None)
+    if blocks_src is None:
+        blocks_src = index.blocks
+    blocks = np.ascontiguousarray(np.asarray(blocks_src))
     occ = getattr(index, "occ8", None)
     if occ is None:
         occ6 = np.asarray(index.occ).astype(np.int64, copy=False)
         occ = np.zeros((occ6.shape[0], 8), np.int64)
         occ[:, : occ6.shape[1]] = occ6
     occ = np.ascontiguousarray(occ)
-    blocks = np.ascontiguousarray(blocks)
     cnt = np.zeros(8, np.int64)
     cnt_src = np.asarray(index.cnt).astype(np.int64)
     cnt[: len(cnt_src)] = cnt_src
     n_seqs = int(np.asarray(index.mcnt[1]))
+    cached = (blocks, occ, cnt, n_seqs)
+    try:
+        index._native_arrays = cached
+    except Exception:
+        pass
+    return cached
+
+
+def smem_all_native(index, seqs, self_match=False):
+    """Exact SMEMs via the native sequential engine (native/smem.cpp) —
+    the long-query path, where per-segment interval sets reach hundreds and
+    fixed-width device buffers would mostly carry padding.  Accepts either
+    FMDIndex or HostIndex (both speak the blocked layout)."""
+    import ctypes
+    from fermi_tpu import native
+
+    lib = native.get_lib()
+    blocks, occ, cnt, n_seqs = _native_index_arrays(index)
     offsets = np.zeros(len(seqs) + 1, np.int64)
     for i, q in enumerate(seqs):
         offsets[i + 1] = offsets[i] + len(q)
