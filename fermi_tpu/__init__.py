@@ -7,3 +7,39 @@ match the reference byte-for-byte.
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+
+def _enable_jax_compile_cache():
+    """Persistent XLA compilation cache: pipeline stages run in fresh
+    processes, and the big while-loop kernels cost 20-40 s to compile on
+    the TPU; the disk cache turns every later process's compile into a
+    sub-second load (measured 1.8 s -> 0.3 s even for a small loop)."""
+    if _os.environ.get("FERMI_TPU_NO_COMPILE_CACHE"):
+        return
+    if _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return  # caller already configured it
+    try:
+        path = _os.path.join(
+            _os.path.expanduser("~"), ".cache", "fermi_tpu", "jax")
+        _os.makedirs(path, exist_ok=True)
+        import sys as _sys
+        if "jax" in _sys.modules:
+            # jax may be pre-imported at interpreter start (the axon
+            # sitecustomize does), in which case its config already read
+            # the env — set it through the config API
+            import jax
+            jax.config.update("jax_compilation_cache_dir", path)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 0.5)
+        else:
+            # env route keeps jax-free CLI paths jax-free
+            _os.environ["JAX_COMPILATION_CACHE_DIR"] = path
+            _os.environ.setdefault(
+                "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+    except Exception:
+        pass
+
+
+_enable_jax_compile_cache()

@@ -137,7 +137,61 @@ class FMDIndex:
 
     @staticmethod
     def from_runs(runs) -> "FMDIndex":
-        return FMDIndex.from_bwt(runs.expand())
+        """Device index straight from RLE runs.
+
+        Native fast path: expand runs into padded blocks, occ, and the
+        nibble-packed rank words in three threaded C passes (the numpy
+        route — np.full copy, six compare-sum sweeps, an 8-shift pack
+        loop — cost ~34 s at 200 Msym; the transfers are ~5 s)."""
+        n = int(np.asarray(runs.mcnt[0]))
+        try:
+            from fermi_tpu import native
+            lib = native.get_lib()
+        except Exception:
+            lib = None
+        if lib is None or n == 0:
+            return FMDIndex.from_bwt(runs.expand())
+        import ctypes
+        import os
+        T = min(os.cpu_count() or 1, 16)
+        nb = (n + BLOCK - 1) // BLOCK
+        blocks = np.empty((nb + 1, BLOCK), np.uint8)
+        syms = np.ascontiguousarray(runs.symbols, dtype=np.uint8)
+        lens = np.ascontiguousarray(runs.lengths, dtype=np.int64)
+        lib.fexpand_blocks(
+            syms.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            syms.size, n,
+            blocks.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            nb + 1, T)
+        occ8 = np.empty((nb + 1, 8), np.int64)
+        lib.focc_build(
+            blocks.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            nb + 1,
+            occ8.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), 8)
+        packed = np.empty((nb + 1, 16), np.int32)
+        lib.fpack_build(
+            blocks.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            nb + 1,
+            packed.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), T)
+        # the final row is all pad, so occ8[nb] holds the full totals
+        mcnt = np.zeros(8, dtype=np.int64)
+        mcnt[0] = n
+        mcnt[1:7] = occ8[nb, :6]
+        cnt = np.zeros(8, dtype=np.int64)
+        cnt[1:7] = np.cumsum(mcnt[1:7])
+        cnt[7] = cnt[6]
+        dtype = np.int32 if n < 2**31 - BLOCK else np.int64
+        idx = FMDIndex(
+            bwt_blocks=jnp.asarray(blocks),
+            occ=jnp.asarray(occ8.astype(dtype)),
+            cnt=jnp.asarray(cnt.astype(dtype)),
+            mcnt=jnp.asarray(mcnt.astype(dtype)),
+            bwt_packed=jnp.asarray(packed),
+        )
+        # pre-seed the native-engine cache (search.smem._native_index_arrays)
+        idx._native_arrays = (blocks, occ8, cnt, int(mcnt[1]))
+        return idx
 
     @staticmethod
     def restore(path: str) -> "FMDIndex":

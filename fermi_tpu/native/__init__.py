@@ -160,6 +160,13 @@ def get_lib() -> ctypes.CDLL:
                 ctypes.POINTER(ctypes.c_int64),
                 ctypes.c_int,
             ]
+            lib.fpack_build.restype = None
+            lib.fpack_build.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int,
+            ]
             lib.frle_from_bwt.restype = ctypes.c_int64
             lib.frle_from_bwt.argtypes = [
                 ctypes.POINTER(ctypes.c_uint8),

@@ -289,15 +289,23 @@ class RldDecoder {
     return 0;
   }
 
-  static int decode_words(const uint64_t* words, uint64_t n_words, int asize,
-                          int sbits, DecodeResult* out) {
+  struct RunBuf {
+    std::vector<int64_t> len;
+    std::vector<uint8_t> sym;
+  };
+
+  // Blocks are fixed-size (2^sbits words) and self-contained, so disjoint
+  // block ranges decode independently; decode_words fans a file out over
+  // threads and stitches boundary runs (serial decode measured 17 s at
+  // ~10^8 runs).
+  static void decode_range(const uint64_t* words, uint64_t shead,
+                           uint64_t end_blk, int asize, int sbits,
+                           RunBuf* out) {
     const int abits = floor_log2(asize) + 1;
     const int ssize = 1 << sbits;
     const int hdr16 = ((asize + 1) * 16 + 63) / 64;
     const int hdr32 = ((asize + 1) * 32 + 63) / 64;
-    const uint64_t last_blk = n_words >> sbits << sbits;
-    uint64_t shead = 0;
-    while (shead != last_blk) {
+    while (shead != end_blk) {
       // block payload bounds; the last block of every 2^23-word superblock
       // keeps one spare word (never written) for decoder lookahead
       uint64_t blk_end_in_super = (shead & (kSuperWords - 1)) + ssize;
@@ -325,15 +333,55 @@ class RldDecoder {
         if (c > asize) break;  // invalid symbol: end of block
         if (r > w) r -= w;
         else { ++p; r = 64 + r - w; }
-        if (!out->run_sym.empty() && out->run_sym.back() == (uint8_t)c)
-          out->run_len.back() += len;
+        if (!out->sym.empty() && out->sym.back() == (uint8_t)c)
+          out->len.back() += len;
         else {
-          out->run_len.push_back(len);
-          out->run_sym.push_back((uint8_t)c);
+          out->len.push_back(len);
+          out->sym.push_back((uint8_t)c);
         }
       }
       shead += ssize;
       // superblock boundary: nothing special — words are linear in this decoder
+    }
+  }
+
+  static int decode_words(const uint64_t* words, uint64_t n_words, int asize,
+                          int sbits, DecodeResult* out) {
+    const int ssize = 1 << sbits;
+    const uint64_t last_blk = n_words >> sbits << sbits;
+    const uint64_t n_blks = last_blk / (uint64_t)ssize;
+    unsigned hw = std::thread::hardware_concurrency();
+    int T = (int)std::min<uint64_t>(hw ? hw : 1, n_blks / 4096 + 1);
+    if (T <= 1) {
+      RunBuf buf;
+      decode_range(words, 0, last_blk, asize, sbits, &buf);
+      out->run_len = std::move(buf.len);
+      out->run_sym = std::move(buf.sym);
+      return 0;
+    }
+    std::vector<RunBuf> bufs(T);
+    std::vector<std::thread> th;
+    for (int t = 0; t < T; ++t)
+      th.emplace_back([&, t] {
+        uint64_t b0 = n_blks * t / T, b1 = n_blks * (t + 1) / T;
+        decode_range(words, b0 * ssize, b1 * ssize, asize, sbits, &bufs[t]);
+      });
+    for (auto& x : th) x.join();
+    size_t total = 0;
+    for (auto& b : bufs) total += b.sym.size();
+    out->run_len.reserve(total);
+    out->run_sym.reserve(total);
+    for (auto& b : bufs) {
+      size_t from = 0;
+      if (!b.sym.empty() && !out->run_sym.empty() &&
+          out->run_sym.back() == b.sym[0]) {
+        out->run_len.back() += b.len[0];
+        from = 1;
+      }
+      out->run_len.insert(out->run_len.end(), b.len.begin() + from, b.len.end());
+      out->run_sym.insert(out->run_sym.end(), b.sym.begin() + from, b.sym.end());
+      RunBuf().len.swap(b.len);
+      RunBuf().sym.swap(b.sym);
     }
     return 0;
   }

@@ -108,4 +108,5 @@ def read_fmd(path: str) -> Runs:
         lib.frld_free(ctypes.cast(p_sym, ctypes.c_void_p))
     a = asize.value
     mc = np.array(mcnt[: a + 1], dtype=np.uint64)
-    return Runs(lengths.astype(np.int64), symbols.astype(np.uint8), mc, a)
+    return Runs(lengths.astype(np.int64, copy=False),
+                symbols.astype(np.uint8, copy=False), mc, a)
