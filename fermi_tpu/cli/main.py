@@ -587,7 +587,8 @@ def cmd_run(args):
 
 def _add_ropebwt(sub):
     p = sub.add_parser("ropebwt", help="alternative FM-index construction")
-    p.add_argument("-a", dest="algo", default="bpr")  # accepted; one builder
+    p.add_argument("-a", dest="algo", default="bpr",
+                   choices=["bpr", "bcr", "sais"])
     p.add_argument("-b", dest="binary", action="store_true",
                    help="binary RLE6 output")
     p.add_argument("-N", dest="cut_n", action="store_true")
@@ -626,12 +627,22 @@ def cmd_ropebwt(args):
                 frags.append(part)
             if not args.no_rev:
                 frags.append(dna.revcomp(part))
-    text_parts = []
-    for f in frags:
-        text_parts.append(f)
-        text_parts.append(np.zeros(1, np.uint8))
-    text = np.concatenate(text_parts) if text_parts else np.zeros(0, np.uint8)
-    bwt = suffix.multistring_bwt(text)
+    # three interchangeable engines (reference keeps 4 builders that must
+    # agree, fermi.1:581-628): rope insertion, column-wise BCR, SA
+    if args.algo == "bpr":
+        from fermi_tpu.construct.bprope import bpr_bwt
+        bwt = bpr_bwt(frags)
+    elif args.algo == "bcr":
+        from fermi_tpu.construct.bcr import bcr_bwt
+        bwt = bcr_bwt(frags)
+    else:
+        text_parts = []
+        for f in frags:
+            text_parts.append(f)
+            text_parts.append(np.zeros(1, np.uint8))
+        text = (np.concatenate(text_parts) if text_parts
+                else np.zeros(0, np.uint8))
+        bwt = suffix.multistring_bwt(text)
     runs = rld.Runs.from_bwt(bwt)
     if args.binary:
         out = sys.stdout.buffer if args.out == "-" else open(args.out, "wb")

@@ -31,6 +31,25 @@ property via its class-sequential merge).
 import numpy as np
 
 
+def bcr_bwt_native(text: np.ndarray, n_threads: int = 4) -> np.ndarray:
+    """Threaded native BCR (native/bcr.cpp) over a 0-terminated multi-string
+    text; byte-equal to multistring_bwt(text).  One RLE merge walk per class
+    per cycle — the next cycle's ranks fall out of the walk's emit counters
+    (reference next_bwt's trick, bcr.c:439-443).  Beats the SA engine above
+    ~100 Msym of short reads (16.2 s vs 20.6 s at 202 Msym on 4 cores)."""
+    import ctypes
+    from fermi_tpu import native
+
+    lib = native.get_lib()
+    text = np.ascontiguousarray(text, np.uint8)
+    out = np.empty(text.size, np.uint8)
+    n = lib.fbcr_build(
+        text.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), text.size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n_threads)
+    assert n == text.size, (n, text.size)
+    return out
+
+
 def bcr_bwt(seqs: list[np.ndarray]) -> np.ndarray:
     """Multi-string BWT of nt6 reads (each implicitly $-terminated), byte
     identical to suffix.multistring_bwt(build_text(seqs, both_strands=False,

@@ -134,6 +134,20 @@ def get_lib() -> ctypes.CDLL:
                 ctypes.c_int,
                 ctypes.POINTER(ctypes.c_uint8),
             ]
+            lib.fbcr_build.restype = ctypes.c_int64
+            lib.fbcr_build.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int,
+            ]
+            lib.fbpr_build.restype = ctypes.c_int64
+            lib.fbpr_build.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint8),
+            ]
             lib.fflt_keep.restype = ctypes.c_int
             lib.fflt_keep.argtypes = [
                 ctypes.POINTER(ctypes.c_uint8),

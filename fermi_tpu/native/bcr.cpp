@@ -1,0 +1,222 @@
+// Column-wise (BCR) multi-string BWT construction, threaded host engine.
+//
+// Same cycle mathematics as construct/bcr.py (the tested numpy oracle of
+// reference bcr.c:378-460): cycle j inserts, for every read still alive,
+// the suffix of length j at position rank_c(B, pos_prev) within class c.
+// Like the reference's next_bwt, the rank for the NEXT cycle falls out of
+// the merge walk itself (the write iterator's per-symbol emit counters are
+// exactly rank at the insert point), so each cycle is ONE walk over each
+// class's RLE stream — no separate rank pass.  Fresh design vs the
+// reference: coordinates are (class, final-offset-within-class) so no
+// absolute positions, no set_bwt re-sort pass, and no per-cycle radix sort
+// (6x6 source->destination buckets are order-stable because rank is
+// monotone in position); streams are byte-RLE double buffers with bulk
+// memcpy of the run ranges between inserts.
+//
+// fbcr_build(text, n, out, n_threads): text is the 0-terminated
+// multi-string text (reads in insertion order, sentinels included); out
+// receives the BWT (n bytes).  Byte-equal to fsa_bwt / multistring_bwt.
+
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct Pend {
+  int64_t off;    // final insert position within the class stream
+  uint32_t read;  // read index
+};
+
+struct Stream {
+  std::vector<uint8_t> runs[2];  // double buffer of (len<<3 | sym) runs
+  int cur = 0;
+  int64_t cnt[6] = {0, 0, 0, 0, 0, 0};  // per-symbol totals
+
+  std::vector<uint8_t>& now() { return runs[cur]; }
+  std::vector<uint8_t>& other() { return runs[cur ^ 1]; }
+  void flip() { cur ^= 1; }
+};
+
+inline void rle_push(std::vector<uint8_t>& v, int sym, int64_t l) {
+  if (!v.empty() && (v.back() & 7) == sym) {
+    int64_t have = v.back() >> 3;
+    int64_t add = l < 31 - have ? l : 31 - have;
+    v.back() = (uint8_t)(((have + add) << 3) | sym);
+    l -= add;
+  }
+  while (l > 0) {
+    int64_t take = l < 31 ? l : 31;
+    v.push_back((uint8_t)((take << 3) | sym));
+    l -= take;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t fbcr_build(const uint8_t* text, int64_t n, uint8_t* out,
+                   int n_threads) {
+  if (n == 0) return 0;
+  std::vector<int64_t> offs;
+  offs.push_back(0);
+  for (int64_t i = 0; i < n; ++i)
+    if (text[i] == 0) offs.push_back(i + 1);
+  int64_t m = (int64_t)offs.size() - 1;
+  if (m == 0) return 0;
+
+  // reversed-transposed reads: rev[j][k] = read k's j-th symbol from the
+  // end (row 0 unused; rows past a read's length hold 0).  Row-contiguous
+  // so each cycle streams one row; filled in read-blocks of 4096 so the
+  // column writes stay cache-resident.
+  int64_t lmax = 0;
+  std::vector<int64_t> lens(m);
+  for (int64_t k = 0; k < m; ++k) {
+    lens[k] = offs[k + 1] - offs[k] - 1;
+    if (lens[k] > lmax) lmax = lens[k];
+  }
+  std::vector<uint8_t> rev((size_t)(lmax + 2) * m, 0);
+  {
+    const int64_t TB = 4096;
+    int T = n_threads < 1 ? 1 : n_threads;
+    std::vector<std::thread> th;
+    for (int t = 0; t < T; ++t)
+      th.emplace_back([&, t] {
+        for (int64_t k0 = t * TB; k0 < m; k0 += (int64_t)T * TB) {
+          int64_t k1 = k0 + TB < m ? k0 + TB : m;
+          for (int64_t k = k0; k < k1; ++k) {
+            const uint8_t* s = text + offs[k];
+            for (int64_t j = 1; j <= lens[k]; ++j)
+              rev[(size_t)j * m + k] = s[lens[k] - j];
+          }
+        }
+      });
+    for (auto& x : th) x.join();
+  }
+
+  Stream S[6];
+  std::vector<Pend> pend[6], bucket[6][6];
+
+  // cycle 0: the m sentinel suffixes occupy class 0 in read order; their
+  // BWT entries are the reads' last characters.  The cycle-1 insert of
+  // read k goes into class c = rev[1][k] at rank_c(S0, k) — a running
+  // count over the same row.
+  {
+    auto& v = S[0].now();
+    for (int64_t k = 0; k < m; ++k) {
+      int sym = rev[(size_t)1 * m + k];
+      rle_push(v, sym, 1);
+      if (lens[k] >= 1)
+        pend[sym].push_back({S[0].cnt[sym], (uint32_t)k});
+      S[0].cnt[sym]++;
+    }
+  }
+
+  for (int64_t j = 1; j <= lmax; ++j) {
+    const uint8_t* row_v = rev.data() + (size_t)(j + 1) * m;
+    // merge-insert each class in parallel; emit counters give next ranks
+    {
+      std::vector<std::thread> th;
+      for (int k = 1; k < 6; ++k)  // class 0 never receives inserts
+        th.emplace_back([&, k] {
+          for (int c = 0; c < 6; ++c) bucket[k][c].clear();
+          auto& P = pend[k];
+          if (P.empty()) return;
+          auto& src = S[k].now();
+          auto& dst = S[k].other();
+          dst.clear();
+          dst.reserve(src.size() + P.size() + 16);
+          int64_t emc[6] = {0, 0, 0, 0, 0, 0};  // symbols emitted so far
+          size_t ri = 0;
+          int64_t out_len = 0;
+          int64_t carry_len = 0;
+          int carry_sym = 0;
+          for (const Pend& p : P) {
+            int64_t need = p.off - out_len;
+            while (need > 0) {
+              if (carry_len) {
+                int64_t take = need < carry_len ? need : carry_len;
+                rle_push(dst, carry_sym, take);
+                emc[carry_sym] += take;
+                carry_len -= take;
+                out_len += take;
+                need -= take;
+                continue;
+              }
+              // merge-push one run, then bulk-copy whole runs that fit
+              int sym = src[ri] & 7;
+              int64_t l = src[ri] >> 3;
+              ++ri;
+              if (l > need) {
+                carry_sym = sym;
+                carry_len = l;
+                continue;
+              }
+              rle_push(dst, sym, l);
+              emc[sym] += l;
+              out_len += l;
+              need -= l;
+              size_t r0 = ri;
+              while (ri < src.size() &&
+                     (int64_t)(src[ri] >> 3) <= need) {
+                int64_t rl = src[ri] >> 3;
+                emc[src[ri] & 7] += rl;
+                out_len += rl;
+                need -= rl;
+                ++ri;
+              }
+              if (ri > r0) {
+                dst.insert(dst.end(), src.begin() + r0, src.begin() + ri);
+              }
+            }
+            int v = row_v[p.read];
+            // emc[v] == rank_v(grown stream, p.off): the within-class part
+            // of next cycle's insert position (frontier entries included)
+            if (lens[p.read] >= j + 1)
+              bucket[k][v].push_back({emc[v], p.read});
+            rle_push(dst, v, 1);
+            emc[v]++;
+            out_len++;
+            S[k].cnt[v]++;
+          }
+          if (carry_len) rle_push(dst, carry_sym, carry_len);
+          if (ri < src.size())
+            dst.insert(dst.end(), src.begin() + ri, src.end());
+          S[k].flip();
+        });
+      for (auto& x : th) x.join();
+    }
+    // post-cycle cross-class bases: count of symbol c in classes < k
+    int64_t base[6][6];
+    for (int c = 0; c < 6; ++c) base[0][c] = 0;
+    for (int k = 1; k < 6; ++k)
+      for (int c = 0; c < 6; ++c)
+        base[k][c] = base[k - 1][c] + S[k - 1].cnt[c];
+    // gather next-cycle pendings: destination order = (source class,
+    // within-class rank) — stable because rank is monotone in position
+    {
+      std::vector<std::thread> th;
+      for (int c = 1; c < 6; ++c)
+        th.emplace_back([&, c] {
+          auto& P = pend[c];
+          P.clear();
+          for (int k = 1; k < 6; ++k)
+            for (const Pend& p : bucket[k][c])
+              P.push_back({base[k][c] + p.off, p.read});
+        });
+      for (auto& x : th) x.join();
+    }
+  }
+
+  int64_t at = 0;
+  for (int c = 0; c < 6; ++c)
+    for (uint8_t r : S[c].now()) {
+      memset(out + at, r & 7, r >> 3);
+      at += r >> 3;
+    }
+  return at;
+}
+
+}  // extern "C"

@@ -80,8 +80,7 @@ class Pipeline:
         th.start()
         return th
 
-    @staticmethod
-    def _build_bwt(text):
+    def _build_bwt(self, text):
         """BWT builder dispatch: the blocked device path (wsort blocks +
         gap-bit merge, construct/blocked.py) when a TPU-class backend is
         present, the threaded host SA engine otherwise.
@@ -94,17 +93,38 @@ class Pipeline:
             # device build wins whenever host<->device bandwidth is sane
             # (PCIe ~16 GB/s); over a remote-tunneled chip (the axon dev
             # platform, ~10 MB/s measured) round-tripping text+BWT always
-            # loses to the threaded host SA engine, so auto skips it there
-            try:
-                import jax
-                use_dev = (jax.default_backend() not in ("cpu",)
-                           and "axon" not in jax._src.xla_bridge.backends())
-            except Exception:
+            # loses to the threaded host SA engine, so auto skips it there.
+            # Decide from JAX_PLATFORMS when possible: merely *initializing*
+            # the tunneled backend costs 0-35 s (cold handshake), which is
+            # absurd to pay on the path that then stays on the host.
+            plat = os.environ.get("JAX_PLATFORMS", "").lower()
+            if "axon" in plat or plat == "cpu":
                 use_dev = False
+            elif "tpu" in plat:
+                use_dev = True
+            else:
+                try:
+                    import jax
+                    use_dev = (jax.default_backend() not in ("cpu",)
+                               and "axon" not in jax._src.xla_bridge.backends())
+                except Exception:
+                    use_dev = False
         if use_dev:
             from fermi_tpu.construct import blocked
             return blocked.device_build_text(
                 text, progress=lambda m: log("build", m))
+        # host dispatch: column-wise BCR beats the SA engine on large
+        # short-read texts (its work scales with read length, the SA
+        # engine's bucket sorts degrade superlinearly past ~100 Msym);
+        # SA stays the choice for small or long-fragment inputs
+        n = int(text.size)
+        if n > (64 << 20):
+            import numpy as np
+            sent = np.flatnonzero(text[: 1 << 20] == 0)
+            approx_rl = (1 << 20) / max(len(sent), 1)
+            if len(sent) and approx_rl < 1024:
+                from fermi_tpu.construct.bcr import bcr_bwt_native
+                return bcr_bwt_native(text, n_threads=self.t)
         return suffix.multistring_bwt(text)
 
     # -- stages ------------------------------------------------------------
@@ -119,6 +139,7 @@ class Pipeline:
         # join reads with N: encode maps it to 5, and fragments are maximal
         # runs of non-5 symbols, so one vectorized pass covers cut_n too
         blob = "N".join(reads_iter)
+        t_read = time.time()
         warm = self._prewarm_sa(2 * len(blob) + 2_000_000)
         enc = dna.encode(blob)
         del blob
@@ -136,11 +157,15 @@ class Pipeline:
             f"{n_frags} fragments, {text.size / 1e6:.1f}M symbols")
         if warm is not None:
             warm.join()
+        t_text = time.time()
         bwt = self._build_bwt(text)
+        t_bwt = time.time()
         runs = rld.Runs.from_bwt(bwt)
         rld.write_fmd(runs, out_fmd)
         self._cache[("runs", out_fmd)] = runs
-        log("build", f"wrote {out_fmd} in {time.time() - t0:.1f}s")
+        log("build", f"wrote {out_fmd} in {time.time() - t0:.1f}s "
+            f"(read {t_read - t0:.1f}, text {t_text - t_read:.1f}, "
+            f"bwt {t_bwt - t_text:.1f}, rle+dump {time.time() - t_bwt:.1f})")
 
     def stage_raw_fmd(self, fastx_paths):
         if self.skip_ec:

@@ -1,7 +1,8 @@
-"""The construction QA triangle (SURVEY §4.5): four independent builders —
+"""The construction QA polygon (SURVEY §4.5): five independent builders —
 host SA (suffix.py), device prefix doubling (suffix_jax.py), device
-window-sort (wsort.py), and device BCR (bcr.py / bcr_jax.py, the reference
-bcr.c algorithm) — must produce identical multi-string BWTs."""
+window-sort (wsort.py), device BCR (bcr.py / bcr_jax.py, the reference
+bcr.c algorithm), and the B+-rope (bprope.py, the reference bprope6.c
+algorithm) — must produce identical multi-string BWTs."""
 
 import numpy as np
 import pytest
@@ -10,6 +11,7 @@ from fermi_tpu.core import dna
 from fermi_tpu.construct import suffix
 from fermi_tpu.construct.bcr import bcr_bwt
 from fermi_tpu.construct.bcr_jax import bcr_bwt_device
+from fermi_tpu.construct.bprope import bpr_bwt
 from fermi_tpu.construct.wsort import wsort_bwt
 
 from util import random_reads
@@ -47,6 +49,66 @@ def test_bcr_numpy_matches_host(case):
     ref = suffix.multistring_bwt(
         suffix.build_text(seqs, both_strands=False, trim_palindrome=False))
     assert np.array_equal(ref, bcr_bwt(seqs))
+
+
+@pytest.mark.parametrize("case", range(8))
+def test_bprope_matches_host(case):
+    reads = _cases()[case]
+    seqs = _nt6(reads)
+    ref = suffix.multistring_bwt(
+        suffix.build_text(seqs, both_strands=False, trim_palindrome=False))
+    assert np.array_equal(ref, bpr_bwt(seqs))
+
+
+def test_bprope_long_runs_and_scale():
+    # leaf/run splitting paths: long homopolymers exceed the 13-bit run cap,
+    # and enough reads to force several levels of internal-node splits
+    rng = np.random.default_rng(5)
+    seqs = [np.full(rng.integers(50, 200), rng.integers(1, 5), np.uint8)
+            for _ in range(50)]
+    seqs += [rng.integers(1, 5, 100).astype(np.uint8) for _ in range(3000)]
+    ref = suffix.multistring_bwt(
+        suffix.build_text(seqs, both_strands=False, trim_palindrome=False))
+    assert np.array_equal(ref, bpr_bwt(seqs))
+
+
+def test_cli_ropebwt_engines_agree(tmp_path, ref_fermi):
+    """CLI `ropebwt -a {bpr,bcr,sais}` all match the reference binary's
+    text output (same fwd/rc interleave + palindrome trim)."""
+    import subprocess
+    import sys
+    from util import write_fasta
+
+    reads = random_reads(40, seed=9, with_genome=True, genome_len=800)
+    fa = str(tmp_path / "r.fa")
+    write_fasta(fa, reads)
+    ref = subprocess.run([ref_fermi, "ropebwt", "-a", "bpr", fa],
+                         capture_output=True, check=True).stdout
+    for algo in ("bpr", "bcr", "sais"):
+        mine = subprocess.run(
+            [sys.executable, "-m", "fermi_tpu.cli", "ropebwt", "-a", algo, fa],
+            capture_output=True, check=True).stdout
+        assert mine == ref, algo
+
+
+@pytest.mark.parametrize("case", range(8))
+def test_bcr_native_matches_host(case):
+    from fermi_tpu.construct.bcr import bcr_bwt_native
+    reads = _cases()[case]
+    text = suffix.build_text(_nt6(reads))
+    assert np.array_equal(suffix.multistring_bwt(text), bcr_bwt_native(text))
+
+
+def test_bcr_native_scale():
+    # enough reads for deep RLE streams, several 31-cap run splits, and all
+    # 6x6 bucket routes; byte parity with the SA engine
+    from fermi_tpu.construct.bcr import bcr_bwt_native
+    rng = np.random.default_rng(7)
+    seqs = [rng.integers(1, 5, int(rng.integers(40, 150))).astype(np.uint8)
+            for _ in range(4000)]
+    seqs += [np.full(90, 3, np.uint8)] * 5    # homopolymers
+    text = suffix.build_text(seqs, both_strands=True, trim_palindrome=False)
+    assert np.array_equal(suffix.multistring_bwt(text), bcr_bwt_native(text))
 
 
 def test_bcr_device_matches_numpy():
