@@ -205,8 +205,9 @@ def retrieve2(index: FMDIndex, x: jnp.ndarray, max_len: int):
     return out, length, k, KB[:, 0], KF[:, 0], SZ[:, 0], contained
 
 
-@partial(jax.jit, static_argnames=("max_iters",))
-def seqrank_walk(index: FMDIndex, x: jnp.ndarray, max_iters: int):
+@partial(jax.jit, static_argnames=("max_iters", "unroll"))
+def seqrank_walk(index: FMDIndex, x: jnp.ndarray, max_iters: int,
+                 unroll: int = 4):
     """retrieve2 minus the sequence buffer: LF-walk from sentinel rank x
     tracking only the full-read bi-interval — all seqsort needs
     (reference seqsort.c:12-35 calls fm6_retrieve but uses only the
@@ -273,8 +274,16 @@ def seqrank_walk(index: FMDIndex, x: jnp.ndarray, max_iters: int):
         done = done | hit_end
         return i + 1, k, done, started, kb, kf, sz
 
+    def body_n(carry):
+        # the body is idempotent for done lanes, so unrolled extra steps
+        # never change results; unrolling amortizes the per-iteration
+        # carry round-trip DMA (same effect measured on the SMEM kernel)
+        for _ in range(max(1, unroll)):
+            carry = body(carry)
+        return carry
+
     _, k, done, started, kb, kf, sz = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), k, done, started, kb, kf, sz))
+        cond, body_n, (jnp.int32(0), k, done, started, kb, kf, sz))
     contained = jnp.zeros(B, jnp.int32)
     KB, KF, SZ = index.extend6(kb, kf, sz, is_back=True)
     left = (SZ[:, 0] != sz) & (sz != 1)
