@@ -2,16 +2,17 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Default mode runs the full assembly pipeline (index -> correct -> filter ->
-index -> unitig -> clean x2, the reference run-fermi.pl unpaired chain) on a
-deterministic 60k-read / 2 Mbp dataset, ours in-process vs the reference
-binaries with the same thread count; vs_baseline = ref_wall / my_wall.
-Byte-parity of every artifact vs the reference's -t1 chain is enforced in
-tests/test_pipeline.py and the e2e suite; here the reference runs its
-production -t4 mode.
+Default mode runs the full PAIRED pipeline (raw fmd -> correct -> ec fmd ->
+rank -> unitig -> clean x2 -> remap -> scaf -> remap -c2, the reference
+run-fermi.pl -P chain) on a deterministic 500k-pair / 1M-read / 40 Mbp PE
+dataset, ours in-process vs the reference binary chain with the same thread
+count; vs_baseline = ref_wall / my_wall.  Byte-parity of every artifact vs
+the reference's -t1 chain is enforced in tests/test_pipeline.py; here the
+reference runs its production -t4 mode.
 
-`--smem` instead benchmarks batched SMEM search on the default JAX device
-(the TPU under the driver) against reference `fermi exact`.
+`--small` runs the round-1 60k-read unpaired chain instead; `--smem`
+benchmarks batched SMEM search on the default JAX device (the TPU under
+the driver) against reference `fermi exact`.
 """
 
 import json
@@ -219,8 +220,44 @@ def contig_stats(path):
     return n, total
 
 
+def bench_paired(n_pairs=500_000):
+    """Headline: the full PAIRED chain (raw fmd -> correct -> ec fmd -> rank
+    -> unitig -> clean x2 -> remap -> scaf -> remap -c2) at 1M reads, ours
+    vs the reference binary chain, fresh artifacts both sides."""
+    import glob
+    import shutil
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "scripts"))
+    import scale_bench
+
+    wd = os.path.join(CACHE, f"scale_{n_pairs}")
+    os.makedirs(wd, exist_ok=True)
+    fq = os.path.join(wd, "reads.fq")
+    if not os.path.exists(fq):
+        scale_bench.make_pe(fq, n_pairs)
+    for f in glob.glob(os.path.join(wd, "my.*")):
+        os.remove(f)
+    t_my = scale_bench.run_mine(fq, os.path.join(wd, "my"))
+    vs = None
+    if ensure_ref():
+        t_ref = scale_bench.run_ref(fq, os.path.join(wd, "ref"))
+        vs = t_ref / t_my
+    print(json.dumps({
+        "metric": "paired end-to-end assembly throughput",
+        "value": round(2 * n_pairs / t_my, 1),
+        "unit": f"reads/s ({2*n_pairs} reads, paired chain to p5, 4 threads)",
+        "vs_baseline": round(vs, 3) if vs is not None else None,
+    }))
+
+
 def main():
     smem_mode = "--smem" in sys.argv
+    if "--paired" in sys.argv or not (smem_mode or "--small" in sys.argv):
+        if not smem_mode:
+            np_arg = [a for a in sys.argv[1:] if a.isdigit()]
+            bench_paired(int(np_arg[0]) if np_arg else 500_000)
+            return
     if smem_mode:
         fmd, qfa = ensure_files()
         mine_rps, mine_m = bench_mine(fmd, qfa)

@@ -15,6 +15,39 @@ from fermi_tpu.index.fmd import FMDIndex
 from fermi_tpu.search.extend import seqrank_walk
 
 
+def seqsort_native(index, n_threads: int = 4,
+                   verbose: bool = True) -> np.ndarray:
+    """Host engine (native/seqsort.cpp): same walk as seqrank_walk, striped
+    threads.  Accepts FMDIndex or HostIndex (blocked layout)."""
+    import ctypes
+    from fermi_tpu import native
+    from fermi_tpu.search.smem import _native_index_arrays
+
+    lib = native.get_lib()
+    blocks, occ, cnt, n_seqs = _native_index_arrays(index)
+    sorted_arr = np.zeros(n_seqs, np.uint64)
+    lib.fseqsort(
+        blocks.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        occ.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        blocks.shape[0],
+        cnt.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n_seqs,
+        sorted_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        n_threads)
+    if verbose:
+        _report(sorted_arr)
+    return sorted_arr
+
+
+def _report(sorted_arr):
+    zeros = int((sorted_arr == 0).sum())
+    ncont = int(((sorted_arr != 0) & (sorted_arr & 2 != 0)).sum())
+    ndup = int(((sorted_arr != 0) & (sorted_arr & 2 == 0)
+                & (sorted_arr & 1 != 0)).sum())
+    sys.stderr.write(
+        f"[M::seqsort] #zeros={zeros}, #contained={ncont}, #duplicates={ndup}\n")
+
+
 def seqsort(index: FMDIndex, batch: int = 32768, max_len: int = 1 << 12,
             verbose: bool = True) -> np.ndarray:
     n_seqs = int(np.asarray(index.mcnt[1]))
@@ -39,10 +72,5 @@ def seqsort(index: FMDIndex, batch: int = 32768, max_len: int = 1 << 12,
         mirror = np.where(kb != kf, kf + l, k + 1)
         sorted_arr[mirror] = (i64 | 1) << 2 | flag
     if verbose:
-        zeros = int((sorted_arr == 0).sum())
-        ncont = int(((sorted_arr != 0) & (sorted_arr & 2 != 0)).sum())
-        ndup = int(((sorted_arr != 0) & (sorted_arr & 2 == 0)
-                    & (sorted_arr & 1 != 0)).sum())
-        sys.stderr.write(
-            f"[M::seqsort] #zeros={zeros}, #contained={ncont}, #duplicates={ndup}\n")
+        _report(sorted_arr)
     return sorted_arr

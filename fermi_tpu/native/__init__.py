@@ -181,6 +181,21 @@ def get_lib() -> ctypes.CDLL:
                 ctypes.POINTER(ctypes.c_int32),
                 ctypes.c_int,
             ]
+            lib.fseqsort.restype = None
+            lib.fseqsort.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint64),
+                ctypes.c_int,
+            ]
+            lib.frle_count.restype = ctypes.c_int64
+            lib.frle_count.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int64,
+            ]
             lib.frle_from_bwt.restype = ctypes.c_int64
             lib.frle_from_bwt.argtypes = [
                 ctypes.POINTER(ctypes.c_uint8),

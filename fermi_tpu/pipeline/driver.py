@@ -83,20 +83,37 @@ class Pipeline:
     def _build_bwt(self, text):
         """BWT builder dispatch: the blocked device path (wsort blocks +
         gap-bit merge, construct/blocked.py) when a TPU-class backend is
-        present, the threaded host SA engine otherwise.
-        FERMI_TPU_DEVICE_BUILD=1/0 forces either."""
+        present; on the host, column-wise BCR for large short-read texts
+        (native/bcr.cpp — its work scales with read length, while the SA
+        engine's bucket sorts degrade superlinearly past ~100 Msym) and the
+        threaded SA engine otherwise.  FERMI_TPU_DEVICE_BUILD=1/0 forces
+        device/host."""
         from fermi_tpu.construct import suffix
 
+        engine = self._plan_builder(int(text.size))
+        if engine == "device":
+            from fermi_tpu.construct import blocked
+            return blocked.device_build_text(
+                text, progress=lambda m: log("build", m))
+        if engine == "bcr":
+            sent = np.flatnonzero(text[: 1 << 20] == 0)
+            approx_rl = (1 << 20) / max(len(sent), 1)
+            if len(sent) and approx_rl < 1024:
+                from fermi_tpu.construct.bcr import bcr_bwt_native
+                return bcr_bwt_native(text, n_threads=self.t)
+        return suffix.multistring_bwt(text)
+
+    @staticmethod
+    def _plan_builder(n_symbols):
+        """'device' | 'bcr' | 'sa' — decided WITHOUT initializing a JAX
+        backend (the tunneled axon backend costs 0-35 s just to handshake,
+        absurd on a path that then stays on the host)."""
         mode = os.environ.get("FERMI_TPU_DEVICE_BUILD", "auto")
         use_dev = mode == "1"
         if mode == "auto":
             # device build wins whenever host<->device bandwidth is sane
-            # (PCIe ~16 GB/s); over a remote-tunneled chip (the axon dev
-            # platform, ~10 MB/s measured) round-tripping text+BWT always
-            # loses to the threaded host SA engine, so auto skips it there.
-            # Decide from JAX_PLATFORMS when possible: merely *initializing*
-            # the tunneled backend costs 0-35 s (cold handshake), which is
-            # absurd to pay on the path that then stays on the host.
+            # (PCIe ~16 GB/s); over a remote-tunneled chip (axon, ~10 MB/s
+            # measured) round-tripping text+BWT always loses to the host
             plat = os.environ.get("JAX_PLATFORMS", "").lower()
             if "axon" in plat or plat == "cpu":
                 use_dev = False
@@ -110,22 +127,8 @@ class Pipeline:
                 except Exception:
                     use_dev = False
         if use_dev:
-            from fermi_tpu.construct import blocked
-            return blocked.device_build_text(
-                text, progress=lambda m: log("build", m))
-        # host dispatch: column-wise BCR beats the SA engine on large
-        # short-read texts (its work scales with read length, the SA
-        # engine's bucket sorts degrade superlinearly past ~100 Msym);
-        # SA stays the choice for small or long-fragment inputs
-        n = int(text.size)
-        if n > (64 << 20):
-            import numpy as np
-            sent = np.flatnonzero(text[: 1 << 20] == 0)
-            approx_rl = (1 << 20) / max(len(sent), 1)
-            if len(sent) and approx_rl < 1024:
-                from fermi_tpu.construct.bcr import bcr_bwt_native
-                return bcr_bwt_native(text, n_threads=self.t)
-        return suffix.multistring_bwt(text)
+            return "device"
+        return "bcr" if n_symbols > (64 << 20) else "sa"
 
     # -- stages ------------------------------------------------------------
 
@@ -140,7 +143,12 @@ class Pipeline:
         # runs of non-5 symbols, so one vectorized pass covers cut_n too
         blob = "N".join(reads_iter)
         t_read = time.time()
-        warm = self._prewarm_sa(2 * len(blob) + 2_000_000)
+        # SA scratch prewarm only pays on the SA path; on the BCR path it
+        # prefaults ~13 B/sym of unused arenas and steals the text-assembly
+        # cores (measured: text step 7 s -> 16 s)
+        n_est = 2 * len(blob) + 2_000_000
+        warm = (self._prewarm_sa(n_est)
+                if self._plan_builder(n_est) == "sa" else None)
         enc = dna.encode(blob)
         del blob
         ok = enc != 5
@@ -220,10 +228,17 @@ class Pipeline:
         out = self._p("ec.rank")
         if not self.paired or os.path.exists(out):
             return
-        from fermi_tpu.algos.seqsort import seqsort
-
-        idx = self._fmd(self._p("ec.fmd"))
-        arr = seqsort(idx)
+        # same platform dispatch as the builder: on a directly-attached TPU
+        # the batched device walk wins; over the tunneled dev chip (or on
+        # cpu) the threaded host engine does (the tunnel's remote compile
+        # latency is also unbounded — measured 15 s..479 s for this stage)
+        if self._plan_builder(1 << 30) == "device":
+            from fermi_tpu.algos.seqsort import seqsort
+            arr = seqsort(self._fmd(self._p("ec.fmd")))
+        else:
+            from fermi_tpu.algos.seqsort import seqsort_native
+            arr = seqsort_native(self._host(self._p("ec.fmd")),
+                                 n_threads=self.t)
         arr.tofile(out)
 
     def stage_unitig(self):

@@ -32,6 +32,7 @@ into one int32 so the whole emission is 3 scatters; the reference's
 per-segment output reversal happens on host from the emitted segment ids.
 """
 
+import os
 from functools import partial
 
 import numpy as np
@@ -627,8 +628,9 @@ def _smem_all_pool(index, seqs, self_match, maxi, maxm, lanes, max_len):
             q[t, : len(s)] = s
             lens[t] = len(s)
         qd, ld = jnp.asarray(q), jnp.asarray(lens)
+        unroll = int(os.environ.get("FERMI_TPU_SMEM_UNROLL", "1"))
         out = _smem_batch(index, qd, ld, self_match, max_len, maxi, maxm,
-                          lanes=lanes, compact=CAP)
+                          lanes=lanes, compact=CAP, unroll=unroll)
         # transfer order matters on a slow link: the scalar total first,
         # then only the valid prefix of the match buffer (device-side
         # slice), never the xret vector (unused in pool mode)

@@ -23,3 +23,12 @@ def test_seqsort_parity(tmp_path, ref_fermi):
     idx = FMDIndex.restore(fmd)
     mine = seqsort(idx, batch=64, max_len=128, verbose=False)
     assert np.array_equal(mine, ref_arr)
+    # native host engine: same array from the same index
+    from fermi_tpu.algos.seqsort import seqsort_native
+    nat = seqsort_native(idx, n_threads=3, verbose=False)
+    assert np.array_equal(nat, ref_arr)
+    # and from the HostIndex view
+    from fermi_tpu import rld
+    from fermi_tpu.algos.hostindex import HostIndex
+    h = HostIndex.from_runs(rld.read_fmd(fmd))
+    assert np.array_equal(seqsort_native(h, verbose=False), ref_arr)
