@@ -50,6 +50,34 @@ def bcr_bwt_native(text: np.ndarray, n_threads: int = 4) -> np.ndarray:
     return out
 
 
+def bcr_runs_native(text: np.ndarray, n_threads: int = 4):
+    """Native BCR straight to RLE runs (rld.Runs) — skips the dense-BWT
+    emit + re-scan of bcr_bwt_native + Runs.from_bwt (two full passes and
+    worst-case buffers at 200 Msym)."""
+    import ctypes
+    from fermi_tpu import native
+    from fermi_tpu import rld
+
+    lib = native.get_lib()
+    text = np.ascontiguousarray(text, np.uint8)
+    p_sym = ctypes.POINTER(ctypes.c_uint8)()
+    p_len = ctypes.POINTER(ctypes.c_int64)()
+    nr = lib.fbcr_build_runs(
+        text.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), text.size,
+        n_threads, ctypes.byref(p_sym), ctypes.byref(p_len))
+    try:
+        symbols = np.ctypeslib.as_array(p_sym, shape=(nr,)).copy()
+        lengths = np.ctypeslib.as_array(p_len, shape=(nr,)).copy()
+    finally:
+        lib.frld_free(ctypes.cast(p_sym, ctypes.c_void_p))
+        lib.frld_free(ctypes.cast(p_len, ctypes.c_void_p))
+    mcnt = np.zeros(7, np.uint64)
+    mcnt[0] = text.size
+    mcnt[1:] = np.bincount(symbols, weights=lengths.astype(np.float64),
+                           minlength=6)[:6].astype(np.uint64)
+    return rld.Runs(lengths, symbols, mcnt, 6)
+
+
 def bcr_bwt(seqs: list[np.ndarray]) -> np.ndarray:
     """Multi-string BWT of nt6 reads (each implicitly $-terminated), byte
     identical to suffix.multistring_bwt(build_text(seqs, both_strands=False,

@@ -181,6 +181,14 @@ def get_lib() -> ctypes.CDLL:
                 ctypes.POINTER(ctypes.c_int32),
                 ctypes.c_int,
             ]
+            lib.fbcr_build_runs.restype = ctypes.c_int64
+            lib.fbcr_build_runs.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int64,
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+            ]
             lib.fseqsort.restype = None
             lib.fseqsort.argtypes = [
                 ctypes.POINTER(ctypes.c_uint8),

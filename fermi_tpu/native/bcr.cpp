@@ -18,6 +18,7 @@
 // receives the BWT (n bytes).  Byte-equal to fsa_bwt / multistring_bwt.
 
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <thread>
 #include <vector>
@@ -53,19 +54,19 @@ inline void rle_push(std::vector<uint8_t>& v, int sym, int64_t l) {
   }
 }
 
-}  // namespace
+struct Bcr {
+  Stream S[6];
+};
 
-extern "C" {
-
-int64_t fbcr_build(const uint8_t* text, int64_t n, uint8_t* out,
-                   int n_threads) {
-  if (n == 0) return 0;
+// core build: fills B->S from the 0-terminated multi-string text
+static void build_streams(const uint8_t* text, int64_t n, int n_threads,
+                          Bcr* B) {
   std::vector<int64_t> offs;
   offs.push_back(0);
   for (int64_t i = 0; i < n; ++i)
     if (text[i] == 0) offs.push_back(i + 1);
   int64_t m = (int64_t)offs.size() - 1;
-  if (m == 0) return 0;
+  if (m == 0) return;
 
   // reversed-transposed reads: rev[j][k] = read k's j-th symbol from the
   // end (row 0 unused; rows past a read's length hold 0).  Row-contiguous
@@ -96,7 +97,7 @@ int64_t fbcr_build(const uint8_t* text, int64_t n, uint8_t* out,
     for (auto& x : th) x.join();
   }
 
-  Stream S[6];
+  Stream* S = B->S;
   std::vector<Pend> pend[6], bucket[6][6];
 
   // cycle 0: the m sentinel suffixes occupy class 0 in read order; their
@@ -210,13 +211,55 @@ int64_t fbcr_build(const uint8_t* text, int64_t n, uint8_t* out,
     }
   }
 
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t fbcr_build(const uint8_t* text, int64_t n, uint8_t* out,
+                   int n_threads) {
+  Bcr B;
+  build_streams(text, n, n_threads, &B);
   int64_t at = 0;
   for (int c = 0; c < 6; ++c)
-    for (uint8_t r : S[c].now()) {
+    for (uint8_t r : B.S[c].now()) {
       memset(out + at, r & 7, r >> 3);
       at += r >> 3;
     }
   return at;
+}
+
+// Runs-direct variant: the builder already holds the BWT as RLE class
+// streams, so skip the dense emit + re-scan (two full passes + worst-case
+// buffers).  Emits maximal runs (adjacent 31-capped and cross-class-
+// boundary runs merged) into malloc'd buffers; caller frees both with
+// frld_free.  Returns the run count.
+int64_t fbcr_build_runs(const uint8_t* text, int64_t n, int n_threads,
+                        uint8_t** syms_out, int64_t** lens_out) {
+  Bcr B;
+  build_streams(text, n, n_threads, &B);
+  size_t cap = 1;
+  for (int c = 0; c < 6; ++c) cap += B.S[c].now().size();
+  uint8_t* syms = (uint8_t*)malloc(cap);
+  int64_t* lens = (int64_t*)malloc(cap * sizeof(int64_t));
+  int64_t nr = 0;
+  int last = -1;
+  for (int c = 0; c < 6; ++c)
+    for (uint8_t r : B.S[c].now()) {
+      int sym = r & 7;
+      int64_t l = r >> 3;
+      if (sym == last) {
+        lens[nr - 1] += l;
+      } else {
+        syms[nr] = (uint8_t)sym;
+        lens[nr++] = l;
+        last = sym;
+      }
+    }
+  *syms_out = syms;
+  *lens_out = lens;
+  return nr;
 }
 
 }  // extern "C"

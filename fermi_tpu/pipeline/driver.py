@@ -95,13 +95,27 @@ class Pipeline:
             from fermi_tpu.construct import blocked
             return blocked.device_build_text(
                 text, progress=lambda m: log("build", m))
-        if engine == "bcr":
-            sent = np.flatnonzero(text[: 1 << 20] == 0)
-            approx_rl = (1 << 20) / max(len(sent), 1)
-            if len(sent) and approx_rl < 1024:
-                from fermi_tpu.construct.bcr import bcr_bwt_native
-                return bcr_bwt_native(text, n_threads=self.t)
+        if engine == "bcr" and self._short_read_text(text):
+            from fermi_tpu.construct.bcr import bcr_bwt_native
+            return bcr_bwt_native(text, n_threads=self.t)
         return suffix.multistring_bwt(text)
+
+    @staticmethod
+    def _short_read_text(text):
+        sent = np.flatnonzero(text[: 1 << 20] == 0)
+        return len(sent) and (1 << 20) / len(sent) < 1024
+
+    def _build_runs(self, text):
+        """BWT as RLE runs, engine-dispatched; the BCR engine emits runs
+        directly (its class streams already ARE the RLE), others go through
+        the dense BWT."""
+        from fermi_tpu import rld
+
+        if (self._plan_builder(int(text.size)) == "bcr"
+                and self._short_read_text(text)):
+            from fermi_tpu.construct.bcr import bcr_runs_native
+            return bcr_runs_native(text, n_threads=self.t)
+        return rld.Runs.from_bwt(self._build_bwt(text))
 
     @staticmethod
     def _plan_builder(n_symbols):
@@ -166,9 +180,8 @@ class Pipeline:
         if warm is not None:
             warm.join()
         t_text = time.time()
-        bwt = self._build_bwt(text)
+        runs = self._build_runs(text)
         t_bwt = time.time()
-        runs = rld.Runs.from_bwt(bwt)
         rld.write_fmd(runs, out_fmd)
         self._cache[("runs", out_fmd)] = runs
         log("build", f"wrote {out_fmd} in {time.time() - t0:.1f}s "
