@@ -123,36 +123,18 @@ def bench_mine(fmd, qfa):
     idx = FMDIndex.restore(fmd)
     log(f"index loaded to device in {time.time()-t0:.1f}s")
     seqs = [dna.encode(r.seq) for r in fastx.read_fastx(qfa)]
-    # the axon TPU worker can fault on large programs; fall back to smaller
-    # batches if that happens
-    last_err = None
-    # per-iteration cost scales with B and the worst lane sets the
-    # iteration count, so small batches win (measured: B=8192 148 r/s,
-    # B=2048 219 r/s, B=1024 region is the optimum)
-    for B in (1024, 512):
-        try:
-            t0 = time.time()
-            sm.smem_all(idx, seqs[:B], batch=B)
-            log(f"warmup B={B} (compile) in {time.time()-t0:.1f}s")
-            t0 = time.time()
-            n_matches = 0
-            done = 0
-            for lo in range(0, len(seqs), B):
-                res = sm.smem_all(idx, seqs[lo: lo + B], batch=B)
-                n_matches += sum(len(r) for r in res)
-                done += len(res)
-                if lo // B % 4 == 0:
-                    el = time.time() - t0
-                    log(f"  {done}/{len(seqs)} reads, {done/el:.0f} reads/s")
-            dt = time.time() - t0
-            log(f"mine: {len(seqs)} reads in {dt:.2f}s -> "
-                f"{len(seqs)/dt:.0f} reads/s ({n_matches} SMEMs)")
-            return len(seqs) / dt, n_matches
-        except Exception as e:  # jax runtime errors on worker crash
-            last_err = e
-            log(f"B={B} failed ({type(e).__name__}); retrying smaller")
-            time.sleep(10)
-    raise last_err
+    # one lane-refill pool over the whole query set (search/smem pool mode);
+    # warm once for compile, then measure
+    t0 = time.time()
+    sm.smem_all(idx, seqs[:4096])
+    log(f"warmup (compile) in {time.time()-t0:.1f}s")
+    t0 = time.time()
+    res = sm.smem_all(idx, seqs)
+    dt = time.time() - t0
+    n_matches = sum(len(r) for r in res)
+    log(f"mine: {len(seqs)} reads in {dt:.2f}s -> "
+        f"{len(seqs)/dt:.0f} reads/s ({n_matches} SMEMs)")
+    return len(seqs) / dt, n_matches
 
 
 def bench_ref(ref, fmd, qfa):

@@ -526,7 +526,10 @@ _smem_batch = partial(jax.jit,
 
 LONG_QUERY_LEN = 512   # above this, use the native sequential engine
 SEGMENTS_PER_CALL = 16  # restart segments per device call in the long path
-POOL_MAX = 65536        # reads per pool-mode device call
+POOL_MAX = 8192         # reads per pool-mode device call (larger pools
+                        # measured slower: 8192 -> 2381 r/s vs 32768 -> 712
+                        # on the same index/queries; output-compaction
+                        # scatter cost grows with NO*M)
 
 
 def smem_all(index: FMDIndex, seqs: list[np.ndarray], self_match=False,
@@ -628,6 +631,10 @@ def _smem_all_pool(index, seqs, self_match, maxi, maxm, lanes, max_len):
             q[t, : len(s)] = s
             lens[t] = len(s)
         qd, ld = jnp.asarray(q), jnp.asarray(lens)
+        # body unroll amortizes the per-iteration table re-staging + carry
+        # round-trips and helps the fixed-batch mode (+15-18% at B=2048);
+        # in pool mode it delays lane refill and measured net-negative
+        # (776 vs 1002 r/s on the same chip state), so default off here
         unroll = int(os.environ.get("FERMI_TPU_SMEM_UNROLL", "1"))
         out = _smem_batch(index, qd, ld, self_match, max_len, maxi, maxm,
                           lanes=lanes, compact=CAP, unroll=unroll)
