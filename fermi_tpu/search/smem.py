@@ -524,6 +524,402 @@ _smem_batch = partial(jax.jit,
     _smem_batch_impl)
 
 
+def _smem_fwd_impl(index, q, l, self_match: bool, max_len: int,
+                   maxi: int, segs: int, lanes: int):
+    """Phase-split pass A: forward sweeps only, one [B, 2]-row rank battery
+    per iteration (the unified kernel extends the whole W-wide interval
+    list every step even in forward mode — 32x more rank rows than the
+    reference's one fm6_extend per forward step, smem.c:22-24).
+
+    Walks every read's segments in order (the restart position depends on
+    the forward sweep alone: smem.c:46 ret = curr->a[0].info), dumping each
+    segment's shrink-point list to per-segment HBM rows for pass B.
+
+    Returns (OLkb, OLkf, OLsz, OLnfo: [NP*segs+1, maxi]; On, Ox:
+    [NP*segs+1]; Onseg, Oovf: [NP]).
+    """
+    idt = index.idtype
+    W, S = maxi, segs
+    NP = q.shape[0]
+    B = lanes
+    cnt6 = index.cnt[:6].astype(idt)
+    jW = jnp.arange(W, dtype=jnp.int32)
+    jB = jnp.arange(B, dtype=jnp.int32)
+    qflat = q.reshape(-1)
+    l = l.astype(jnp.int32)
+    rid0 = jnp.minimum(jB, NP - 1)
+    ll0 = l[rid0]
+
+    def qat(pos, rid):
+        safe = jnp.clip(pos, 0, max_len - 1)
+        return qflat[rid * max_len + safe]
+
+    def set_intv(c):
+        ci = c.astype(jnp.int32)
+        comp = jnp.where((ci >= 1) & (ci <= 4), 5 - ci, ci)
+        return (index.cnt[ci].astype(idt),
+                index.cnt[comp].astype(idt),
+                (index.cnt[ci + 1] - index.cnt[ci]).astype(idt))
+
+    c0 = qat(jnp.zeros(B, jnp.int32), rid0)
+    kb0, kf0, sz0 = set_intv(c0)
+    NR = NP * S
+    state = dict(
+        done=jB >= NP,
+        rid=rid0, ll=ll0, nxt=jnp.int32(B),
+        x=jnp.zeros(B, jnp.int32), i=jnp.ones(B, jnp.int32),
+        seg=jnp.zeros(B, jnp.int32),
+        kb=kb0, kf=kf0, sz=sz0,
+        Lkb=jnp.zeros((B, W), idt), Lkf=jnp.zeros((B, W), idt),
+        Lsz=jnp.zeros((B, W), idt), Lnfo=jnp.zeros((B, W), jnp.int32),
+        n=jnp.zeros(B, jnp.int32),
+        rovf=jnp.zeros(B, bool),
+        OLkb=jnp.zeros((NR + 1, W), idt),
+        OLkf=jnp.zeros((NR + 1, W), idt),
+        OLsz=jnp.zeros((NR + 1, W), idt),
+        OLnfo=jnp.zeros((NR + 1, W), jnp.int32),
+        On=jnp.zeros(NR + 1, jnp.int32),
+        Ox=jnp.zeros(NR + 1, jnp.int32),
+        Onseg=jnp.zeros(NP, jnp.int32),
+        Oovf=jnp.zeros(NP, bool),
+    )
+
+    def cond(st):
+        return ~jnp.all(st["done"])
+
+    def body(st):
+        done = st["done"]
+        rid, ll, x, i, seg = st["rid"], st["ll"], st["x"], st["i"], st["seg"]
+        kb, kf, sz, n = st["kb"], st["kf"], st["sz"], st["n"]
+        Lkb, Lkf, Lsz, Lnfo = st["Lkb"], st["Lkf"], st["Lsz"], st["Lnfo"]
+        rovf = st["rovf"]
+        fw = ~done
+        at_end = i >= ll
+        c = _comp6(qat(jnp.minimum(i, ll - 1), rid).astype(jnp.int32))
+        kfm = jnp.where(done, 0, kf)
+        r = index.rank6(jnp.stack([kfm, kfm + jnp.where(done, 0, sz)],
+                                  axis=0))                 # [2, B, 6]
+        tk, tl = r[0], r[1]
+        osz = tl - tk
+        cnt6_c = jnp.zeros_like(c, dtype=idt)
+        okc_sz = jnp.zeros_like(osz[:, 0])
+        tk_c = jnp.zeros_like(tk[:, 0])
+        mc_c = jnp.zeros((B, 6), idt)
+        for s in range(6):
+            m = c == s
+            cnt6_c = jnp.where(m, cnt6[s], cnt6_c)
+            okc_sz = jnp.where(m, osz[:, s], okc_sz)
+            tk_c = jnp.where(m, tk[:, s], tk_c)
+            mc_c = jnp.where(m[:, None], _MC[s].astype(idt), mc_c)
+        f_kfc = cnt6_c + tk_c
+        f_kbc = kb + jnp.sum(osz * mc_c, axis=-1, dtype=idt)
+        f_ok0_sz = osz[:, 0]
+        f_kb0 = kb
+        f_kf0 = cnt6[0] + tk[:, 0]
+
+        stepm = fw & ~at_end
+        size_changed = okc_sz != sz
+        push1 = stepm & size_changed & (sz != f_ok0_sz)
+        push2 = stepm & size_changed & (not self_match) & (f_ok0_sz != 0)
+        if self_match:
+            dead = stepm & (okc_sz < 2)
+        else:
+            dead = stepm & (okc_sz == 0)
+        pushF1 = fw & at_end
+        pushF2 = fw & at_end & (not self_match) & (f_ok0_sz != 0)
+
+        def lpush(Lkb, Lkf, Lsz, Lnfo, n, rovf, m, vkb, vkf, vsz, vnfo):
+            at = jnp.minimum(n, W - 1)
+            sel = m[:, None] & (jW[None, :] == at[:, None])
+            Lkb = jnp.where(sel, vkb[:, None].astype(idt), Lkb)
+            Lkf = jnp.where(sel, vkf[:, None].astype(idt), Lkf)
+            Lsz = jnp.where(sel, vsz[:, None].astype(idt), Lsz)
+            Lnfo = jnp.where(sel, vnfo[:, None], Lnfo)
+            rovf = rovf | (m & (n >= W))
+            return Lkb, Lkf, Lsz, Lnfo, n + m.astype(jnp.int32), rovf
+
+        Lkb, Lkf, Lsz, Lnfo, n2, rovf = lpush(
+            Lkb, Lkf, Lsz, Lnfo, n, rovf, push1, kb, kf, sz, i)
+        Lkb, Lkf, Lsz, Lnfo, n2, rovf = lpush(
+            Lkb, Lkf, Lsz, Lnfo, n2, rovf, push2, f_kb0, f_kf0, f_ok0_sz, i)
+        Lkb, Lkf, Lsz, Lnfo, n2, rovf = lpush(
+            Lkb, Lkf, Lsz, Lnfo, n2, rovf, pushF1, kb, kf, sz, ll)
+        Lkb, Lkf, Lsz, Lnfo, n2, rovf = lpush(
+            Lkb, Lkf, Lsz, Lnfo, n2, rovf, pushF2, f_kb0, f_kf0, f_ok0_sz,
+            ll)
+
+        adv = stepm & ~dead
+        kb = jnp.where(adv, f_kbc, kb)
+        kf = jnp.where(adv, f_kfc, kf)
+        sz = jnp.where(adv, okc_sz, sz)
+
+        trans = fw & (dead | at_end)
+        last_nfo = jnp.take_along_axis(
+            Lnfo, jnp.clip(n2 - 1, 0, W - 1)[:, None], 1)[:, 0]
+        ret_seg = jnp.where(n2 > 0, last_nfo, x + 1)
+
+        # dump the finished segment's list
+        srow = rid * S + jnp.minimum(seg, S - 1)
+        dump = trans & (seg < S)
+        tgt = jnp.where(dump, srow, NR)
+        OLkb = st["OLkb"].at[tgt].set(Lkb, mode="drop")
+        OLkf = st["OLkf"].at[tgt].set(Lkf, mode="drop")
+        OLsz = st["OLsz"].at[tgt].set(Lsz, mode="drop")
+        OLnfo = st["OLnfo"].at[tgt].set(Lnfo, mode="drop")
+        On = st["On"].at[tgt].set(n2, mode="drop")
+        Ox = st["Ox"].at[tgt].set(x, mode="drop")
+        rovf = rovf | (trans & (seg >= S))
+        seg = seg + trans.astype(jnp.int32)
+
+        # restart / read end / pool refill
+        x_new = jnp.maximum(ret_seg, x + 1)
+        fin = trans & (x_new >= ll)
+        rtgt = jnp.where(fin, rid, NP)
+        Onseg = st["Onseg"].at[rtgt].set(jnp.minimum(seg, S), mode="drop")
+        Oovf = st["Oovf"].at[rtgt].set(rovf, mode="drop")
+        rank, inc = _excl_cumsum(fin)
+        rid_new = st["nxt"] + rank
+        have = rid_new < NP
+        take = fin & have
+        done = done | (fin & ~have)
+        nxt = st["nxt"] + inc[-1]
+        rid = jnp.where(take, jnp.minimum(rid_new, NP - 1), rid)
+        ll = jnp.where(take, l[jnp.minimum(rid_new, NP - 1)], ll)
+        restart = (trans & ~fin) | take
+        x_new = jnp.where(take, 0, x_new)
+        seg = jnp.where(take, 0, seg)
+        rovf = rovf & ~take
+        xr = jnp.where(restart, x_new, x)
+        cr = qat(xr, rid)
+        rkb, rkf, rsz = set_intv(cr)
+        kb = jnp.where(restart, rkb, kb)
+        kf = jnp.where(restart, rkf, kf)
+        sz = jnp.where(restart, rsz, sz)
+        n = jnp.where(restart, 0, n2)
+        x = xr
+        i = jnp.where(restart, xr + 1, i + 1)
+
+        return dict(done=done, rid=rid, ll=ll, nxt=nxt, x=x, i=i, seg=seg,
+                    kb=kb, kf=kf, sz=sz, Lkb=Lkb, Lkf=Lkf, Lsz=Lsz,
+                    Lnfo=Lnfo, n=n, rovf=rovf,
+                    OLkb=OLkb, OLkf=OLkf, OLsz=OLsz, OLnfo=OLnfo,
+                    On=On, Ox=Ox, Onseg=Onseg, Oovf=Oovf)
+
+    st = jax.lax.while_loop(cond, body, state)
+    return (st["OLkb"], st["OLkf"], st["OLsz"], st["OLnfo"], st["On"],
+            st["Ox"], st["Onseg"], st["Oovf"])
+
+
+def _smem_bwd_impl(index, q, OLkb, OLkf, OLsz, OLnfo, On, Ox,
+                   self_match: bool, max_len: int, maxi: int, segs: int,
+                   maxm: int, lanes: int, compact: int):
+    """Phase-split pass B: backward sweeps only, pooled over SEGMENT rows
+    (each row independent: the reference's contained-match suppression is
+    within-segment, smem.c:50-66).  Emissions land in per-row buffers;
+    the host concatenates a read's rows in order.
+
+    Returns (cvals [compact, 3], out_info [NP*segs], total)."""
+    idt = index.idtype
+    W, S, M = maxi, segs, maxm
+    NR = OLkb.shape[0] - 1          # NP * S
+    NP = NR // S
+    B = lanes
+    n_seqs = index.mcnt[1].astype(idt)
+    jW = jnp.arange(W, dtype=jnp.int32)
+    jB = jnp.arange(B, dtype=jnp.int32)
+    qflat = q.reshape(-1)
+
+    def qat(pos, rid):
+        safe = jnp.clip(pos, 0, max_len - 1)
+        return qflat[rid * max_len + safe]
+
+    row0 = jnp.minimum(jB, NR - 1)
+    state = dict(
+        done=jB >= NR,
+        row=row0, nxt=jnp.int32(B),
+        i=Ox[row0] - 1,
+        Lkb=OLkb[row0], Lkf=OLkf[row0], Lsz=OLsz[row0], Lnfo=OLnfo[row0],
+        Lal=jW[None, :] < On[row0][:, None],
+        gmn=jnp.zeros(B, jnp.int32),
+        last_ms=jnp.zeros(B, jnp.int32),
+        ovf=jnp.zeros(B, bool),
+        gkf=jnp.zeros(NR * M, idt),
+        gsz=jnp.zeros(NR * M, idt),
+        gmt=jnp.zeros(NR * M, jnp.int32),
+        out_info=jnp.zeros(NR, jnp.int32),
+    )
+
+    def cond(st):
+        return ~jnp.all(st["done"])
+
+    def shr(a, k, fill):
+        pad = jnp.full((B, k), fill, a.dtype)
+        return jnp.concatenate([pad, a[:, :-k]], axis=1)
+
+    def flipW(a):
+        return jnp.flip(a, axis=1)
+
+    def sel6(X, c):
+        out = jnp.zeros_like(X[:, :, 0])
+        for s in range(6):
+            out = jnp.where((c == s)[:, None], X[:, :, s], out)
+        return out
+
+    cnt6 = index.cnt[:6].astype(idt)
+
+    def body(st):
+        done, row, i = st["done"], st["row"], st["i"]
+        Lkb, Lkf, Lsz, Lnfo = st["Lkb"], st["Lkf"], st["Lsz"], st["Lnfo"]
+        Lal, gmn, last_ms, ovf = (st["Lal"], st["gmn"], st["last_ms"],
+                                  st["ovf"])
+        bw = ~done
+        rid = row // S
+        seg = row - rid * S
+        c = jnp.where(i < 0, 0, qat(i, rid).astype(jnp.int32))
+
+        live = jnp.where(done[:, None], False, Lal)
+        primary = jnp.where(live, Lkb, 0)
+        hi = jnp.where(live, primary + Lsz, 0)
+        tkl = index.rank6(jnp.concatenate([primary, hi], axis=1))
+        tk, tl = tkl[:, :W], tkl[:, W:]
+        osz = tl - tk
+        okc_sz = sel6(osz, c)
+        ok0_sz = osz[..., 0]
+        cnt6_c = jnp.zeros_like(c, dtype=idt)
+        for s in range(6):
+            cnt6_c = jnp.where(c == s, cnt6[s], cnt6_c)
+        primary_c = cnt6_c[:, None] + sel6(tk, c)
+        mc_c = jnp.zeros((B, 6), idt)
+        for s in range(6):
+            mc_c = jnp.where((c == s)[:, None], _MC[s].astype(idt), mc_c)
+        other_c = Lkf + jnp.sum(osz * mc_c[:, None, :], axis=-1, dtype=idt)
+        okc_kb, okc_kf = primary_c, other_c
+
+        valid = Lal & bw[:, None]
+        fl = (ok0_sz != 0) & (Lkf < n_seqs)
+        if self_match:
+            contv = okc_sz > 1
+        else:
+            contv = okc_sz != 0
+        keep = (~contv) | fl | (i == -1)[:, None]
+        cand = contv & valid
+
+        candF = flipW(cand)
+        szF = flipW(okc_sz)
+        hasF = candF
+        valF = jnp.where(candF, szF, 0)
+        k = 1
+        while k < W:
+            hasF_s = shr(hasF, k, False)
+            valF_s = shr(valF, k, 0)
+            valF = jnp.where(hasF, valF, valF_s)
+            hasF = hasF | hasF_s
+            k *= 2
+        prevF_has = shr(hasF, 1, False)
+        prevF_s = shr(valF, 1, 0)
+        do_currF = candF & (flipW(Lkf < n_seqs) | ~prevF_has
+                            | (szF != prevF_s))
+        do_curr = flipW(do_currF)
+        cnn = jnp.sum(do_curr, axis=1, dtype=jnp.int32)
+
+        cnF_before, _ = _excl_cumsum(do_currF, axis=1)
+        do_keepF = flipW(keep & valid) & ((cnF_before == 0) | flipW(fl))
+        base_ok = (gmn == 0) | ((i + 1) < last_ms)
+        abF_before, _ = _excl_cumsum(do_keepF, axis=1)
+        do_memF = do_keepF & (flipW(fl)
+                              | (base_ok[:, None] & (abF_before == 0)))
+        dmF_before, dmF_inc = _excl_cumsum(do_memF, axis=1)
+        do_mem = flipW(do_memF)
+        at = gmn[:, None] + flipW(dmF_before)
+        ovf = ovf | jnp.any(do_mem & (at >= M), axis=1)
+        meta = ((seg[:, None] << 21) | (Lnfo << 11)
+                | ((i + 1)[:, None] << 1)
+                | (ok0_sz != 0).astype(jnp.int32))
+        E = min(8, W)
+        ordn = flipW(dmF_before)
+        ovf = ovf | jnp.any(do_mem & (ordn >= E), axis=1)
+        onehot = (do_mem & (ordn < E))[:, :, None] & \
+            (ordn[:, :, None] == jnp.arange(E, dtype=jnp.int32))
+
+        def pick(v):
+            return jnp.sum(jnp.where(onehot, v[:, :, None], 0), axis=1)
+        e_kf = pick(Lkf)
+        e_sz = pick(Lsz)
+        e_meta = pick(meta.astype(jnp.int32))
+        e_has = jnp.any(onehot, axis=1)
+        e_at = gmn[:, None] + jnp.arange(E, dtype=jnp.int32)
+        tgt = jnp.where(e_has & (e_at < M),
+                        (row * M)[:, None] + jnp.minimum(e_at, M - 1),
+                        NR * M).reshape(-1)
+        gkf = st["gkf"].at[tgt].set(e_kf.reshape(-1), mode="drop")
+        gsz = st["gsz"].at[tgt].set(e_sz.reshape(-1), mode="drop")
+        gmt = st["gmt"].at[tgt].set(e_meta.reshape(-1), mode="drop")
+        n_mem = dmF_inc[:, -1]
+        last_ms = jnp.where(bw & (n_mem > 0), i + 1, last_ms)
+        gmn = jnp.where(bw, jnp.minimum(gmn + n_mem, M), gmn)
+
+        upd = bw[:, None] & do_curr
+        Lkb = jnp.where(upd, okc_kb, Lkb)
+        Lkf = jnp.where(upd, okc_kf, Lkf)
+        Lsz = jnp.where(upd, okc_sz, Lsz)
+        Lal = jnp.where(bw[:, None], do_curr, Lal)
+        i = jnp.where(bw, i - 1, i)
+
+        term = bw & ((i < -1) | (cnn == 0))
+        # write the finished row's info, pull the next segment row
+        rtgt = jnp.where(term, row, NR)
+        out_info = st["out_info"].at[rtgt].set(
+            gmn | (ovf.astype(jnp.int32) << 30), mode="drop")
+        rank, inc = _excl_cumsum(term)
+        row_new = st["nxt"] + rank
+        have = row_new < NR
+        take = term & have
+        done = done | (term & ~have)
+        nxt = st["nxt"] + inc[-1]
+        rn = jnp.minimum(row_new, NR - 1)
+        row = jnp.where(take, rn, row)
+        # load the fresh row's segment list
+        tk_ = take[:, None]
+        Lkb = jnp.where(tk_, OLkb[rn], Lkb)
+        Lkf = jnp.where(tk_, OLkf[rn], Lkf)
+        Lsz = jnp.where(tk_, OLsz[rn], Lsz)
+        Lnfo = jnp.where(tk_, OLnfo[rn], Lnfo)
+        Lal = jnp.where(tk_, jW[None, :] < On[rn][:, None], Lal)
+        i = jnp.where(take, Ox[rn] - 1, i)
+        gmn = jnp.where(take, 0, gmn)
+        last_ms = jnp.where(take, 0, last_ms)
+        ovf = ovf & ~take
+
+        return dict(done=done, row=row, nxt=nxt, i=i,
+                    Lkb=Lkb, Lkf=Lkf, Lsz=Lsz, Lnfo=Lnfo, Lal=Lal,
+                    gmn=gmn, last_ms=last_ms, ovf=ovf,
+                    gkf=gkf, gsz=gsz, gmt=gmt, out_info=out_info)
+
+    st = jax.lax.while_loop(cond, body, state)
+    info = st["out_info"]
+    mn = jnp.minimum(info & ((1 << 30) - 1), M)
+    valid = (jnp.arange(M, dtype=jnp.int32)[None, :]
+             < mn[:, None]).reshape(-1)
+    pos = jnp.cumsum(valid.astype(jnp.int32)) - valid.astype(jnp.int32)
+    tot = pos[-1] + valid[-1].astype(jnp.int32)
+    tgt = jnp.where(valid & (pos < compact), pos, compact)
+    cvals = jnp.stack([
+        jnp.zeros(compact, idt).at[tgt].set(st["gkf"], mode="drop"),
+        jnp.zeros(compact, idt).at[tgt].set(st["gsz"], mode="drop"),
+        jnp.zeros(compact, idt).at[tgt].set(
+            st["gmt"].astype(idt), mode="drop")], axis=-1)
+    return cvals, info, tot
+
+
+_smem_fwd = partial(jax.jit,
+                    static_argnames=("self_match", "max_len", "maxi",
+                                     "segs", "lanes"))(_smem_fwd_impl)
+_smem_bwd = partial(jax.jit,
+                    static_argnames=("self_match", "max_len", "maxi",
+                                     "segs", "maxm", "lanes", "compact"))(
+    _smem_bwd_impl)
+
+
 LONG_QUERY_LEN = 512   # above this, use the native sequential engine
 SEGMENTS_PER_CALL = 16  # restart segments per device call in the long path
 POOL_MAX = 8192         # reads per pool-mode device call (larger pools
@@ -556,6 +952,9 @@ def smem_all(index: FMDIndex, seqs: list[np.ndarray], self_match=False,
     if max_len > LONG_QUERY_LEN or not isinstance(index, FMDIndex):
         return smem_all_native(index, seqs, self_match)
     if runner is None:
+        if os.environ.get("FERMI_TPU_SMEM_SPLIT", "0") == "1":
+            return _smem_all_pool_split(index, seqs, self_match, maxi,
+                                        maxm, min(batch, 2048), max_len)
         return _smem_all_pool(index, seqs, self_match, maxi, maxm,
                               min(batch, 2048), max_len)
     results = [None] * B
@@ -596,6 +995,93 @@ def smem_all(index: FMDIndex, seqs: list[np.ndarray], self_match=False,
                 results[lo + b] = dec[t]
             redo = np.array(still, dtype=np.int64)
         assert not redo.size, "SMEM overflow at guaranteed buffer size"
+    return results
+
+
+def _smem_all_pool_split(index, seqs, self_match, maxi, maxm, lanes,
+                         max_len, segs=8):
+    """Phase-split pool driver: pass A (narrow forward) then pass B (wide
+    backward over segment rows), outputs decoded per segment row and
+    concatenated per read.  Reads that overflow the per-segment list (W),
+    the per-read segment budget (S), or the per-row match buffer ride the
+    unified redo ladder."""
+    Bn = len(seqs)
+    results = [None] * Bn
+    ids_all = [i for i, s in enumerate(seqs) if len(s)]
+    for i, s in enumerate(seqs):
+        if len(s) == 0:
+            results[i] = []
+    if not ids_all:
+        return results
+    NPc = 1
+    while NPc < min(len(ids_all), POOL_MAX):
+        NPc *= 2
+    NPc = max(NPc, 16)
+    lanes = min(lanes, NPc)
+    S = segs
+    Ms = maxm  # per-segment match budget
+    redo = []
+    CAP = NPc * 16
+    for lo in range(0, len(ids_all), NPc):
+        ids = ids_all[lo: lo + NPc]
+        q = np.zeros((NPc, max_len), np.uint8)
+        lens = np.ones(NPc, np.int32)
+        for t, si in enumerate(ids):
+            s = seqs[si]
+            q[t, : len(s)] = s
+            lens[t] = len(s)
+        qd, ld = jnp.asarray(q), jnp.asarray(lens)
+        fa = _smem_fwd(index, qd, ld, self_match, max_len, maxi, S, lanes)
+        OLkb, OLkf, OLsz, OLnfo, On, Ox, Onseg, Oovf = fa
+        cvals_d, info_d, tot_d = _smem_bwd(
+            index, qd, OLkb, OLkf, OLsz, OLnfo, On, Ox, self_match,
+            max_len, maxi, S, Ms, lanes, CAP)
+        tot = int(np.asarray(tot_d))
+        a_ovf = np.asarray(Oovf)
+        nseg = np.asarray(Onseg)
+        info = np.asarray(info_d)
+        mn = np.minimum(info & ((1 << 30) - 1), Ms)
+        b_ovf = (info >> 30).astype(bool).reshape(NPc, S).any(axis=1)
+        if tot > CAP:
+            # extremely dense pool: redo everything through the ladder
+            redo.extend(ids)
+            continue
+        tpad = min(CAP, ((max(tot, 1) + 65535) // 65536) * 65536)
+        cvals = np.asarray(cvals_d[:tpad])
+        dec = _decode_compact(cvals, mn)
+        for t, si in enumerate(ids):
+            if a_ovf[t] or b_ovf[t]:
+                redo.append(si)
+            else:
+                out = []
+                for s_i in range(int(nseg[t])):
+                    out.extend(dec[t * S + s_i])
+                results[si] = out
+    # redo ladder via the unified kernel (wider buffers)
+    for wi, wm in ((2 * maxi, 4 * maxm), (2 * max_len + 4, 4 * max_len + 8)):
+        if not redo:
+            break
+        R = 1
+        while R < len(redo):
+            R *= 2
+        q = np.zeros((R, max_len), np.uint8)
+        lens = np.zeros(R, np.int32)
+        for t, si in enumerate(redo):
+            s = seqs[si]
+            q[t, : len(s)] = s
+            lens[t] = len(s)
+        big = _smem_batch(index, jnp.asarray(q), jnp.asarray(lens),
+                          self_match, max_len, wi, wm, emax=wi)
+        bg3, bmn, _, bovf = map(np.asarray, big)
+        dec = _decode_batch(bg3, bmn)
+        still = []
+        for t, si in enumerate(redo):
+            if bovf[t]:
+                still.append(si)
+            else:
+                results[si] = dec[t]
+        redo = still
+    assert not redo, "SMEM overflow at guaranteed buffer size"
     return results
 
 

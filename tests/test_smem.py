@@ -101,6 +101,35 @@ def test_native_engine_matches_device_kernel(tmp_path, ref_fermi):
         assert dev == nat, self_match
 
 
+def test_split_driver_matches_unified(tmp_path, monkeypatch):
+    """Phase-split pool driver (fwd pass + per-segment bwd pass) must equal
+    the unified kernel exactly, including reads with many restart segments
+    (random queries against a genome index restart every few bases, blowing
+    the per-read segment budget and riding the redo ladder)."""
+    from fermi_tpu.search.smem import smem_all
+
+    idx_reads = random_reads(150, seed=6, with_genome=True, genome_len=4000)
+    qry = (random_reads(25, seed=12, with_genome=True, genome_len=4000)
+           + random_reads(25, seed=13))     # genome + pure-random queries
+    fmd = str(tmp_path / "i.fmd")
+    build_my_fmd(idx_reads, fmd)
+    idx = FMDIndex.restore(fmd)
+    seqs = [dna.encode(s) for s in qry]
+    monkeypatch.setenv("FERMI_TPU_SMEM_SPLIT", "0")
+    want = smem_all(idx, seqs)
+    monkeypatch.setenv("FERMI_TPU_SMEM_SPLIT", "1")
+    got = smem_all(idx, seqs)
+    assert got == want
+    # self-match mode through the split path too
+    monkeypatch.setenv("FERMI_TPU_SMEM_SPLIT", "0")
+    want_sm = smem_all(idx, [dna.encode(s) for s in idx_reads[:20]],
+                       self_match=True)
+    monkeypatch.setenv("FERMI_TPU_SMEM_SPLIT", "1")
+    got_sm = smem_all(idx, [dna.encode(s) for s in idx_reads[:20]],
+                      self_match=True)
+    assert got_sm == want_sm
+
+
 def test_redo_tiers_forced_by_tiny_buffers(tmp_path):
     """Tiny maxi/maxm force every lane through the overflow-redo ladder
     (first tier -> 2x tier -> guaranteed-size); results must equal the
