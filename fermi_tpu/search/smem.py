@@ -952,7 +952,7 @@ def smem_all(index: FMDIndex, seqs: list[np.ndarray], self_match=False,
     if max_len > LONG_QUERY_LEN or not isinstance(index, FMDIndex):
         return smem_all_native(index, seqs, self_match)
     if runner is None:
-        if os.environ.get("FERMI_TPU_SMEM_SPLIT", "0") == "1":
+        if os.environ.get("FERMI_TPU_SMEM_SPLIT", "1") == "1":
             return _smem_all_pool_split(index, seqs, self_match, maxi,
                                         maxm, min(batch, 2048), max_len)
         return _smem_all_pool(index, seqs, self_match, maxi, maxm,
@@ -1022,6 +1022,10 @@ def _smem_all_pool_split(index, seqs, self_match, maxi, maxm, lanes,
     Ms = maxm  # per-segment match budget
     redo = []
     CAP = NPc * 16
+    # dispatch every pool's device work up front (jax dispatch is async and
+    # the device queue serializes) so host-side decode of pool k overlaps
+    # pool k+1's kernels
+    pending = []
     for lo in range(0, len(ids_all), NPc):
         ids = ids_all[lo: lo + NPc]
         q = np.zeros((NPc, max_len), np.uint8)
@@ -1036,6 +1040,8 @@ def _smem_all_pool_split(index, seqs, self_match, maxi, maxm, lanes,
         cvals_d, info_d, tot_d = _smem_bwd(
             index, qd, OLkb, OLkf, OLsz, OLnfo, On, Ox, self_match,
             max_len, maxi, S, Ms, lanes, CAP)
+        pending.append((ids, cvals_d, info_d, tot_d, Onseg, Oovf))
+    for ids, cvals_d, info_d, tot_d, Onseg, Oovf in pending:
         tot = int(np.asarray(tot_d))
         a_ovf = np.asarray(Oovf)
         nseg = np.asarray(Onseg)
