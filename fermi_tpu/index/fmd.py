@@ -70,6 +70,16 @@ def _swar_rank_count(words: jnp.ndarray, off: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(outs, axis=-1)
 
 
+def _fuse_rows(packed_i32: np.ndarray, occ: np.ndarray) -> jnp.ndarray:
+    """[NB, 24] i32 fused rank rows: packed words + occ6 + pad (see the
+    FMDIndex.fused field comment)."""
+    nb = packed_i32.shape[0]
+    fused = np.zeros((nb, 24), np.int32)
+    fused[:, :16] = packed_i32
+    fused[:, 16:22] = occ[:, :6].astype(np.int32)
+    return jnp.asarray(fused)
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class FMDIndex:
@@ -87,10 +97,16 @@ class FMDIndex:
     cnt: jnp.ndarray
     mcnt: jnp.ndarray
     bwt_packed: jnp.ndarray = None  # int32 [n_blocks+1, 16], 8 nibbles/word
+    # fused rank row [n_blocks+1, 24] i32: cols 0..15 the packed words,
+    # 16..21 the occ counts, 22..23 pad.  TPU gathers cost ~15 ns per ROW
+    # regardless of row bytes (measured: 8/16/128-col rows all ~15 ns), so
+    # one fused gather halves the rank battery's row count vs separate
+    # packed+occ gathers.  int32-index domain only (occ must fit i32).
+    fused: jnp.ndarray = None
 
     def tree_flatten(self):
         return (self.bwt_blocks, self.occ, self.cnt, self.mcnt,
-                self.bwt_packed), None
+                self.bwt_packed, self.fused), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -127,12 +143,14 @@ class FMDIndex:
         packed = np.zeros((n_blocks + 1, 16), np.uint32)
         for s in range(8):
             packed |= w[:, :, s] << (4 * s)
+        packed = packed.astype(np.int32)
         return FMDIndex(
             bwt_blocks=jnp.asarray(blocks),
             occ=jnp.asarray(occ.astype(dtype)),
             cnt=jnp.asarray(cnt.astype(dtype)),
             mcnt=jnp.asarray(mcnt.astype(dtype)),
-            bwt_packed=jnp.asarray(packed.astype(np.int32)),
+            bwt_packed=jnp.asarray(packed),
+            fused=_fuse_rows(packed, occ) if dtype == np.int32 else None,
         )
 
     @staticmethod
@@ -188,6 +206,7 @@ class FMDIndex:
             cnt=jnp.asarray(cnt.astype(dtype)),
             mcnt=jnp.asarray(mcnt.astype(dtype)),
             bwt_packed=jnp.asarray(packed),
+            fused=_fuse_rows(packed, occ8) if dtype == np.int32 else None,
         )
         # pre-seed the native-engine cache (search.smem._native_index_arrays)
         idx._native_arrays = (blocks, occ8, cnt, int(mcnt[1]))
@@ -227,8 +246,13 @@ class FMDIndex:
         k = k.astype(self.idtype)
         blk = k >> BLOCK_BITS
         off = (k & (BLOCK - 1)).astype(jnp.int32)
-        words = self.bwt_packed[blk]                      # [..., 16] int32
-        base = self.occ[blk][..., :6]                     # [..., 6]
+        if self.fused is not None:
+            row = self.fused[blk]                         # [..., 24] int32
+            words = row[..., :16]
+            base = row[..., 16:22].astype(self.idtype)
+        else:
+            words = self.bwt_packed[blk]                  # [..., 16] int32
+            base = self.occ[blk][..., :6]                 # [..., 6]
         mode = _pallas_rank_mode()
         if mode != "0":
             from fermi_tpu.ops import rank_pallas
