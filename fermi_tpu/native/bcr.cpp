@@ -28,6 +28,7 @@ namespace {
 struct Pend {
   int64_t off;    // final insert position within the class stream
   uint32_t read;  // read index
+  uint32_t len;   // read length (avoids a random lens[] lookup per insert)
 };
 
 struct Stream {
@@ -63,24 +64,37 @@ static void build_streams(const uint8_t* text, int64_t n, int n_threads,
                           Bcr* B) {
   std::vector<int64_t> offs;
   offs.push_back(0);
-  for (int64_t i = 0; i < n; ++i)
+  bool has_n = false;
+  for (int64_t i = 0; i < n; ++i) {
     if (text[i] == 0) offs.push_back(i + 1);
+    has_n |= text[i] == 5;
+  }
   int64_t m = (int64_t)offs.size() - 1;
   if (m == 0) return;
 
   // reversed-transposed reads: rev[j][k] = read k's j-th symbol from the
   // end (row 0 unused; rows past a read's length hold 0).  Row-contiguous
   // so each cycle streams one row; filled in read-blocks of 4096 so the
-  // column writes stay cache-resident.
+  // column writes stay cache-resident.  ACGT-only texts (the pipeline
+  // splits fragments at N) use a 2-bit row instead: the per-insert lookups
+  // hit the row at RANDOM read positions, and at 20M reads a u8 row is
+  // 20 MB (every lookup an L2 miss — measured 392 s vs linear-scaling
+  // 162 s at 2 Gsym); 2-bit rows are 4x smaller.
   int64_t lmax = 0;
   std::vector<int64_t> lens(m);
   for (int64_t k = 0; k < m; ++k) {
     lens[k] = offs[k + 1] - offs[k] - 1;
     if (lens[k] > lmax) lmax = lens[k];
   }
-  std::vector<uint8_t> rev((size_t)(lmax + 2) * m, 0);
+  const int64_t stride2 = (m + 3) >> 2;
+  std::vector<uint8_t> rev, rev2;
+  if (has_n)
+    rev.assign((size_t)(lmax + 2) * m, 0);
+  else
+    rev2.assign((size_t)(lmax + 1) * stride2, 0);
   {
-    const int64_t TB = 4096;
+    const int64_t TB = 4096;  // multiple of 4: thread stripes never share
+                              // a 2-bit byte
     int T = n_threads < 1 ? 1 : n_threads;
     std::vector<std::thread> th;
     for (int t = 0; t < T; ++t)
@@ -89,34 +103,49 @@ static void build_streams(const uint8_t* text, int64_t n, int n_threads,
           int64_t k1 = k0 + TB < m ? k0 + TB : m;
           for (int64_t k = k0; k < k1; ++k) {
             const uint8_t* s = text + offs[k];
-            for (int64_t j = 1; j <= lens[k]; ++j)
-              rev[(size_t)j * m + k] = s[lens[k] - j];
+            if (has_n) {
+              for (int64_t j = 1; j <= lens[k]; ++j)
+                rev[(size_t)j * m + k] = s[lens[k] - j];
+            } else {
+              int sh = (int)(k & 3) * 2;
+              for (int64_t j = 1; j <= lens[k]; ++j)
+                rev2[(size_t)j * stride2 + (k >> 2)] |=
+                    (uint8_t)((s[lens[k] - j] - 1) << sh);
+            }
           }
         }
       });
     for (auto& x : th) x.join();
   }
+  // v = BWT entry of the suffix inserted at cycle j = symbol j+1 from the
+  // end, or the sentinel when the suffix is the whole read
+  auto sym_v = [&](int64_t j, const Pend& p) -> int {
+    if ((int64_t)p.len == j) return 0;
+    if (has_n) return rev[(size_t)(j + 1) * m + p.read];
+    return ((rev2[(size_t)(j + 1) * stride2 + (p.read >> 2)]
+             >> ((p.read & 3) * 2)) & 3) + 1;
+  };
 
   Stream* S = B->S;
   std::vector<Pend> pend[6], bucket[6][6];
 
   // cycle 0: the m sentinel suffixes occupy class 0 in read order; their
   // BWT entries are the reads' last characters.  The cycle-1 insert of
-  // read k goes into class c = rev[1][k] at rank_c(S0, k) — a running
-  // count over the same row.
+  // read k goes into class c at rank_c(S0, k) — a running count over the
+  // same values.
   {
     auto& v = S[0].now();
     for (int64_t k = 0; k < m; ++k) {
-      int sym = rev[(size_t)1 * m + k];
+      int sym = lens[k] ? text[offs[k] + lens[k] - 1] : 0;
       rle_push(v, sym, 1);
       if (lens[k] >= 1)
-        pend[sym].push_back({S[0].cnt[sym], (uint32_t)k});
+        pend[sym].push_back({S[0].cnt[sym], (uint32_t)k,
+                             (uint32_t)lens[k]});
       S[0].cnt[sym]++;
     }
   }
 
   for (int64_t j = 1; j <= lmax; ++j) {
-    const uint8_t* row_v = rev.data() + (size_t)(j + 1) * m;
     // merge-insert each class in parallel; emit counters give next ranks
     {
       std::vector<std::thread> th;
@@ -172,11 +201,11 @@ static void build_streams(const uint8_t* text, int64_t n, int n_threads,
                 dst.insert(dst.end(), src.begin() + r0, src.begin() + ri);
               }
             }
-            int v = row_v[p.read];
+            int v = sym_v(j, p);
             // emc[v] == rank_v(grown stream, p.off): the within-class part
             // of next cycle's insert position (frontier entries included)
-            if (lens[p.read] >= j + 1)
-              bucket[k][v].push_back({emc[v], p.read});
+            if ((int64_t)p.len >= j + 1)
+              bucket[k][v].push_back({emc[v], p.read, p.len});
             rle_push(dst, v, 1);
             emc[v]++;
             out_len++;
@@ -205,7 +234,7 @@ static void build_streams(const uint8_t* text, int64_t n, int n_threads,
           P.clear();
           for (int k = 1; k < 6; ++k)
             for (const Pend& p : bucket[k][c])
-              P.push_back({base[k][c] + p.off, p.read});
+              P.push_back({base[k][c] + p.off, p.read, p.len});
         });
       for (auto& x : th) x.join();
     }
