@@ -1037,9 +1037,13 @@ def _smem_all_pool_split(index, seqs, self_match, maxi, maxm, lanes,
         qd, ld = jnp.asarray(q), jnp.asarray(lens)
         fa = _smem_fwd(index, qd, ld, self_match, max_len, maxi, S, lanes)
         OLkb, OLkf, OLsz, OLnfo, On, Ox, Onseg, Oovf = fa
+        # pass B cost grows super-linearly with lanes (scatter sorts);
+        # measured 512:1.07s 1024:1.17s 2048:1.36s 4096:1.74s for the same
+        # segment pool — run it narrower than pass A
+        lanes_b = max(512, min(lanes, 1024))
         cvals_d, info_d, tot_d = _smem_bwd(
             index, qd, OLkb, OLkf, OLsz, OLnfo, On, Ox, self_match,
-            max_len, maxi, S, Ms, lanes, CAP)
+            max_len, maxi, S, Ms, lanes_b, CAP)
         pending.append((ids, cvals_d, info_d, tot_d, Onseg, Oovf))
     for ids, cvals_d, info_d, tot_d, Onseg, Oovf in pending:
         tot = int(np.asarray(tot_d))
