@@ -18,10 +18,20 @@
 // receives the BWT (n bytes).  Byte-equal to fsa_bwt / multistring_bwt.
 
 #include <cstdint>
+#include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <ctime>
 #include <thread>
 #include <vector>
+
+namespace {
+inline double now_s() {
+  struct timespec ts;
+  clock_gettime(CLOCK_MONOTONIC, &ts);
+  return ts.tv_sec + ts.tv_nsec * 1e-9;
+}
+}  // namespace
 
 namespace {
 
@@ -62,6 +72,7 @@ struct Bcr {
 // core build: fills B->S from the 0-terminated multi-string text
 static void build_streams(const uint8_t* text, int64_t n, int n_threads,
                           Bcr* B) {
+  const double t_entry = now_s();
   std::vector<int64_t> offs;
   offs.push_back(0);
   bool has_n = false;
@@ -145,7 +156,12 @@ static void build_streams(const uint8_t* text, int64_t n, int n_threads,
     }
   }
 
+  const bool prof = getenv("FERMI_BCR_PROF") != nullptr;
+  double t_merge = 0, t_gather = 0, t0p = now_s();
+  const double t_setup = t0p - t_entry;  // offs scan + transpose + cycle 0
+
   for (int64_t j = 1; j <= lmax; ++j) {
+    if (prof) t0p = now_s();
     // merge-insert each class in parallel; emit counters give next ranks
     {
       std::vector<std::thread> th;
@@ -218,6 +234,11 @@ static void build_streams(const uint8_t* text, int64_t n, int n_threads,
         });
       for (auto& x : th) x.join();
     }
+    if (prof) {
+      double t1p = now_s();
+      t_merge += t1p - t0p;
+      t0p = t1p;
+    }
     // post-cycle cross-class bases: count of symbol c in classes < k
     int64_t base[6][6];
     for (int c = 0; c < 6; ++c) base[0][c] = 0;
@@ -238,8 +259,11 @@ static void build_streams(const uint8_t* text, int64_t n, int n_threads,
         });
       for (auto& x : th) x.join();
     }
+    if (prof) t_gather += now_s() - t0p;
   }
-
+  if (prof)
+    fprintf(stderr, "[bcr prof] setup %.1fs merge %.1fs gather %.1fs\n",
+            t_setup, t_merge, t_gather);
 }
 
 }  // namespace
