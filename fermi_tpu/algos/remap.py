@@ -6,6 +6,7 @@ follows the reference exactly, including khash bucket order (pykhash) since
 the emitted UR:Z: lists feed the scaffolder in bucket-scan order.
 """
 
+import os
 import sys
 
 import numpy as np
@@ -95,7 +96,12 @@ def mask_pcv(seq_u8, pcv, skip, min_pcv):
 def remap(index: FMDIndex, contigs_path: str, out_fp, sorted_arr=None,
           skip=50, min_pcv=0, max_dist=1000, batch=512):
     """Full `fermi remap`; writes annotated/broken contigs to out_fp and the
-    insert-size line to stderr. Returns (avg, std, cap) for the pipeline."""
+    insert-size line to stderr. Returns (avg, std, cap) for the pipeline.
+
+    Fast path: native SMEM results (raw flat rows) feed the native paircov
+    engine (native/remap.cpp) — the Python tuple marshaling plus pykhash
+    pairing loop cost ~19 s of a 24 s remap stage at 1M reads.  The Python
+    paircov below is kept as the byte-exact oracle and the fallback."""
     from fermi_tpu.core import fastx
 
     n_seqs = int(np.asarray(index.mcnt[1]))
@@ -103,17 +109,27 @@ def remap(index: FMDIndex, contigs_path: str, out_fp, sorted_arr=None,
     h = KHash64()
     if sorted_arr is None:
         skip, min_pcv = -1, 0
+    native_pc = _NativePaircov.try_create(index, sorted_arr, skip, max_dist,
+                                          n_seqs)
     recs = list(fastx.read_fastx(contigs_path))
     for lo in range(0, len(recs), batch):
         chunk = recs[lo: lo + batch]
         seqs = [dna.encode(r.seq) for r in chunk]
-        all_mems = sm.smem_all(index, seqs)
-        for rec_i, s, mems in zip(chunk, seqs, all_mems):
+        if native_pc is not None:
+            outs = native_pc.run_batch(seqs)
+        else:
+            all_mems = sm.smem_all(index, seqs)
+            outs = None
+        for t, (rec_i, s) in enumerate(zip(chunk, seqs)):
             l = len(s)
-            if h.n_buckets >= 256:
-                h = KHash64()
-            cov, pcv, n_supp, unpaired = paircov(
-                n_seqs, sorted_arr, mems, l, skip, max_dist, h, rec)
+            if outs is not None:
+                cov, pcv, n_supp, unpaired = outs[t]
+            else:
+                if h.n_buckets >= 256:
+                    h = KHash64()
+                cov, pcv, n_supp, unpaired = paircov(
+                    n_seqs, sorted_arr, all_mems[t], l, skip, max_dist, h,
+                    rec)
             cov_q = np.minimum(cov.astype(np.int32) + 33, 126).astype(np.uint8)
             if min_pcv > 0:
                 masked = mask_pcv(s, pcv, skip, min_pcv)
@@ -136,11 +152,96 @@ def remap(index: FMDIndex, contigs_path: str, out_fp, sorted_arr=None,
                 out_fp.write(hdr + "\n")
                 out_fp.write(dna.decode(s) + "\n+\n")
                 out_fp.write(cov_q.tobytes().decode("latin1") + "\n")
+    if native_pc is not None:
+        rec = native_pc.stats()
+        native_pc.close()
     avg = rec[1] / rec[0] if rec[0] else 0.0
     std = (rec[2] / rec[0] - avg * avg) ** 0.5 if rec[0] else 0.0
     cap = int(avg + std * 2.0 + 1.499)
     sys.stderr.write(f"[M::remap] avg = {avg:.2f} std = {std:.2f} cap = {cap}\n")
     return avg, std, cap
+
+
+class _NativePaircov:
+    """SMEM (raw) + paircov through native/remap.cpp; one engine instance
+    per remap call (the pairing hash persists across batches, exactly like
+    the Python path's `h`)."""
+
+    def __init__(self, lib, index, sorted_arr, skip, max_dist, n_seqs):
+        import ctypes
+        self.ct = ctypes
+        self.lib = lib
+        self.index = index
+        self.n_seqs = n_seqs
+        self.sorted_arr = (np.ascontiguousarray(sorted_arr, np.uint64)
+                           if sorted_arr is not None else None)
+        self.hd = lib.fpaircov_create(int(skip), int(max_dist))
+
+    @classmethod
+    def try_create(cls, index, sorted_arr, skip, max_dist, n_seqs):
+        if os.environ.get("FERMI_TPU_NATIVE_PAIRCOV", "1") != "1":
+            return None
+        try:
+            from fermi_tpu import native
+            lib = native.get_lib()
+        except Exception:
+            return None
+        return cls(lib, index, sorted_arr, skip, max_dist, n_seqs)
+
+    def run_batch(self, seqs):
+        ct = self.ct
+        flat, counts = sm.smem_all_native_raw(self.index, seqs)
+        lens = np.array([len(s) for s in seqs], np.int64)
+        flat = np.ascontiguousarray(flat, np.int64)
+        counts = np.ascontiguousarray(counts, np.int64)
+        total_len = int(lens.sum())
+        cov = np.zeros(total_len, np.uint8)
+        pcv = np.zeros(total_len, np.uint8)
+        n_supp = np.zeros(len(seqs), np.int64)
+        # every full-length member can yield at most one unpaired entry
+        # (directly or via the hash drain)
+        cap = int(flat[:, 2].sum()) + len(seqs) + 8 if len(flat) else 8
+        unp_k = np.zeros(cap, np.int64)
+        unp_v = np.zeros(cap, np.int64)
+        unp_counts = np.zeros(len(seqs), np.int64)
+        sa = self.sorted_arr
+        self.lib.fpaircov_batch(
+            self.hd,
+            flat.ctypes.data_as(ct.POINTER(ct.c_int64)),
+            counts.ctypes.data_as(ct.POINTER(ct.c_int64)),
+            lens.ctypes.data_as(ct.POINTER(ct.c_int64)),
+            len(seqs),
+            sa.ctypes.data_as(ct.POINTER(ct.c_uint64)) if sa is not None
+            else ct.cast(None, ct.POINTER(ct.c_uint64)),
+            self.n_seqs,
+            cov.ctypes.data_as(ct.POINTER(ct.c_uint8)),
+            pcv.ctypes.data_as(ct.POINTER(ct.c_uint8)),
+            n_supp.ctypes.data_as(ct.POINTER(ct.c_int64)),
+            unp_k.ctypes.data_as(ct.POINTER(ct.c_int64)),
+            unp_v.ctypes.data_as(ct.POINTER(ct.c_int64)),
+            unp_counts.ctypes.data_as(ct.POINTER(ct.c_int64)))
+        outs = []
+        co = uo = 0
+        for t, s in enumerate(seqs):
+            l = len(s)
+            nu = int(unp_counts[t])
+            unpaired = list(zip(unp_k[uo: uo + nu].tolist(),
+                                unp_v[uo: uo + nu].tolist()))
+            outs.append((cov[co: co + l], pcv[co: co + l],
+                         int(n_supp[t]), unpaired))
+            co += l
+            uo += nu
+        return outs
+
+    def stats(self):
+        rec = np.zeros(3, np.int64)
+        self.lib.fpaircov_stats(
+            self.hd, rec.ctypes.data_as(self.ct.POINTER(self.ct.c_int64)))
+        return [int(rec[0]), int(rec[1]), int(rec[2])]
+
+    def close(self):
+        self.lib.fpaircov_destroy(self.hd)
+        self.hd = None
 
 
 def _emit_broken(out_fp, name, masked: bytes, cov_q, n_supp):

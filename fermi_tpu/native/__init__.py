@@ -189,6 +189,29 @@ def get_lib() -> ctypes.CDLL:
                 ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
                 ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
             ]
+            lib.fpaircov_create.restype = ctypes.c_void_p
+            lib.fpaircov_create.argtypes = [ctypes.c_int64, ctypes.c_int64]
+            lib.fpaircov_stats.restype = None
+            lib.fpaircov_stats.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64)]
+            lib.fpaircov_destroy.restype = None
+            lib.fpaircov_destroy.argtypes = [ctypes.c_void_p]
+            lib.fpaircov_batch.restype = ctypes.c_int64
+            lib.fpaircov_batch.argtypes = [
+                ctypes.c_void_p,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint64),
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+            ]
             lib.fseqsort.restype = None
             lib.fseqsort.argtypes = [
                 ctypes.POINTER(ctypes.c_uint8),

@@ -1271,11 +1271,11 @@ def _native_index_arrays(index):
     return cached
 
 
-def smem_all_native(index, seqs, self_match=False):
-    """Exact SMEMs via the native sequential engine (native/smem.cpp) —
-    the long-query path, where per-segment interval sets reach hundreds and
-    fixed-width device buffers would mostly carry padding.  Accepts either
-    FMDIndex or HostIndex (both speak the blocked layout)."""
+def smem_all_native_raw(index, seqs, self_match=False):
+    """smem_all_native without the per-match tuple conversion: returns
+    (flat int64 [total, 5] rows of (start, end, size, closed, kf) in
+    per-read emission order, counts int64 [n_reads]).  The raw form feeds
+    the native paircov engine (remap) with zero Python marshaling."""
     import ctypes
     from fermi_tpu import native
 
@@ -1305,6 +1305,15 @@ def smem_all_native(index, seqs, self_match=False):
             : total.value].copy()
     finally:
         lib.frld_free(ctypes.cast(ptr, ctypes.c_void_p))
+    return flat, counts
+
+
+def smem_all_native(index, seqs, self_match=False):
+    """Exact SMEMs via the native sequential engine (native/smem.cpp) —
+    the long-query path, where per-segment interval sets reach hundreds and
+    fixed-width device buffers would mostly carry padding.  Accepts either
+    FMDIndex or HostIndex (both speak the blocked layout)."""
+    flat, counts = smem_all_native_raw(index, seqs, self_match)
     results = []
     at = 0
     for i in range(len(seqs)):
