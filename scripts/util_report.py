@@ -106,7 +106,7 @@ def main():
     res = sm.smem_all(idx, seqs20)
     dt = time.time() - t0
     nm = sum(len(r) for r in res)
-    mode = "split" if os.environ.get("FERMI_TPU_SMEM_SPLIT") == "1" \
+    mode = "split" if os.environ.get("FERMI_TPU_SMEM_SPLIT", "1") == "1" \
         else "unified"
     rows.append((f"SMEM pool [{mode}] (20k reads)",
                  f"{len(seqs20)/dt:.0f} reads/s ({nm} SMEMs)",
