@@ -42,4 +42,25 @@ def _enable_jax_compile_cache():
         pass
 
 
+def _tune_malloc():
+    """Keep big freed buffers on the heap instead of returning them to the
+    kernel.  glibc munmaps every freed allocation above 128 KB, so each
+    numpy/C++ temporary re-faults its pages — and fresh-page faults on this
+    class of VM host run at 0.1-1 GB/s (measured: an 800 MB cumsum costs
+    6.5 s cold vs 0.6 s on reused pages).  Raising M_MMAP_THRESHOLD and
+    M_TRIM_THRESHOLD makes the second and later temporaries of a pipeline
+    stage ~10x faster.  Process-global: covers numpy and the native
+    engines' std::vector/malloc alike."""
+    if _os.environ.get("FERMI_TPU_NO_MALLOC_TUNE"):
+        return
+    try:
+        import ctypes
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        libc.mallopt(-3, 1 << 30)   # M_MMAP_THRESHOLD
+        libc.mallopt(-1, 1 << 30)   # M_TRIM_THRESHOLD
+    except Exception:
+        pass
+
+
 _enable_jax_compile_cache()
+_tune_malloc()

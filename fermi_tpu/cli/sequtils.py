@@ -98,11 +98,32 @@ def fltuniq(in_path, out_fp, k=0, verbose=True):
         out_fp.write("".join(out))
 
 
+def _ranges_gather(arr, starts, lens):
+    """arr bytes for the concatenated [starts[i], starts[i]+lens[i]) spans
+    — one fancy index, no per-span Python objects.  For LARGE span sets
+    use _mask_extract instead (no index temporaries)."""
+    total = int(lens.sum())
+    out_off = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    within = np.arange(total, dtype=np.int64) - np.repeat(out_off, lens)
+    return arr[np.repeat(starts, lens) + within]
+
+
+def _mask_extract(arr, starts, lens):
+    """Concatenated span bytes for SORTED DISJOINT spans: three linear
+    passes (delta scatter, cumsum, boolean index), no O(total) int64
+    index arrays."""
+    delta = np.zeros(arr.size + 1, np.int32)
+    delta[starts] = 1
+    np.subtract.at(delta, starts + lens, 1)
+    return arr[np.cumsum(delta[:-1], dtype=np.int32) > 0]
+
+
 def _fltuniq_bytes(in_path, out_fp, k, verbose):
-    """Zero-record-object fast path for plain 4-line FASTQ: the keep kernel
-    consumes the raw sequence lines; kept records are re-emitted in the
-    same normalized form as write_seq. Returns False to use the generic
-    record path (FASTA, multi-line, or no native lib)."""
+    """Zero-record-object fast path for plain 4-line FASTQ: all record
+    bookkeeping is span arithmetic over the raw byte buffer (the previous
+    data.split(b"\\n") built 4 objects per record — ~6 min of allocator
+    churn at 10M reads, and it degraded the stages AFTER it).  Returns
+    False to use the generic record path (FASTA, multi-line, no lib)."""
     try:
         from fermi_tpu import native
         lib = native.get_lib()
@@ -112,23 +133,27 @@ def _fltuniq_bytes(in_path, out_fp, k, verbose):
     opener = gzip.open if in_path.endswith(".gz") else open
     with opener(in_path, "rb") as f:
         data = f.read()
-    lines = data.split(b"\n")
-    if lines and lines[-1] == b"":
-        lines.pop()
-    if not lines or len(lines) % 4 or lines[0][:1] != b"@":
+    if not data:
         return False
-    heads = lines[0::4]
-    seqs = lines[1::4]
-    plus = lines[2::4]
-    quals = lines[3::4]
-    if any(h[:1] != b"@" for h in heads) or any(p[:1] != b"+" for p in plus):
+    if data[-1:] != b"\n":
+        data += b"\n"
+    data += b"+\n"  # literal '+' line all emitted records share (spans)
+    arr = np.frombuffer(data, np.uint8)
+    nl = np.flatnonzero(arr[:-2] == 10)
+    if nl.size % 4:
+        return False
+    ls = np.concatenate([[0], nl[:-1] + 1])   # line starts
+    le = nl                                   # line ends (at the \n)
+    if not (arr[ls[0::4]] == ord("@")).all() or \
+       not (arr[ls[2::4]] == ord("+")).all():
         return False
     if verbose:
         sys.stderr.write("[M::fltuniq] building the hash table...\n")
-    n = len(seqs)
-    lens = np.fromiter((len(s) for s in seqs), np.int64, n)
+    s1, e1 = ls[1::4], le[1::4]
+    n = len(s1)
+    lens = e1 - s1
     offsets = np.concatenate([[0], np.cumsum(lens)])
-    blob = np.frombuffer(b"".join(seqs), np.uint8)
+    blob = np.ascontiguousarray(_mask_extract(arr, s1, lens))
     keep = np.zeros(n, np.uint8)
     r = lib.fflt_keep(
         blob.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
@@ -139,28 +164,53 @@ def _fltuniq_bytes(in_path, out_fp, k, verbose):
         return False
     if verbose:
         sys.stderr.write("[M::fltuniq] filtering the reads...\n")
-    names = [h[1:].split(None, 1)[0] if h[1:] else b"" for h in heads]
-    out = []
-    prev_name = None
-    for i in range(n):
-        name = names[i]
-        is_paired = prev_name is not None and prev_name == name
-        if is_paired:
-            if not out:
-                prev_name = name
-                continue
-        else:
-            if out:
-                out_fp.write(b"".join(out).decode())
-            out = []
-        if keep[i]:
-            out.append(b"@" + heads[i][1:] + b"\n" + seqs[i] + b"\n+\n" +
-                       quals[i] + b"\n")
-        elif is_paired:
-            out = []
-        prev_name = name
-    if out:
-        out_fp.write(b"".join(out).decode())
+    # pairing: consecutive records with the same name token form a group;
+    # the reference keeps a group only if every member passes
+    h_s, h_e = ls[0::4], le[0::4]
+    ws = np.flatnonzero((arr == 32) | (arr == 9))
+    if ws.size:
+        wi = np.minimum(np.searchsorted(ws, h_s), ws.size - 1)
+        tok_e = np.where(ws[wi] < h_e, ws[wi], h_e)
+    else:
+        tok_e = h_e
+    tok_s = h_s + 1
+    tok_len = tok_e - tok_s
+    same = np.zeros(n, bool)
+    if n > 1:
+        eq_len = tok_len[1:] == tok_len[:-1]
+        idx = np.flatnonzero(eq_len)
+        if idx.size:
+            a = _ranges_gather(arr, tok_s[idx + 1], tok_len[idx + 1])
+            b = _ranges_gather(arr, tok_s[idx], tok_len[idx])
+            seg = np.concatenate([[0], np.cumsum(tok_len[idx + 1])])
+            mism = np.flatnonzero(a != b)
+            bad = np.zeros(idx.size, bool)
+            if mism.size:
+                bad[np.searchsorted(seg, mism, side="right") - 1] = True
+            same[idx + 1] = ~bad
+    gid = np.cumsum(~same) - 1
+    gkeep = np.ones(int(gid[-1]) + 1 if n else 0, bool)
+    np.minimum.at(gkeep, gid, keep.astype(bool))
+    final = gkeep[gid]
+    sel = np.flatnonzero(final)
+    # emit @head\nseq\n+\nqual\n per kept record.  When every '+' line is
+    # bare (the overwhelming case), a kept record is one contiguous span of
+    # the input — a single sorted mask extraction emits everything.
+    if bool(((le[2::4] - ls[2::4]) == 1).all()):
+        starts = ls[0::4][sel]
+        lens4 = le[3::4][sel] + 1 - starts
+        out = _mask_extract(arr, starts, lens4)
+    else:
+        plus_s = np.int64(len(data) - 2)
+        starts = np.stack([ls[0::4][sel], s1[sel],
+                           np.full(sel.size, plus_s),
+                           ls[3::4][sel]], axis=1).reshape(-1)
+        lens4 = np.stack([h_e[sel] - h_s[sel] + 1, lens[sel] + 1,
+                          np.full(sel.size, 2, np.int64),
+                          le[3::4][sel] - ls[3::4][sel] + 1],
+                         axis=1).reshape(-1)
+        out = _ranges_gather(arr, starts, lens4)
+    out_fp.write(out.tobytes().decode("latin1"))
     return True
 
 
