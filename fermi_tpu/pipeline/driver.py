@@ -250,8 +250,12 @@ class Pipeline:
             arr = seqsort(self._fmd(self._p("ec.fmd")))
         else:
             from fermi_tpu.algos.seqsort import seqsort_native
-            arr = seqsort_native(self._host(self._p("ec.fmd")),
-                                 n_threads=self.t)
+            t0 = time.time()
+            h = self._host(self._p("ec.fmd"))
+            t1 = time.time()
+            arr = seqsort_native(h, n_threads=self.t)
+            log("rank", f"host-index {t1 - t0:.1f}s, walk "
+                f"{time.time() - t1:.1f}s")
         arr.tofile(out)
 
     def stage_unitig(self):
