@@ -11,6 +11,7 @@ Output is byte-identical to reference `fermi correct`.
 """
 
 import ctypes
+import os
 import math
 import sys
 
@@ -247,7 +248,21 @@ def ec_correct(index: FMDIndex, fastx_path: str, out_fp, w: int = -1,
         w = auto_k(int(np.asarray(index.mcnt[0])))
         if verbose:
             sys.stderr.write(f"[M::ec_correct] set k-mer length to {w}\n")
-    cls, key, val, (n_tot, n_info) = collect_solid_kmers_native(index, w, min_occ)
+    # collect dispatch mirrors the pipeline's builder dispatch: the device
+    # BFS on a directly-attached TPU, the native DFS on cpu or over the
+    # tunneled dev chip (where h2d/d2h round-trips dominate).  Both produce
+    # the identical (cls, key, val) set (tests/test_correct.py).
+    mode = os.environ.get("FERMI_TPU_DEVICE_COLLECT", "auto")
+    use_dev = mode == "1"
+    if mode == "auto":
+        plat = os.environ.get("JAX_PLATFORMS", "").lower()
+        use_dev = "tpu" in plat and "axon" not in plat
+    if use_dev and isinstance(index, FMDIndex):
+        cls, key, val, (n_tot, n_info) = collect_solid_kmers(
+            index, w, min_occ)
+    else:
+        cls, key, val, (n_tot, n_info) = collect_solid_kmers_native(
+            index, w, min_occ)
     if verbose:
         sys.stderr.write(
             f"[M::ec_correct] collected {n_info} informative and "
