@@ -129,3 +129,45 @@ def test_scaf_parity_functional(tmp_path, ref_fermi):
     multi = any(int(line.split("\t")[1]) >= 1 for line in ref.splitlines()
                 if line.startswith(">"))
     assert multi
+
+
+def test_betai_against_numeric_integral():
+    """kf_betai (reference scaf.c:293-335, the t-test's incomplete beta)
+    against direct numeric integration of the regularized beta."""
+    import math
+    from fermi_tpu.algos.scaf import kf_betai
+
+    def betai_num(a, b, x, steps=200_000):
+        t = (np.arange(steps) + 0.5) / steps * x
+        f = (a - 1) * np.log(t) + (b - 1) * np.log1p(-t)
+        lb = (math.lgamma(a) + math.lgamma(b) - math.lgamma(a + b))
+        return float(np.exp(f - lb).sum() * (x / steps))
+
+    for a, b, x in [(2.0, 3.0, 0.5), (10.0, 2.0, 0.9),
+                    (7.5, 7.5, 0.1), (1.0, 1.0, 0.42), (25.0, 3.0, 0.97)]:
+        assert abs(kf_betai(a, b, x) - betai_num(a, b, x)) < 1e-4, (a, b, x)
+    # singular-endpoint case has a closed form: I_x(1/2,1/2) = 2/pi asin(sqrt x)
+    assert abs(kf_betai(0.5, 0.5, 0.3)
+               - 2 / math.pi * math.asin(math.sqrt(0.3))) < 1e-9
+    assert kf_betai(2.0, 2.0, 0.0) == 0.0
+    assert kf_betai(2.0, 2.0, 1.0) == 1.0
+
+
+def test_correct_mean_truncated_normal():
+    """correct_mean (scaf.c:371-379): mean of a normal truncated below at l —
+    must dominate mu, approach l for l >> mu, and match a numeric integral."""
+    import math
+    from fermi_tpu.algos.scaf import correct_mean
+
+    mu, sigma = 300.0, 30.0
+
+    def num_mean(l, steps=400_000):
+        t = np.linspace(l, mu + 12 * sigma, steps)
+        w = np.exp(-0.5 * ((t - mu) / sigma) ** 2)
+        return float((t * w).sum() / w.sum())
+
+    for l in (100.0, 250.0, 300.0, 350.0, 420.0):
+        got = correct_mean(l, mu, sigma)
+        want = num_mean(l)
+        assert abs(got - want) < 0.5, (l, got, want)
+        assert got >= mu - 1e-9
