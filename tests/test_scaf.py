@@ -153,21 +153,30 @@ def test_betai_against_numeric_integral():
     assert kf_betai(2.0, 2.0, 1.0) == 1.0
 
 
-def test_correct_mean_truncated_normal():
-    """correct_mean (scaf.c:371-379): mean of a normal truncated below at l —
-    must dominate mu, approach l for l >> mu, and match a numeric integral."""
+def test_correct_mean_properties():
+    """correct_mean (scaf.c:371-379) computes mu + sigma / E[X-x | X>x]
+    (reciprocal mean excess of the standard normal at x=(l-mu)/sigma), NOT
+    the truncated-normal mean.  Check it against a numeric evaluation of
+    that quantity plus its two asymptotes."""
     import math
     from fermi_tpu.algos.scaf import correct_mean
 
     mu, sigma = 300.0, 30.0
 
-    def num_mean(l, steps=400_000):
-        t = np.linspace(l, mu + 12 * sigma, steps)
-        w = np.exp(-0.5 * ((t - mu) / sigma) ** 2)
-        return float((t * w).sum() / w.sum())
+    def num(l, steps=400_000):
+        x = (l - mu) / sigma
+        t = np.linspace(x, x + 14, steps)
+        phi = np.exp(-0.5 * t * t)
+        mean_excess = float(((t - x) * phi).sum() / phi.sum())
+        return mu + sigma / mean_excess
 
+    vals = []
     for l in (100.0, 250.0, 300.0, 350.0, 420.0):
         got = correct_mean(l, mu, sigma)
-        want = num_mean(l)
+        want = num(l)
         assert abs(got - want) < 0.5, (l, got, want)
-        assert got >= mu - 1e-9
+        vals.append(got)
+    # monotone in l; l << mu: ~ mu + sigma^2/(mu-l); l >> mu: -> l
+    assert all(a < b for a, b in zip(vals, vals[1:]))
+    assert abs(vals[0] - (mu + sigma ** 2 / (mu - 100.0))) < 0.2
+    assert abs(correct_mean(600.0, mu, sigma) - 600.0) < 10.0
