@@ -998,6 +998,43 @@ def smem_all(index: FMDIndex, seqs: list[np.ndarray], self_match=False,
     return results
 
 
+def _redo_ladder(index, seqs, redo, results, self_match, max_len, maxi,
+                 maxm):
+    """Re-run overflowed reads through the unified kernel with wider
+    buffers: 2x, 8x, then the guaranteed size.  The guaranteed tier's
+    buffers are enormous ([R, 2L+4] interval lists), so it runs in <=1024
+    -read chunks — a single huge compile once crashed the axon worker."""
+    tiers = ((2 * maxi, 4 * maxm, 1 << 30),
+             (8 * maxi, 16 * maxm, 1 << 30),
+             (2 * max_len + 4, 4 * max_len + 8, 512))
+    for wi, wm, chunk in tiers:
+        if not redo:
+            break
+        still = []
+        for c0 in range(0, len(redo), chunk):
+            part = redo[c0: c0 + chunk]
+            R = 1
+            while R < len(part):
+                R *= 2
+            q = np.zeros((R, max_len), np.uint8)
+            lens = np.zeros(R, np.int32)
+            for t, si in enumerate(part):
+                s = seqs[si]
+                q[t, : len(s)] = s
+                lens[t] = len(s)
+            big = _smem_batch(index, jnp.asarray(q), jnp.asarray(lens),
+                              self_match, max_len, wi, wm, emax=wi)
+            bg3, bmn, _, bovf = map(np.asarray, big)
+            dec = _decode_batch(bg3, bmn)
+            for t, si in enumerate(part):
+                if bovf[t]:
+                    still.append(si)
+                else:
+                    results[si] = dec[t]
+        redo = still
+    assert not redo, "SMEM overflow at guaranteed buffer size"
+
+
 def _smem_all_pool_split(index, seqs, self_match, maxi, maxm, lanes,
                          max_len, segs=8):
     """Phase-split pool driver: pass A (narrow forward) then pass B (wide
@@ -1067,31 +1104,8 @@ def _smem_all_pool_split(index, seqs, self_match, maxi, maxm, lanes,
                 for s_i in range(int(nseg[t])):
                     out.extend(dec[t * S + s_i])
                 results[si] = out
-    # redo ladder via the unified kernel (wider buffers)
-    for wi, wm in ((2 * maxi, 4 * maxm), (2 * max_len + 4, 4 * max_len + 8)):
-        if not redo:
-            break
-        R = 1
-        while R < len(redo):
-            R *= 2
-        q = np.zeros((R, max_len), np.uint8)
-        lens = np.zeros(R, np.int32)
-        for t, si in enumerate(redo):
-            s = seqs[si]
-            q[t, : len(s)] = s
-            lens[t] = len(s)
-        big = _smem_batch(index, jnp.asarray(q), jnp.asarray(lens),
-                          self_match, max_len, wi, wm, emax=wi)
-        bg3, bmn, _, bovf = map(np.asarray, big)
-        dec = _decode_batch(bg3, bmn)
-        still = []
-        for t, si in enumerate(redo):
-            if bovf[t]:
-                still.append(si)
-            else:
-                results[si] = dec[t]
-        redo = still
-    assert not redo, "SMEM overflow at guaranteed buffer size"
+    _redo_ladder(index, seqs, redo, results, self_match, max_len, maxi,
+                 maxm)
     return results
 
 
@@ -1158,31 +1172,8 @@ def _smem_all_pool(index, seqs, self_match, maxi, maxm, lanes, max_len):
                 redo.append(si)
             else:
                 results[si] = dec[t]
-    # redo ladder (fixed-batch mode, wider buffers), padded to pow2 shapes
-    for wi, wm in ((2 * maxi, 4 * maxm), (2 * max_len + 4, 4 * max_len + 8)):
-        if not redo:
-            break
-        R = 1
-        while R < len(redo):
-            R *= 2
-        q = np.zeros((R, max_len), np.uint8)
-        lens = np.zeros(R, np.int32)
-        for t, si in enumerate(redo):
-            s = seqs[si]
-            q[t, : len(s)] = s
-            lens[t] = len(s)
-        big = _smem_batch(index, jnp.asarray(q), jnp.asarray(lens),
-                          self_match, max_len, wi, wm, emax=wi)
-        bg3, bmn, _, bovf = map(np.asarray, big)
-        dec = _decode_batch(bg3, bmn)
-        still = []
-        for t, si in enumerate(redo):
-            if bovf[t]:
-                still.append(si)
-            else:
-                results[si] = dec[t]
-        redo = still
-    assert not redo, "SMEM overflow at guaranteed buffer size"
+    _redo_ladder(index, seqs, redo, results, self_match, max_len, maxi,
+                 maxm)
     return results
 
 
