@@ -109,9 +109,28 @@ def _ranges_gather(arr, starts, lens):
 
 
 def _mask_extract(arr, starts, lens):
-    """Concatenated span bytes for SORTED DISJOINT spans: three linear
-    passes (delta scatter, cumsum, boolean index), no O(total) int64
-    index arrays."""
+    """Concatenated span bytes: native threaded memcpy per span when the
+    lib is available (the numpy delta/cumsum/boolean-mask route is three
+    O(file) passes and the cumsum alone cost seconds per call on the
+    bench host), numpy fallback otherwise."""
+    try:
+        from fermi_tpu import native
+        lib = native.get_lib()
+    except Exception:
+        lib = None
+    if lib is not None:
+        import ctypes
+        starts = np.ascontiguousarray(starts, np.int64)
+        lens = np.ascontiguousarray(lens, np.int64)
+        out = np.empty(int(lens.sum()), np.uint8)
+        lib.fspans_extract(
+            arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(starts),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            min(os.cpu_count() or 1, 8))
+        return out
     delta = np.zeros(arr.size + 1, np.int32)
     delta[starts] = 1
     np.subtract.at(delta, starts + lens, 1)

@@ -189,6 +189,15 @@ def get_lib() -> ctypes.CDLL:
                 ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
                 ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
             ]
+            lib.fspans_extract.restype = None
+            lib.fspans_extract.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int,
+            ]
             lib.fpaircov_create.restype = ctypes.c_void_p
             lib.fpaircov_create.argtypes = [ctypes.c_int64, ctypes.c_int64]
             lib.fpaircov_stats.restype = None

@@ -58,6 +58,41 @@ inline void build_code_table(int8_t* tbl) {
 
 extern "C" {
 
+// Concatenate byte spans [starts[i], starts[i]+lens[i]) of src into dst
+// (caller sizes dst = sum(lens)).  Threaded memcpy; replaces numpy
+// delta/cumsum/boolean-mask extraction (three O(file) passes).
+void fspans_extract(const uint8_t* src, const int64_t* starts,
+                    const int64_t* lens, int64_t n, uint8_t* dst,
+                    int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  const int T = n_threads;
+  std::vector<int64_t> out_off(T + 1);
+  std::vector<int64_t> split(T + 1);
+  for (int t = 0; t <= T; ++t) split[t] = n * t / T;
+  {
+    int64_t at = 0;
+    int64_t t = 0;
+    for (int64_t i = 0; i <= n; ++i) {
+      while (t <= T && split[t] == i) out_off[t++] = at;
+      if (i < n) at += lens[i];
+    }
+  }
+  auto work = [&](int t) {
+    int64_t at = out_off[t];
+    for (int64_t i = split[t]; i < split[t + 1]; ++i) {
+      memcpy(dst + at, src + starts[i], lens[i]);
+      at += lens[i];
+    }
+  };
+  if (T == 1) {
+    work(0);
+  } else {
+    std::vector<std::thread> th;
+    for (int t = 0; t < T; ++t) th.emplace_back(work, t);
+    for (auto& t : th) t.join();
+  }
+}
+
 // seqs: concatenated read bytes (ASCII); offsets[n+1]; keep_out uint8[n].
 // Returns 0 on success.
 int fflt_keep(const uint8_t* seqs, const int64_t* offsets, int64_t n_reads,
@@ -67,6 +102,83 @@ int fflt_keep(const uint8_t* seqs, const int64_t* offsets, int64_t n_reads,
   int8_t tbl[256];
   build_code_table(tbl);
   const uint64_t mask = (k >= 31) ? ((1ULL << 62) - 1) : ((1ULL << (2 * k)) - 1);
+
+  std::vector<int64_t> rsplit0(T + 1);
+  for (int t = 0; t <= T; ++t) rsplit0[t] = n_reads * t / T;
+
+  if (2 * k <= 32) {
+    // Two-plane presence bitmap (the reference's own structure,
+    // seq.c:149-199): A = k-mer seen, B = seen >= twice.  4^k entries x
+    // 2 bits (k=15 -> 2x128 MB); replaces the (code, window) sort with two
+    // rolling scans + atomic bit ops — no O(windows) scratch at all.
+    std::lock_guard<std::mutex> lock(g_flt_mu);
+    const size_t nbits = (size_t)1 << (2 * k);
+    const size_t words = nbits / 64 + 1;
+    uint64_t* A = (uint64_t*)g_flt_codes.get(words * 8);
+    uint64_t* B = (uint64_t*)g_flt_pairs.get(words * 8);
+    auto clear_par = [&](int t) {
+      size_t w0 = words * t / T, w1 = words * (t + 1) / T;
+      memset(A + w0, 0, (w1 - w0) * 8);
+      memset(B + w0, 0, (w1 - w0) * 8);
+    };
+    auto mark = [&](int t) {
+      for (int64_t r = rsplit0[t]; r < rsplit0[t + 1]; ++r) {
+        const uint8_t* s = seqs + offsets[r];
+        int64_t l = offsets[r + 1] - offsets[r];
+        uint64_t z = 0;
+        int run = 0;
+        for (int64_t i = 0; i < l; ++i) {
+          int8_t c = tbl[s[i]];
+          if (c < 0) {
+            run = 0;
+            z = 0;
+            continue;
+          }
+          z = ((z << 2) | (uint64_t)c) & mask;
+          if (++run >= k) {
+            uint64_t bit = 1ULL << (z & 63);
+            // exactly one concurrent marker observes "already set"
+            uint64_t old = __atomic_fetch_or(&A[z >> 6], bit,
+                                             __ATOMIC_RELAXED);
+            if (old & bit)
+              __atomic_fetch_or(&B[z >> 6], bit, __ATOMIC_RELAXED);
+          }
+        }
+      }
+    };
+    auto decide = [&](int t) {
+      for (int64_t r = rsplit0[t]; r < rsplit0[t + 1]; ++r) {
+        const uint8_t* s = seqs + offsets[r];
+        int64_t l = offsets[r + 1] - offsets[r];
+        uint64_t z = 0;
+        int run = 0;
+        bool ok = true;
+        for (int64_t i = 0; i < l && ok; ++i) {
+          int8_t c = tbl[s[i]];
+          if (c < 0) {
+            ok = false;  // invalid base: dropped (matches the sort path)
+            break;
+          }
+          z = ((z << 2) | (uint64_t)c) & mask;
+          if (++run >= k && !(B[z >> 6] >> (z & 63) & 1)) ok = false;
+        }
+        keep_out[r] = ok ? 1 : 0;
+      }
+    };
+    auto run_par0 = [&](auto&& fn) {
+      if (T == 1) {
+        fn(0);
+        return;
+      }
+      std::vector<std::thread> th;
+      for (int t = 0; t < T; ++t) th.emplace_back(fn, t);
+      for (auto& t : th) t.join();
+    };
+    run_par0(clear_par);
+    run_par0(mark);
+    run_par0(decide);
+    return 0;
+  }
 
   std::vector<int64_t> win_base(n_reads + 1);
   int64_t total_wins = 0;
