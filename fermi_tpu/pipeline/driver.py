@@ -146,13 +146,63 @@ class Pipeline:
 
     # -- stages ------------------------------------------------------------
 
-    def build_index(self, reads_iter, out_fmd, cut_n=True):
+    @staticmethod
+    def _text_from_fastq(paths):
+        """Native text assembly straight from plain 4-line FASTQ bytes
+        (fbuild_text_ascii: encode + fragment split + fwd/rc interleave in
+        one C pass); None when a file isn't that shape."""
+        import ctypes
+        import gzip as _gz
+
+        from fermi_tpu.core import fastx
+        try:
+            from fermi_tpu import native
+            lib = native.get_lib()
+        except Exception:
+            return None
+        parts = []
+        for path in paths:
+            opener = _gz.open if str(path).endswith(".gz") else open
+            with opener(path, "rb") as f:
+                data = f.read()
+            sp = fastx.fastq_seq_spans(data)
+            if sp is None:
+                return None
+            arr, starts, lens = sp
+            starts = np.ascontiguousarray(starts, np.int64)
+            lens = np.ascontiguousarray(lens, np.int64)
+            ptr = ctypes.POINTER(ctypes.c_uint8)()
+            n = lib.fbuild_text_ascii(
+                arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                len(starts), 1, 1, 4, ctypes.byref(ptr))
+            try:
+                parts.append(np.ctypeslib.as_array(ptr, shape=(n,)).copy())
+            finally:
+                lib.frld_free(ctypes.cast(ptr, ctypes.c_void_p))
+        return parts[0] if len(parts) == 1 else np.concatenate(parts)
+
+    def build_index(self, reads_iter, out_fmd, cut_n=True, paths=None):
         """raw/ec FMD-index (the reference's ropebwt -a bcr stage)."""
         from fermi_tpu.core import dna
         from fermi_tpu.construct import suffix
         from fermi_tpu import rld
 
         t0 = time.time()
+        if paths is not None:
+            text = self._text_from_fastq(paths)
+            if text is not None:
+                t_text = time.time()
+                log("build", f"{text.size / 1e6:.1f}M symbols (native text)")
+                runs = self._build_runs(text)
+                t_bwt = time.time()
+                rld.write_fmd(runs, out_fmd)
+                self._cache[("runs", out_fmd)] = runs
+                log("build", f"wrote {out_fmd} in {time.time() - t0:.1f}s "
+                    f"(text {t_text - t0:.1f}, bwt {t_bwt - t_text:.1f}, "
+                    f"rle+dump {time.time() - t_bwt:.1f})")
+                return
         # join reads with N: encode maps it to 5, and fragments are maximal
         # runs of non-5 symbols, so one vectorized pass covers cut_n too
         blob = "N".join(reads_iter)
@@ -202,7 +252,7 @@ class Pipeline:
                 for rec in fastx.read_fastx(path):
                     yield rec.seq
 
-        self.build_index(reads(), out, cut_n=True)
+        self.build_index(reads(), out, cut_n=True, paths=list(fastx_paths))
 
     def stage_correct(self, fastx_paths):
         out = self._p("ec.fq.gz")
@@ -234,7 +284,7 @@ class Pipeline:
             for rec in fastx.read_fastx(flt):
                 yield rec.seq
 
-        self.build_index(reads(), out, cut_n=False)
+        self.build_index(reads(), out, cut_n=False, paths=[flt])
         os.remove(flt)
 
     def stage_rank(self):
