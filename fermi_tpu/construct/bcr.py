@@ -78,6 +78,40 @@ def bcr_runs_native(text: np.ndarray, n_threads: int = 4):
     return rld.Runs(lengths, symbols, mcnt, 6)
 
 
+def bcr_runs_from_frags(F: np.ndarray, offsets: np.ndarray,
+                        trim_palindrome: bool = True, n_threads: int = 4):
+    """Native BCR straight from forward-only nt6 fragments: the reverse-
+    complement strands are synthesized inside the builder's transpose, so
+    the doubled sentinel text never exists (fresh-page faults on the bench
+    host run at 0.1-1 GB/s, and the text route allocated ~14 GB at 2 Gsym).
+    Equals bcr_runs_native(build_text(frags))."""
+    import ctypes
+    from fermi_tpu import native
+    from fermi_tpu import rld
+
+    lib = native.get_lib()
+    F = np.ascontiguousarray(F, np.uint8)
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    p_sym = ctypes.POINTER(ctypes.c_uint8)()
+    p_len = ctypes.POINTER(ctypes.c_int64)()
+    nr = lib.fbcr_build_runs_frags(
+        F.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(offsets) - 1, int(trim_palindrome), n_threads,
+        ctypes.byref(p_sym), ctypes.byref(p_len))
+    try:
+        symbols = np.ctypeslib.as_array(p_sym, shape=(nr,)).copy()
+        lengths = np.ctypeslib.as_array(p_len, shape=(nr,)).copy()
+    finally:
+        lib.frld_free(ctypes.cast(p_sym, ctypes.c_void_p))
+        lib.frld_free(ctypes.cast(p_len, ctypes.c_void_p))
+    mcnt = np.zeros(7, np.uint64)
+    mcnt[0] = int(lengths.sum())
+    mcnt[1:] = np.bincount(symbols, weights=lengths.astype(np.float64),
+                           minlength=6)[:6].astype(np.uint64)
+    return rld.Runs(lengths, symbols, mcnt, 6)
+
+
 def bcr_bwt(seqs: list[np.ndarray]) -> np.ndarray:
     """Multi-string BWT of nt6 reads (each implicitly $-terminated), byte
     identical to suffix.multistring_bwt(build_text(seqs, both_strands=False,

@@ -189,6 +189,26 @@ def get_lib() -> ctypes.CDLL:
                 ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
                 ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
             ]
+            lib.fencode_frags.restype = ctypes.c_int64
+            lib.fencode_frags.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64,
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+            ]
+            lib.fbcr_build_runs_frags.restype = ctypes.c_int64
+            lib.fbcr_build_runs_frags.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64,
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+            ]
             lib.fbuild_text_ascii.restype = ctypes.c_int64
             lib.fbuild_text_ascii.argtypes = [
                 ctypes.POINTER(ctypes.c_uint8),

@@ -69,93 +69,13 @@ struct Bcr {
   Stream S[6];
 };
 
-// core build: fills B->S from the 0-terminated multi-string text
-static void build_streams(const uint8_t* text, int64_t n, int n_threads,
-                          Bcr* B) {
-  const double t_entry = now_s();
-  std::vector<int64_t> offs;
-  offs.push_back(0);
-  bool has_n = false;
-  for (int64_t i = 0; i < n; ++i) {
-    if (text[i] == 0) offs.push_back(i + 1);
-    has_n |= text[i] == 5;
-  }
-  int64_t m = (int64_t)offs.size() - 1;
-  if (m == 0) return;
-
-  // reversed-transposed reads: rev[j][k] = read k's j-th symbol from the
-  // end (row 0 unused; rows past a read's length hold 0).  Row-contiguous
-  // so each cycle streams one row; filled in read-blocks of 4096 so the
-  // column writes stay cache-resident.  ACGT-only texts (the pipeline
-  // splits fragments at N) use a 2-bit row instead: the per-insert lookups
-  // hit the row at RANDOM read positions, and at 20M reads a u8 row is
-  // 20 MB (every lookup an L2 miss — measured 392 s vs linear-scaling
-  // 162 s at 2 Gsym); 2-bit rows are 4x smaller.
-  int64_t lmax = 0;
-  std::vector<int64_t> lens(m);
-  for (int64_t k = 0; k < m; ++k) {
-    lens[k] = offs[k + 1] - offs[k] - 1;
-    if (lens[k] > lmax) lmax = lens[k];
-  }
-  const int64_t stride2 = (m + 3) >> 2;
-  std::vector<uint8_t> rev, rev2;
-  if (has_n)
-    rev.assign((size_t)(lmax + 2) * m, 0);
-  else
-    rev2.assign((size_t)(lmax + 1) * stride2, 0);
-  {
-    const int64_t TB = 4096;  // multiple of 4: thread stripes never share
-                              // a 2-bit byte
-    int T = n_threads < 1 ? 1 : n_threads;
-    std::vector<std::thread> th;
-    for (int t = 0; t < T; ++t)
-      th.emplace_back([&, t] {
-        for (int64_t k0 = t * TB; k0 < m; k0 += (int64_t)T * TB) {
-          int64_t k1 = k0 + TB < m ? k0 + TB : m;
-          for (int64_t k = k0; k < k1; ++k) {
-            const uint8_t* s = text + offs[k];
-            if (has_n) {
-              for (int64_t j = 1; j <= lens[k]; ++j)
-                rev[(size_t)j * m + k] = s[lens[k] - j];
-            } else {
-              int sh = (int)(k & 3) * 2;
-              for (int64_t j = 1; j <= lens[k]; ++j)
-                rev2[(size_t)j * stride2 + (k >> 2)] |=
-                    (uint8_t)((s[lens[k] - j] - 1) << sh);
-            }
-          }
-        }
-      });
-    for (auto& x : th) x.join();
-  }
-  // v = BWT entry of the suffix inserted at cycle j = symbol j+1 from the
-  // end, or the sentinel when the suffix is the whole read
-  auto sym_v = [&](int64_t j, const Pend& p) -> int {
-    if ((int64_t)p.len == j) return 0;
-    if (has_n) return rev[(size_t)(j + 1) * m + p.read];
-    return ((rev2[(size_t)(j + 1) * stride2 + (p.read >> 2)]
-             >> ((p.read & 3) * 2)) & 3) + 1;
-  };
-
+// the cycle machinery, shared by the text and fragments front-ends;
+// SymV(j, pend) returns the BWT entry of the suffix inserted at cycle j
+template <class SymV>
+static void run_cycles(Bcr* B, std::vector<Pend>* pend, int64_t lmax,
+                       double t_entry, SymV&& sym_v) {
   Stream* S = B->S;
-  std::vector<Pend> pend[6], bucket[6][6];
-
-  // cycle 0: the m sentinel suffixes occupy class 0 in read order; their
-  // BWT entries are the reads' last characters.  The cycle-1 insert of
-  // read k goes into class c at rank_c(S0, k) — a running count over the
-  // same values.
-  {
-    auto& v = S[0].now();
-    for (int64_t k = 0; k < m; ++k) {
-      int sym = lens[k] ? text[offs[k] + lens[k] - 1] : 0;
-      rle_push(v, sym, 1);
-      if (lens[k] >= 1)
-        pend[sym].push_back({S[0].cnt[sym], (uint32_t)k,
-                             (uint32_t)lens[k]});
-      S[0].cnt[sym]++;
-    }
-  }
-
+  std::vector<Pend> bucket[6][6];
   const bool prof = getenv("FERMI_BCR_PROF") != nullptr;
   double t_merge = 0, t_gather = 0, t0p = now_s();
   const double t_setup = t0p - t_entry;  // offs scan + transpose + cycle 0
@@ -266,6 +186,179 @@ static void build_streams(const uint8_t* text, int64_t n, int n_threads,
             t_setup, t_merge, t_gather);
 }
 
+// Fragments front-end: fwd + rc strands SYNTHESIZED from forward-only
+// nt6 fragments (F concatenated without sentinels, offs[nfrag+1]),
+// matching build_text's interleave (read 2k = fragment k possibly
+// palindrome-trimmed, read 2k+1 = its reverse complement).  Halves the
+// text materialization: no rc copy, no sentinel text at all — at 2 Gsym
+// the raw build allocated ~14 GB of fresh pages through the text route,
+// and fresh faults on this host run at 0.1-1 GB/s.
+static void build_streams_frags(const uint8_t* F, const int64_t* offs,
+                                int64_t nfrag, int trim_palindrome,
+                                int n_threads, Bcr* B) {
+  const double t_entry = now_s();
+  if (nfrag == 0) return;
+  const int64_t m = 2 * nfrag;
+  int64_t lmax = 0;
+  std::vector<int64_t> lens(m);
+  for (int64_t k = 0; k < nfrag; ++k) {
+    const uint8_t* s = F + offs[k];
+    int64_t l = offs[k + 1] - offs[k];
+    if (trim_palindrome && l > 0 && l % 2 == 0) {
+      bool pal = true;
+      for (int64_t i = 0; i < l; ++i)
+        if ((int)s[i] + (int)s[l - 1 - i] != 5) {
+          pal = false;
+          break;
+        }
+      if (pal) --l;
+    }
+    lens[2 * k] = lens[2 * k + 1] = l;
+    if (l > lmax) lmax = l;
+  }
+  const int64_t stride2 = (m + 3) >> 2;
+  std::vector<uint8_t> rev2((size_t)(lmax + 1) * stride2, 0);
+  {
+    const int64_t TB = 2048;  // fragment blocks; reads 4k..4k+3 share bytes
+                              // only within one fragment pair block
+    int T = n_threads < 1 ? 1 : n_threads;
+    std::vector<std::thread> th;
+    for (int t = 0; t < T; ++t)
+      th.emplace_back([&, t] {
+        for (int64_t k0 = t * TB; k0 < nfrag; k0 += (int64_t)T * TB) {
+          int64_t k1 = k0 + TB < nfrag ? k0 + TB : nfrag;
+          for (int64_t k = k0; k < k1; ++k) {
+            const uint8_t* s = F + offs[k];
+            int64_t l = lens[2 * k];
+            int64_t rf = 2 * k, rr = 2 * k + 1;
+            int shf = (int)(rf & 3) * 2, shr = (int)(rr & 3) * 2;
+            for (int64_t j = 1; j <= l; ++j) {
+              // fwd read: j-th from end = s[l-j]; rc read: comp(s[j-1])
+              rev2[(size_t)j * stride2 + (rf >> 2)] |=
+                  (uint8_t)((s[l - j] - 1) << shf);
+              rev2[(size_t)j * stride2 + (rr >> 2)] |=
+                  (uint8_t)((4 - s[j - 1]) << shr);
+            }
+          }
+        }
+      });
+    for (auto& x : th) x.join();
+  }
+  auto sym_v = [&](int64_t j, const Pend& p) -> int {
+    if ((int64_t)p.len == j) return 0;
+    return ((rev2[(size_t)(j + 1) * stride2 + (p.read >> 2)]
+             >> ((p.read & 3) * 2)) & 3) + 1;
+  };
+
+  Stream* S = B->S;
+  std::vector<Pend> pend[6];
+  {
+    auto& v = S[0].now();
+    for (int64_t r = 0; r < m; ++r) {
+      int64_t k = r >> 1;
+      const uint8_t* s = F + offs[k];
+      int64_t l = lens[r];
+      int sym = l == 0 ? 0
+                       : ((r & 1) ? 5 - (int)s[0] : (int)s[l - 1]);
+      rle_push(v, sym, 1);
+      if (l >= 1)
+        pend[sym].push_back({S[0].cnt[sym], (uint32_t)r, (uint32_t)l});
+      S[0].cnt[sym]++;
+    }
+  }
+  run_cycles(B, pend, lmax, t_entry, sym_v);
+}
+
+// core build: fills B->S from the 0-terminated multi-string text
+static void build_streams(const uint8_t* text, int64_t n, int n_threads,
+                          Bcr* B) {
+  const double t_entry = now_s();
+  std::vector<int64_t> offs;
+  offs.push_back(0);
+  bool has_n = false;
+  for (int64_t i = 0; i < n; ++i) {
+    if (text[i] == 0) offs.push_back(i + 1);
+    has_n |= text[i] == 5;
+  }
+  int64_t m = (int64_t)offs.size() - 1;
+  if (m == 0) return;
+
+  // reversed-transposed reads: rev[j][k] = read k's j-th symbol from the
+  // end (row 0 unused; rows past a read's length hold 0).  Row-contiguous
+  // so each cycle streams one row; filled in read-blocks of 4096 so the
+  // column writes stay cache-resident.  ACGT-only texts (the pipeline
+  // splits fragments at N) use a 2-bit row instead: the per-insert lookups
+  // hit the row at RANDOM read positions, and at 20M reads a u8 row is
+  // 20 MB (every lookup an L2 miss — measured 392 s vs linear-scaling
+  // 162 s at 2 Gsym); 2-bit rows are 4x smaller.
+  int64_t lmax = 0;
+  std::vector<int64_t> lens(m);
+  for (int64_t k = 0; k < m; ++k) {
+    lens[k] = offs[k + 1] - offs[k] - 1;
+    if (lens[k] > lmax) lmax = lens[k];
+  }
+  const int64_t stride2 = (m + 3) >> 2;
+  std::vector<uint8_t> rev, rev2;
+  if (has_n)
+    rev.assign((size_t)(lmax + 2) * m, 0);
+  else
+    rev2.assign((size_t)(lmax + 1) * stride2, 0);
+  {
+    const int64_t TB = 4096;  // multiple of 4: thread stripes never share
+                              // a 2-bit byte
+    int T = n_threads < 1 ? 1 : n_threads;
+    std::vector<std::thread> th;
+    for (int t = 0; t < T; ++t)
+      th.emplace_back([&, t] {
+        for (int64_t k0 = t * TB; k0 < m; k0 += (int64_t)T * TB) {
+          int64_t k1 = k0 + TB < m ? k0 + TB : m;
+          for (int64_t k = k0; k < k1; ++k) {
+            const uint8_t* s = text + offs[k];
+            if (has_n) {
+              for (int64_t j = 1; j <= lens[k]; ++j)
+                rev[(size_t)j * m + k] = s[lens[k] - j];
+            } else {
+              int sh = (int)(k & 3) * 2;
+              for (int64_t j = 1; j <= lens[k]; ++j)
+                rev2[(size_t)j * stride2 + (k >> 2)] |=
+                    (uint8_t)((s[lens[k] - j] - 1) << sh);
+            }
+          }
+        }
+      });
+    for (auto& x : th) x.join();
+  }
+  // v = BWT entry of the suffix inserted at cycle j = symbol j+1 from the
+  // end, or the sentinel when the suffix is the whole read
+  auto sym_v = [&](int64_t j, const Pend& p) -> int {
+    if ((int64_t)p.len == j) return 0;
+    if (has_n) return rev[(size_t)(j + 1) * m + p.read];
+    return ((rev2[(size_t)(j + 1) * stride2 + (p.read >> 2)]
+             >> ((p.read & 3) * 2)) & 3) + 1;
+  };
+
+  Stream* S = B->S;
+  std::vector<Pend> pend[6];
+
+  // cycle 0: the m sentinel suffixes occupy class 0 in read order; their
+  // BWT entries are the reads' last characters.  The cycle-1 insert of
+  // read k goes into class c at rank_c(S0, k) — a running count over the
+  // same values.
+  {
+    auto& v = S[0].now();
+    for (int64_t k = 0; k < m; ++k) {
+      int sym = lens[k] ? text[offs[k] + lens[k] - 1] : 0;
+      rle_push(v, sym, 1);
+      if (lens[k] >= 1)
+        pend[sym].push_back({S[0].cnt[sym], (uint32_t)k,
+                             (uint32_t)lens[k]});
+      S[0].cnt[sym]++;
+    }
+  }
+
+  run_cycles(B, pend, lmax, t_entry, sym_v);
+}
+
 }  // namespace
 
 extern "C" {
@@ -288,6 +381,38 @@ int64_t fbcr_build(const uint8_t* text, int64_t n, uint8_t* out,
 // buffers).  Emits maximal runs (adjacent 31-capped and cross-class-
 // boundary runs merged) into malloc'd buffers; caller frees both with
 // frld_free.  Returns the run count.
+// Runs-direct build from forward-only nt6 fragments (rc synthesized in
+// the transpose; see build_streams_frags).  Same output as
+// fbcr_build_runs over build_text(F, offs, both_strands=1, trim=...).
+int64_t fbcr_build_runs_frags(const uint8_t* F, const int64_t* offs,
+                              int64_t nfrag, int trim_palindrome,
+                              int n_threads, uint8_t** syms_out,
+                              int64_t** lens_out) {
+  Bcr B;
+  build_streams_frags(F, offs, nfrag, trim_palindrome, n_threads, &B);
+  size_t cap = 1;
+  for (int c = 0; c < 6; ++c) cap += B.S[c].now().size();
+  uint8_t* syms = (uint8_t*)malloc(cap);
+  int64_t* lens = (int64_t*)malloc(cap * sizeof(int64_t));
+  int64_t nr = 0;
+  int last = -1;
+  for (int c = 0; c < 6; ++c)
+    for (uint8_t r : B.S[c].now()) {
+      int sym = r & 7;
+      int64_t l = r >> 3;
+      if (sym == last) {
+        lens[nr - 1] += l;
+      } else {
+        syms[nr] = (uint8_t)sym;
+        lens[nr++] = l;
+        last = sym;
+      }
+    }
+  *syms_out = syms;
+  *lens_out = lens;
+  return nr;
+}
+
 int64_t fbcr_build_runs(const uint8_t* text, int64_t n, int n_threads,
                         uint8_t** syms_out, int64_t** lens_out) {
   Bcr B;

@@ -320,6 +320,76 @@ int64_t fbuild_text(const uint8_t* seqs, const int64_t* offsets,
   return at;
 }
 
+// ASCII read spans -> forward-only nt6 fragments (maximal ACGT runs):
+// malloc'd F (concatenated, no sentinels) + offs[nfrag+1].  Feeds the
+// fragments-direct BCR (fbcr_build_runs_frags) without ever materializing
+// the doubled sentinel text.  Returns nfrag.
+int64_t fencode_frags(const uint8_t* data, const int64_t* starts,
+                      const int64_t* lens, int64_t n_reads, int n_threads,
+                      uint8_t** F_out, int64_t** offs_out) {
+  if (n_threads < 1) n_threads = 1;
+  const int T = n_threads;
+  int8_t tbl[256];
+  for (int i = 0; i < 256; ++i) tbl[i] = 0;
+  const char* u = "ACGT";
+  const char* lo = "acgt";
+  for (int i = 0; i < 4; ++i) {
+    tbl[(uint8_t)u[i]] = (int8_t)(i + 1);
+    tbl[(uint8_t)lo[i]] = (int8_t)(i + 1);
+  }
+  std::vector<int64_t> split(T + 1);
+  for (int t = 0; t <= T; ++t) split[t] = n_reads * t / T;
+  std::vector<std::vector<uint8_t>> tF(T);
+  std::vector<std::vector<int64_t>> tfl(T);
+  auto scan = [&](int t) {
+    auto& F = tF[t];
+    auto& fl = tfl[t];
+    int64_t bytes = 0;
+    for (int64_t r = split[t]; r < split[t + 1]; ++r) bytes += lens[r];
+    F.reserve(bytes);
+    for (int64_t r = split[t]; r < split[t + 1]; ++r) {
+      const uint8_t* s = data + starts[r];
+      int64_t L = lens[r];
+      int64_t fstart = -1;
+      for (int64_t i = 0; i <= L; ++i) {
+        int8_t c = i < L ? tbl[s[i]] : 0;
+        if (c) {
+          if (fstart < 0) fstart = (int64_t)F.size();
+          F.push_back((uint8_t)c);
+        } else if (fstart >= 0) {
+          fl.push_back((int64_t)F.size() - fstart);
+          fstart = -1;
+        }
+      }
+    }
+  };
+  {
+    std::vector<std::thread> th;
+    for (int t = 0; t < T; ++t) th.emplace_back(scan, t);
+    for (auto& x : th) x.join();
+  }
+  int64_t total = 0, nfrag = 0;
+  for (int t = 0; t < T; ++t) {
+    total += (int64_t)tF[t].size();
+    nfrag += (int64_t)tfl[t].size();
+  }
+  uint8_t* F = (uint8_t*)malloc(total + 1);
+  int64_t* offs = (int64_t*)malloc((nfrag + 1) * sizeof(int64_t));
+  int64_t fat = 0, oat = 0, acc = 0;
+  for (int t = 0; t < T; ++t) {
+    memcpy(F + fat, tF[t].data(), tF[t].size());
+    fat += (int64_t)tF[t].size();
+    for (int64_t x : tfl[t]) {
+      offs[oat++] = acc;
+      acc += x;
+    }
+  }
+  offs[oat] = acc;
+  *F_out = F;
+  *offs_out = offs;
+  return nfrag;
+}
+
 // ASCII read spans -> the sentinel-terminated fermi text directly: encode
 // (ACGT upper/lower -> 1..4), split each read at any other byte into
 // maximal fragments, then fwd [+ rc, palindrome-trimmed] per fragment via

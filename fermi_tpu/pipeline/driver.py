@@ -147,10 +147,11 @@ class Pipeline:
     # -- stages ------------------------------------------------------------
 
     @staticmethod
-    def _text_from_fastq(paths):
-        """Native text assembly straight from plain 4-line FASTQ bytes
-        (fbuild_text_ascii: encode + fragment split + fwd/rc interleave in
-        one C pass); None when a file isn't that shape."""
+    def _frags_from_fastq(paths):
+        """(F, offsets) forward-only nt6 fragments straight from plain
+        4-line FASTQ bytes (native fencode_frags: table encode + maximal
+        ACGT-run split in one threaded C pass); None when a file isn't
+        that shape."""
         import ctypes
         import gzip as _gz
 
@@ -160,7 +161,7 @@ class Pipeline:
             lib = native.get_lib()
         except Exception:
             return None
-        parts = []
+        Fs, offs_list = [], []
         for path in paths:
             opener = _gz.open if str(path).endswith(".gz") else open
             with opener(path, "rb") as f:
@@ -171,17 +172,31 @@ class Pipeline:
             arr, starts, lens = sp
             starts = np.ascontiguousarray(starts, np.int64)
             lens = np.ascontiguousarray(lens, np.int64)
-            ptr = ctypes.POINTER(ctypes.c_uint8)()
-            n = lib.fbuild_text_ascii(
+            pF = ctypes.POINTER(ctypes.c_uint8)()
+            pO = ctypes.POINTER(ctypes.c_int64)()
+            nfrag = lib.fencode_frags(
                 arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                 starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
                 lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-                len(starts), 1, 1, 4, ctypes.byref(ptr))
+                len(starts), 4, ctypes.byref(pF), ctypes.byref(pO))
             try:
-                parts.append(np.ctypeslib.as_array(ptr, shape=(n,)).copy())
+                offs = np.ctypeslib.as_array(pO, shape=(nfrag + 1,)).copy()
+                F = np.ctypeslib.as_array(
+                    pF, shape=(int(offs[-1]),)).copy()
             finally:
-                lib.frld_free(ctypes.cast(ptr, ctypes.c_void_p))
-        return parts[0] if len(parts) == 1 else np.concatenate(parts)
+                lib.frld_free(ctypes.cast(pF, ctypes.c_void_p))
+                lib.frld_free(ctypes.cast(pO, ctypes.c_void_p))
+            Fs.append(F)
+            offs_list.append(offs)
+        if len(Fs) == 1:
+            return Fs[0], offs_list[0]
+        base = 0
+        adj = []
+        for F, offs in zip(Fs, offs_list):
+            adj.append(offs[:-1] + base if adj else offs[:-1])
+            base += len(F)
+        adj.append(np.array([base], np.int64))
+        return np.concatenate(Fs), np.concatenate(adj)
 
     def build_index(self, reads_iter, out_fmd, cut_n=True, paths=None):
         """raw/ec FMD-index (the reference's ropebwt -a bcr stage)."""
@@ -191,16 +206,28 @@ class Pipeline:
 
         t0 = time.time()
         if paths is not None:
-            text = self._text_from_fastq(paths)
-            if text is not None:
+            fo = self._frags_from_fastq(paths)
+            if fo is not None:
+                F, offs = fo
+                nfrag = len(offs) - 1
+                n_est = 2 * len(F) + 2 * nfrag
+                mean_l = len(F) / max(nfrag, 1)
                 t_text = time.time()
-                log("build", f"{text.size / 1e6:.1f}M symbols (native text)")
-                runs = self._build_runs(text)
+                log("build", f"{nfrag} fragments, {n_est / 1e6:.1f}M "
+                    "symbols (native frags)")
+                if (self._plan_builder(n_est) == "bcr" and mean_l < 1024):
+                    # fragments-direct BCR: rc strands synthesized in the
+                    # builder, the doubled text never materializes
+                    from fermi_tpu.construct.bcr import bcr_runs_from_frags
+                    runs = bcr_runs_from_frags(F, offs, n_threads=self.t)
+                else:
+                    text = suffix.build_text_packed(F, offs)
+                    runs = self._build_runs(text)
                 t_bwt = time.time()
                 rld.write_fmd(runs, out_fmd)
                 self._cache[("runs", out_fmd)] = runs
                 log("build", f"wrote {out_fmd} in {time.time() - t0:.1f}s "
-                    f"(text {t_text - t0:.1f}, bwt {t_bwt - t_text:.1f}, "
+                    f"(frags {t_text - t0:.1f}, bwt {t_bwt - t_text:.1f}, "
                     f"rle+dump {time.time() - t_bwt:.1f})")
                 return
         # join reads with N: encode maps it to 5, and fragments are maximal
