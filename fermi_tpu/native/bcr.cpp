@@ -70,10 +70,15 @@ struct Bcr {
 };
 
 // the cycle machinery, shared by the text and fragments front-ends;
-// SymV(j, pend) returns the BWT entry of the suffix inserted at cycle j
-template <class SymV>
+// SymV(j, pend) returns the BWT entry of the suffix inserted at cycle j;
+// Pref(j, pend) issues a prefetch for that lookup's cache line — the
+// per-insert row access is RANDOM in read id, and past ~8M strands the
+// row falls out of L2 (measured 392 s vs linear-scaling 162 s at 2 Gsym),
+// so each insert prefetches a fixed distance ahead while the merge walk's
+// run copies hide the miss latency
+template <class SymV, class Pref>
 static void run_cycles(Bcr* B, std::vector<Pend>* pend, int64_t lmax,
-                       double t_entry, SymV&& sym_v) {
+                       double t_entry, SymV&& sym_v, Pref&& pref) {
   Stream* S = B->S;
   std::vector<Pend> bucket[6][6];
   const bool prof = getenv("FERMI_BCR_PROF") != nullptr;
@@ -99,7 +104,11 @@ static void run_cycles(Bcr* B, std::vector<Pend>* pend, int64_t lmax,
           int64_t out_len = 0;
           int64_t carry_len = 0;
           int carry_sym = 0;
-          for (const Pend& p : P) {
+          const size_t PF = 12;
+          const size_t np_ = P.size();
+          for (size_t pi = 0; pi < np_; ++pi) {
+            const Pend& p = P[pi];
+            if (pi + PF < np_) pref(j, P[pi + PF]);
             int64_t need = p.off - out_len;
             while (need > 0) {
               if (carry_len) {
@@ -249,6 +258,9 @@ static void build_streams_frags(const uint8_t* F, const int64_t* offs,
     return ((rev2[(size_t)(j + 1) * stride2 + (p.read >> 2)]
              >> ((p.read & 3) * 2)) & 3) + 1;
   };
+  auto pref = [&](int64_t j, const Pend& p) {
+    __builtin_prefetch(&rev2[(size_t)(j + 1) * stride2 + (p.read >> 2)]);
+  };
 
   Stream* S = B->S;
   std::vector<Pend> pend[6];
@@ -266,7 +278,7 @@ static void build_streams_frags(const uint8_t* F, const int64_t* offs,
       S[0].cnt[sym]++;
     }
   }
-  run_cycles(B, pend, lmax, t_entry, sym_v);
+  run_cycles(B, pend, lmax, t_entry, sym_v, pref);
 }
 
 // core build: fills B->S from the 0-terminated multi-string text
@@ -336,6 +348,12 @@ static void build_streams(const uint8_t* text, int64_t n, int n_threads,
     return ((rev2[(size_t)(j + 1) * stride2 + (p.read >> 2)]
              >> ((p.read & 3) * 2)) & 3) + 1;
   };
+  auto pref = [&](int64_t j, const Pend& p) {
+    if (has_n)
+      __builtin_prefetch(&rev[(size_t)(j + 1) * m + p.read]);
+    else
+      __builtin_prefetch(&rev2[(size_t)(j + 1) * stride2 + (p.read >> 2)]);
+  };
 
   Stream* S = B->S;
   std::vector<Pend> pend[6];
@@ -356,7 +374,7 @@ static void build_streams(const uint8_t* text, int64_t n, int n_threads,
     }
   }
 
-  run_cycles(B, pend, lmax, t_entry, sym_v);
+  run_cycles(B, pend, lmax, t_entry, sym_v, pref);
 }
 
 }  // namespace
