@@ -50,32 +50,40 @@ def bcr_bwt_native(text: np.ndarray, n_threads: int = 4) -> np.ndarray:
     return out
 
 
+def _emit_runs(lib, handle, nr, cnt, total):
+    """Phase 2 of the two-phase hand-off: fill caller-owned numpy buffers
+    (no worst-case malloc, no copy) and take mcnt from the builder's own
+    emit counters (no host bincount over the run arrays)."""
+    import ctypes
+    from fermi_tpu import rld
+
+    symbols = np.empty(nr, np.uint8)
+    lengths = np.empty(nr, np.int64)
+    lib.fbcr_emit_runs(
+        handle, symbols.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    mcnt = np.zeros(7, np.uint64)
+    mcnt[0] = total
+    mcnt[1:] = cnt.astype(np.uint64)
+    return rld.Runs(lengths, symbols, mcnt, 6)
+
+
 def bcr_runs_native(text: np.ndarray, n_threads: int = 4):
     """Native BCR straight to RLE runs (rld.Runs) — skips the dense-BWT
     emit + re-scan of bcr_bwt_native + Runs.from_bwt (two full passes and
     worst-case buffers at 200 Msym)."""
     import ctypes
     from fermi_tpu import native
-    from fermi_tpu import rld
 
     lib = native.get_lib()
     text = np.ascontiguousarray(text, np.uint8)
-    p_sym = ctypes.POINTER(ctypes.c_uint8)()
-    p_len = ctypes.POINTER(ctypes.c_int64)()
-    nr = lib.fbcr_build_runs(
+    nr = ctypes.c_int64()
+    cnt = np.zeros(6, np.int64)
+    handle = lib.fbcr_start_text(
         text.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), text.size,
-        n_threads, ctypes.byref(p_sym), ctypes.byref(p_len))
-    try:
-        symbols = np.ctypeslib.as_array(p_sym, shape=(nr,)).copy()
-        lengths = np.ctypeslib.as_array(p_len, shape=(nr,)).copy()
-    finally:
-        lib.frld_free(ctypes.cast(p_sym, ctypes.c_void_p))
-        lib.frld_free(ctypes.cast(p_len, ctypes.c_void_p))
-    mcnt = np.zeros(7, np.uint64)
-    mcnt[0] = text.size
-    mcnt[1:] = np.bincount(symbols, weights=lengths.astype(np.float64),
-                           minlength=6)[:6].astype(np.uint64)
-    return rld.Runs(lengths, symbols, mcnt, 6)
+        n_threads, ctypes.byref(nr),
+        cnt.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return _emit_runs(lib, handle, nr.value, cnt, text.size)
 
 
 def bcr_runs_from_frags(F: np.ndarray, offsets: np.ndarray,
@@ -92,24 +100,15 @@ def bcr_runs_from_frags(F: np.ndarray, offsets: np.ndarray,
     lib = native.get_lib()
     F = np.ascontiguousarray(F, np.uint8)
     offsets = np.ascontiguousarray(offsets, np.int64)
-    p_sym = ctypes.POINTER(ctypes.c_uint8)()
-    p_len = ctypes.POINTER(ctypes.c_int64)()
-    nr = lib.fbcr_build_runs_frags(
+    nr = ctypes.c_int64()
+    cnt = np.zeros(6, np.int64)
+    handle = lib.fbcr_start_frags(
         F.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         len(offsets) - 1, int(trim_palindrome), n_threads,
-        ctypes.byref(p_sym), ctypes.byref(p_len))
-    try:
-        symbols = np.ctypeslib.as_array(p_sym, shape=(nr,)).copy()
-        lengths = np.ctypeslib.as_array(p_len, shape=(nr,)).copy()
-    finally:
-        lib.frld_free(ctypes.cast(p_sym, ctypes.c_void_p))
-        lib.frld_free(ctypes.cast(p_len, ctypes.c_void_p))
-    mcnt = np.zeros(7, np.uint64)
-    mcnt[0] = int(lengths.sum())
-    mcnt[1:] = np.bincount(symbols, weights=lengths.astype(np.float64),
-                           minlength=6)[:6].astype(np.uint64)
-    return rld.Runs(lengths, symbols, mcnt, 6)
+        ctypes.byref(nr),
+        cnt.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return _emit_runs(lib, handle, nr.value, cnt, int(cnt.sum()))
 
 
 def bcr_bwt(seqs: list[np.ndarray]) -> np.ndarray:

@@ -181,13 +181,19 @@ def get_lib() -> ctypes.CDLL:
                 ctypes.POINTER(ctypes.c_int32),
                 ctypes.c_int,
             ]
-            lib.fbcr_build_runs.restype = ctypes.c_int64
-            lib.fbcr_build_runs.argtypes = [
+            lib.fbcr_start_text.restype = ctypes.c_void_p
+            lib.fbcr_start_text.argtypes = [
                 ctypes.POINTER(ctypes.c_uint8),
                 ctypes.c_int64,
                 ctypes.c_int,
-                ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
-                ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+            ]
+            lib.fbcr_emit_runs.restype = None
+            lib.fbcr_emit_runs.argtypes = [
+                ctypes.c_void_p,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int64),
             ]
             lib.fencode_frags.restype = ctypes.c_int64
             lib.fencode_frags.argtypes = [
@@ -199,15 +205,15 @@ def get_lib() -> ctypes.CDLL:
                 ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
                 ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
             ]
-            lib.fbcr_build_runs_frags.restype = ctypes.c_int64
-            lib.fbcr_build_runs_frags.argtypes = [
+            lib.fbcr_start_frags.restype = ctypes.c_void_p
+            lib.fbcr_start_frags.argtypes = [
                 ctypes.POINTER(ctypes.c_uint8),
                 ctypes.POINTER(ctypes.c_int64),
                 ctypes.c_int64,
                 ctypes.c_int,
                 ctypes.c_int,
-                ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
-                ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
             ]
             lib.fbuild_text_ascii.restype = ctypes.c_int64
             lib.fbuild_text_ascii.argtypes = [

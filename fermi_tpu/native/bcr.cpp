@@ -377,6 +377,80 @@ static void build_streams(const uint8_t* text, int64_t n, int n_threads,
   run_cycles(B, pend, lmax, t_entry, sym_v, pref);
 }
 
+// Two-phase runs hand-off.  The builder holds the BWT as per-class RLE
+// byte streams; the old single-call emit malloc'd worst-case syms/lens
+// buffers that the Python side then copied and bincounted — at 400 Msym
+// random fragments that hand-off (emit 34 s + copy 23 s + bincount 42 s)
+// cost 3x the build itself.  Start() counts the maximal runs per class
+// (threaded) and reports per-symbol totals straight from the builder's
+// emit counters; EmitRuns() fills CALLER-allocated buffers (numpy arrays)
+// with one threaded per-class pass, folding the <=5 cross-class boundary
+// merges afterwards.
+struct BcrHandle {
+  Bcr B;
+  int64_t start[6];      // global slot of the class's first emitted group
+  int64_t groups[6];     // maximal run-groups within the class stream
+  int64_t first_len[6];  // total length of the class's first group
+  int skip_first[6];     // first group folds into the previous slot
+  int64_t nr = 0;
+};
+
+// count maximal run-groups in one class stream + its boundary facts
+static void scan_class(const std::vector<uint8_t>& v, int64_t* groups,
+                       int64_t* first_len, int* first_sym, int* last_sym) {
+  *groups = 0;
+  *first_len = 0;
+  *first_sym = *last_sym = -1;
+  int last = -1;
+  for (uint8_t r : v) {
+    int sym = r & 7;
+    if (sym != last) {
+      ++*groups;
+      last = sym;
+    }
+    if (*groups == 1) *first_len += r >> 3;
+  }
+  if (!v.empty()) {
+    *first_sym = v.front() & 7;
+    *last_sym = v.back() & 7;
+  }
+}
+
+static BcrHandle* finish_start(BcrHandle* H, int64_t* nr_out,
+                               int64_t* cnt_out) {
+  int first_sym[6], last_sym[6];
+  {
+    std::vector<std::thread> th;
+    for (int c = 0; c < 6; ++c)
+      th.emplace_back([&, c] {
+        scan_class(H->B.S[c].now(), &H->groups[c], &H->first_len[c],
+                   &first_sym[c], &last_sym[c]);
+      });
+    for (auto& x : th) x.join();
+  }
+  int64_t nr = 0;
+  int last = -1;
+  for (int c = 0; c < 6; ++c) {
+    H->skip_first[c] = 0;
+    H->start[c] = nr;
+    if (H->groups[c] == 0) continue;
+    if (first_sym[c] == last) {
+      H->skip_first[c] = 1;
+      nr += H->groups[c] - 1;
+    } else {
+      nr += H->groups[c];
+    }
+    last = last_sym[c];
+  }
+  H->nr = nr;
+  *nr_out = nr;
+  for (int s = 0; s < 6; ++s) {
+    cnt_out[s] = 0;
+    for (int c = 0; c < 6; ++c) cnt_out[s] += H->B.S[c].cnt[s];
+  }
+  return H;
+}
+
 }  // namespace
 
 extern "C" {
@@ -394,68 +468,60 @@ int64_t fbcr_build(const uint8_t* text, int64_t n, uint8_t* out,
   return at;
 }
 
-// Runs-direct variant: the builder already holds the BWT as RLE class
-// streams, so skip the dense emit + re-scan (two full passes + worst-case
-// buffers).  Emits maximal runs (adjacent 31-capped and cross-class-
-// boundary runs merged) into malloc'd buffers; caller frees both with
-// frld_free.  Returns the run count.
-// Runs-direct build from forward-only nt6 fragments (rc synthesized in
-// the transpose; see build_streams_frags).  Same output as
-// fbcr_build_runs over build_text(F, offs, both_strands=1, trim=...).
-int64_t fbcr_build_runs_frags(const uint8_t* F, const int64_t* offs,
-                              int64_t nfrag, int trim_palindrome,
-                              int n_threads, uint8_t** syms_out,
-                              int64_t** lens_out) {
-  Bcr B;
-  build_streams_frags(F, offs, nfrag, trim_palindrome, n_threads, &B);
-  size_t cap = 1;
-  for (int c = 0; c < 6; ++c) cap += B.S[c].now().size();
-  uint8_t* syms = (uint8_t*)malloc(cap);
-  int64_t* lens = (int64_t*)malloc(cap * sizeof(int64_t));
-  int64_t nr = 0;
-  int last = -1;
-  for (int c = 0; c < 6; ++c)
-    for (uint8_t r : B.S[c].now()) {
-      int sym = r & 7;
-      int64_t l = r >> 3;
-      if (sym == last) {
-        lens[nr - 1] += l;
-      } else {
-        syms[nr] = (uint8_t)sym;
-        lens[nr++] = l;
-        last = sym;
-      }
-    }
-  *syms_out = syms;
-  *lens_out = lens;
-  return nr;
+void* fbcr_start_text(const uint8_t* text, int64_t n, int n_threads,
+                      int64_t* nr_out, int64_t* cnt_out) {
+  BcrHandle* H = new BcrHandle();
+  build_streams(text, n, n_threads, &H->B);
+  return finish_start(H, nr_out, cnt_out);
 }
 
-int64_t fbcr_build_runs(const uint8_t* text, int64_t n, int n_threads,
-                        uint8_t** syms_out, int64_t** lens_out) {
-  Bcr B;
-  build_streams(text, n, n_threads, &B);
-  size_t cap = 1;
-  for (int c = 0; c < 6; ++c) cap += B.S[c].now().size();
-  uint8_t* syms = (uint8_t*)malloc(cap);
-  int64_t* lens = (int64_t*)malloc(cap * sizeof(int64_t));
-  int64_t nr = 0;
-  int last = -1;
-  for (int c = 0; c < 6; ++c)
-    for (uint8_t r : B.S[c].now()) {
-      int sym = r & 7;
-      int64_t l = r >> 3;
-      if (sym == last) {
-        lens[nr - 1] += l;
-      } else {
-        syms[nr] = (uint8_t)sym;
-        lens[nr++] = l;
-        last = sym;
-      }
-    }
-  *syms_out = syms;
-  *lens_out = lens;
-  return nr;
+// fragments-direct variant (rc strands synthesized in the transpose; see
+// build_streams_frags).  Same runs as fbcr_start_text over
+// build_text(F, offs, both_strands=1, trim=...).
+void* fbcr_start_frags(const uint8_t* F, const int64_t* offs, int64_t nfrag,
+                       int trim_palindrome, int n_threads, int64_t* nr_out,
+                       int64_t* cnt_out) {
+  BcrHandle* H = new BcrHandle();
+  build_streams_frags(F, offs, nfrag, trim_palindrome, n_threads, &H->B);
+  return finish_start(H, nr_out, cnt_out);
+}
+
+// fill caller-allocated syms[nr]/lens[nr] with the maximal runs (adjacent
+// 31-capped and cross-class-boundary runs merged), then free the handle
+void fbcr_emit_runs(void* handle, uint8_t* syms, int64_t* lens) {
+  BcrHandle* H = (BcrHandle*)handle;
+  {
+    std::vector<std::thread> th;
+    for (int c = 0; c < 6; ++c)
+      th.emplace_back([&, c] {
+        const auto& v = H->B.S[c].now();
+        if (v.empty()) return;
+        // write groups [skip_first .. groups) to slots start[c]..
+        int64_t at = H->start[c];
+        int64_t g = -1;  // group index within the class
+        int last = -1;
+        for (uint8_t r : v) {
+          int sym = r & 7;
+          int64_t l = r >> 3;
+          if (sym != last) {
+            ++g;
+            last = sym;
+            if (g >= H->skip_first[c]) {
+              syms[at] = (uint8_t)sym;
+              lens[at] = l;
+              ++at;
+            }
+          } else if (g >= H->skip_first[c]) {
+            lens[at - 1] += l;
+          }
+        }
+      });
+    for (auto& x : th) x.join();
+  }
+  // fold skipped first groups into the previous class's final slot
+  for (int c = 1; c < 6; ++c)
+    if (H->skip_first[c]) lens[H->start[c] - 1] += H->first_len[c];
+  delete H;
 }
 
 }  // extern "C"
