@@ -712,7 +712,8 @@ def _smem_fwd_impl(index, q, l, self_match: bool, max_len: int,
 
 def _smem_bwd_impl(index, q, OLkb, OLkf, OLsz, OLnfo, On, Ox,
                    self_match: bool, max_len: int, maxi: int, segs: int,
-                   maxm: int, lanes: int, compact: int):
+                   maxm: int, lanes: int, compact: int, unroll: int = 1,
+                   tail: int = 1):
     """Phase-split pass B: backward sweeps only, pooled over SEGMENT rows
     (each row independent: the reference's contained-match suppression is
     within-segment, smem.c:50-66).  Emissions land in per-row buffers;
@@ -748,6 +749,15 @@ def _smem_bwd_impl(index, q, OLkb, OLkf, OLsz, OLnfo, On, Ox,
         gmt=jnp.zeros(NR * M, jnp.int32),
         out_info=jnp.zeros(NR, jnp.int32),
     )
+    if tail:
+        # single-interval continuation slots (filled by the wide loop's
+        # early exit, drained by the scalar tail loop below)
+        state.update(
+            Ckb=jnp.zeros(NR, idt), Ckf=jnp.zeros(NR, idt),
+            Csz=jnp.zeros(NR, idt), Cnfo=jnp.zeros(NR, jnp.int32),
+            Ci=jnp.zeros(NR, jnp.int32), Cgmn=jnp.zeros(NR, jnp.int32),
+            Clast=jnp.zeros(NR, jnp.int32), Covf=jnp.zeros(NR, bool),
+            Cflag=jnp.zeros(NR, bool))
 
     def cond(st):
         return ~jnp.all(st["done"])
@@ -866,15 +876,42 @@ def _smem_bwd_impl(index, q, OLkb, OLkf, OLsz, OLnfo, On, Ox,
         i = jnp.where(bw, i - 1, i)
 
         term = bw & ((i < -1) | (cnn == 0))
+        freed = term
+        nst_extra = {}
+        if tail:
+            # half of all row-iterations walk with exactly ONE live
+            # interval (measured live-by-age decay: ~20 at age 0, 1.0 by
+            # age ~11, then a tail up to ~100 steps) while paying the full
+            # [W] + [W] rank gather.  Hand such rows to the scalar tail
+            # loop: park the surviving interval in the continuation slots
+            # and free the lane.
+            sc = bw & ~term & (cnn == 1)
+            m1 = Lal & sc[:, None]
+            kb1 = jnp.sum(jnp.where(m1, Lkb, 0), axis=1)
+            kf1 = jnp.sum(jnp.where(m1, Lkf, 0), axis=1)
+            sz1 = jnp.sum(jnp.where(m1, Lsz, 0), axis=1)
+            nfo1 = jnp.sum(jnp.where(m1, Lnfo, 0), axis=1)
+            ctgt = jnp.where(sc, row, NR)
+            nst_extra = dict(
+                Ckb=st["Ckb"].at[ctgt].set(kb1, mode="drop"),
+                Ckf=st["Ckf"].at[ctgt].set(kf1, mode="drop"),
+                Csz=st["Csz"].at[ctgt].set(sz1, mode="drop"),
+                Cnfo=st["Cnfo"].at[ctgt].set(nfo1, mode="drop"),
+                Ci=st["Ci"].at[ctgt].set(i, mode="drop"),
+                Cgmn=st["Cgmn"].at[ctgt].set(gmn, mode="drop"),
+                Clast=st["Clast"].at[ctgt].set(last_ms, mode="drop"),
+                Covf=st["Covf"].at[ctgt].set(ovf, mode="drop"),
+                Cflag=st["Cflag"].at[ctgt].set(True, mode="drop"))
+            freed = term | sc
         # write the finished row's info, pull the next segment row
         rtgt = jnp.where(term, row, NR)
         out_info = st["out_info"].at[rtgt].set(
             gmn | (ovf.astype(jnp.int32) << 30), mode="drop")
-        rank, inc = _excl_cumsum(term)
+        rank, inc = _excl_cumsum(freed)
         row_new = st["nxt"] + rank
         have = row_new < NR
-        take = term & have
-        done = done | (term & ~have)
+        take = freed & have
+        done = done | (freed & ~have)
         nxt = st["nxt"] + inc[-1]
         rn = jnp.minimum(row_new, NR - 1)
         row = jnp.where(take, rn, row)
@@ -890,12 +927,133 @@ def _smem_bwd_impl(index, q, OLkb, OLkf, OLsz, OLnfo, On, Ox,
         last_ms = jnp.where(take, 0, last_ms)
         ovf = ovf & ~take
 
-        return dict(done=done, row=row, nxt=nxt, i=i,
-                    Lkb=Lkb, Lkf=Lkf, Lsz=Lsz, Lnfo=Lnfo, Lal=Lal,
-                    gmn=gmn, last_ms=last_ms, ovf=ovf,
-                    gkf=gkf, gsz=gsz, gmt=gmt, out_info=out_info)
+        nst = dict(done=done, row=row, nxt=nxt, i=i,
+                   Lkb=Lkb, Lkf=Lkf, Lsz=Lsz, Lnfo=Lnfo, Lal=Lal,
+                   gmn=gmn, last_ms=last_ms, ovf=ovf,
+                   gkf=gkf, gsz=gsz, gmt=gmt, out_info=out_info)
+        nst.update(nst_extra)
+        return nst
 
-    st = jax.lax.while_loop(cond, body, state)
+    def body_n(st):
+        # Same amortization as the unified kernel's unroll (body_n above):
+        # the body is idempotent for done lanes and refill happens inside
+        # the body, so extra steps per while-iteration never change results
+        # — they only cut the per-iteration table re-staging / carry
+        # round-trip overhead k-fold.
+        for _ in range(max(1, unroll)):
+            st = body(st)
+        return st
+
+    st = jax.lax.while_loop(cond, body_n, state)
+
+    if tail:
+        # Scalar tail: drain the single-interval continuations.  Each lane
+        # carries one (kb, kf, sz) interval and walks backward with a
+        # [B2, 2]-row rank per step (vs [B, 2W] in the wide loop).  With a
+        # single list entry the reference sweep (smem.c:50-66) reduces to:
+        # always extend while extendable; emit (pre-extension interval)
+        # when the extension fails, on a full-length hit, or at i == -1.
+        Cflag = st["Cflag"]
+        ordc = jnp.cumsum(Cflag.astype(jnp.int32)) - Cflag.astype(jnp.int32)
+        pend = jnp.zeros(NR, jnp.int32).at[
+            jnp.where(Cflag, ordc, NR)].set(
+            jnp.arange(NR, dtype=jnp.int32), mode="drop")
+        npend = (ordc[-1] + Cflag[-1].astype(jnp.int32))
+        B2 = min(2048, NR)
+        jB2 = jnp.arange(B2, dtype=jnp.int32)
+        r0 = pend[jnp.minimum(jB2, NR - 1)]
+        st2 = dict(
+            done=jB2 >= npend, row=r0, nxt=jnp.int32(B2),
+            i=st["Ci"][r0], kb=st["Ckb"][r0], kf=st["Ckf"][r0],
+            sz=st["Csz"][r0], nfo=st["Cnfo"][r0],
+            gmn=st["Cgmn"][r0], last=st["Clast"][r0], ovf=st["Covf"][r0],
+            gkf=st["gkf"], gsz=st["gsz"], gmt=st["gmt"],
+            out_info=st["out_info"])
+
+        def cond2(s):
+            return ~jnp.all(s["done"])
+
+        def body2(s):
+            done, row, i = s["done"], s["row"], s["i"]
+            kb, kf, sz, nfo = s["kb"], s["kf"], s["sz"], s["nfo"]
+            gmn, last, ovf = s["gmn"], s["last"], s["ovf"]
+            bw = ~done
+            rid = row // S
+            seg = row - rid * S
+            c = jnp.where(i < 0, 0, qat(i, rid).astype(jnp.int32))
+            pk = jnp.where(bw, kb, 0)
+            hi = jnp.where(bw, kb + sz, 0)
+            tkl = index.rank6(jnp.stack([pk, hi], axis=1))   # [B2, 2, 6]
+            osz6 = tkl[:, 1] - tkl[:, 0]                     # [B2, 6]
+            okc_sz = jnp.zeros_like(sz)
+            cnt6_c = jnp.zeros_like(c, dtype=idt)
+            tk_c = jnp.zeros_like(sz)
+            mc_c = jnp.zeros((B2, 6), idt)
+            for s6 in range(6):
+                m = c == s6
+                okc_sz = jnp.where(m, osz6[:, s6], okc_sz)
+                cnt6_c = jnp.where(m, cnt6[s6], cnt6_c)
+                tk_c = jnp.where(m, tkl[:, 0, s6], tk_c)
+                mc_c = jnp.where(m[:, None], _MC[s6].astype(idt), mc_c)
+            okc_kb = cnt6_c + tk_c
+            okc_kf = kf + jnp.sum(osz6 * mc_c, axis=-1, dtype=idt)
+            ok0_sz = osz6[:, 0]
+            fl = (ok0_sz != 0) & (kf < n_seqs)
+            if self_match:
+                contv = okc_sz > 1
+            else:
+                contv = okc_sz != 0
+            keep = (~contv) | fl | (i == -1)
+            base_ok = (gmn == 0) | ((i + 1) < last)
+            do_mem = bw & keep & (fl | base_ok)
+            meta = ((seg << 21) | (nfo << 11) | ((i + 1) << 1)
+                    | (ok0_sz != 0).astype(jnp.int32))
+            ovf = ovf | (do_mem & (gmn >= M))
+            tgt = jnp.where(do_mem & (gmn < M),
+                            row * M + jnp.minimum(gmn, M - 1), NR * M)
+            gkf = s["gkf"].at[tgt].set(kf, mode="drop")
+            gsz = s["gsz"].at[tgt].set(sz, mode="drop")
+            gmt = s["gmt"].at[tgt].set(meta, mode="drop")
+            last = jnp.where(do_mem, i + 1, last)
+            gmn = jnp.where(do_mem, jnp.minimum(gmn + 1, M), gmn)
+            upd = bw & contv
+            kb = jnp.where(upd, okc_kb, kb)
+            kf = jnp.where(upd, okc_kf, kf)
+            sz = jnp.where(upd, okc_sz, sz)
+            i = jnp.where(bw, i - 1, i)
+            term = bw & ((i < -1) | ~contv)
+            rtgt = jnp.where(term, row, NR)
+            out_info = s["out_info"].at[rtgt].set(
+                gmn | (ovf.astype(jnp.int32) << 30), mode="drop")
+            rank, inc = _excl_cumsum(term)
+            row_new = s["nxt"] + rank
+            have = row_new < npend
+            take = term & have
+            done = done | (term & ~have)
+            nxt = s["nxt"] + inc[-1]
+            pr = pend[jnp.minimum(row_new, NR - 1)]
+            row = jnp.where(take, pr, row)
+            kb = jnp.where(take, st["Ckb"][pr], kb)
+            kf = jnp.where(take, st["Ckf"][pr], kf)
+            sz = jnp.where(take, st["Csz"][pr], sz)
+            nfo = jnp.where(take, st["Cnfo"][pr], nfo)
+            i = jnp.where(take, st["Ci"][pr], i)
+            gmn = jnp.where(take, st["Cgmn"][pr], gmn)
+            last = jnp.where(take, st["Clast"][pr], last)
+            ovf = jnp.where(take, st["Covf"][pr], ovf)
+            return dict(done=done, row=row, nxt=nxt, i=i, kb=kb, kf=kf,
+                        sz=sz, nfo=nfo, gmn=gmn, last=last, ovf=ovf,
+                        gkf=gkf, gsz=gsz, gmt=gmt, out_info=out_info)
+
+        def body2_n(s):
+            for _ in range(4):   # idempotent for done lanes
+                s = body2(s)
+            return s
+
+        st2 = jax.lax.while_loop(cond2, body2_n, st2)
+        st = dict(st, gkf=st2["gkf"], gsz=st2["gsz"], gmt=st2["gmt"],
+                  out_info=st2["out_info"])
+
     info = st["out_info"]
     mn = jnp.minimum(info & ((1 << 30) - 1), M)
     valid = (jnp.arange(M, dtype=jnp.int32)[None, :]
@@ -916,7 +1074,8 @@ _smem_fwd = partial(jax.jit,
                                      "segs", "lanes"))(_smem_fwd_impl)
 _smem_bwd = partial(jax.jit,
                     static_argnames=("self_match", "max_len", "maxi",
-                                     "segs", "maxm", "lanes", "compact"))(
+                                     "segs", "maxm", "lanes", "compact",
+                                     "unroll", "tail"))(
     _smem_bwd_impl)
 
 
@@ -1074,13 +1233,17 @@ def _smem_all_pool_split(index, seqs, self_match, maxi, maxm, lanes,
         qd, ld = jnp.asarray(q), jnp.asarray(lens)
         fa = _smem_fwd(index, qd, ld, self_match, max_len, maxi, S, lanes)
         OLkb, OLkf, OLsz, OLnfo, On, Ox, Onseg, Oovf = fa
-        # pass B cost grows super-linearly with lanes (scatter sorts);
-        # measured 512:1.07s 1024:1.17s 2048:1.36s 4096:1.74s for the same
-        # segment pool — run it narrower than pass A
-        lanes_b = max(512, min(lanes, 1024))
+        # With the scalar tail the long single-interval walks leave the
+        # wide loop, so wider pass-B lanes now pay off (pre-tail the
+        # scatter cost grew super-linearly and 1024 was the optimum):
+        # measured 512:1.27 1024:1.13 2048:0.91 4096:0.96 for the same
+        # segment pool, and unroll=2 is free at 2048.
+        lanes_b = max(512, min(lanes, 2048))
+        unroll_b = int(os.environ.get("FERMI_TPU_SMEM_BWD_UNROLL", "2"))
+        tail_b = int(os.environ.get("FERMI_TPU_SMEM_TAIL", "1"))
         cvals_d, info_d, tot_d = _smem_bwd(
             index, qd, OLkb, OLkf, OLsz, OLnfo, On, Ox, self_match,
-            max_len, maxi, S, Ms, lanes_b, CAP)
+            max_len, maxi, S, Ms, lanes_b, CAP, unroll_b, tail_b)
         pending.append((ids, cvals_d, info_d, tot_d, Onseg, Oovf))
     for ids, cvals_d, info_d, tot_d, Onseg, Oovf in pending:
         tot = int(np.asarray(tot_d))
