@@ -734,7 +734,12 @@ def _smem_bwd_impl(index, q, OLkb, OLkf, OLsz, OLnfo, On, Ox,
         safe = jnp.clip(pos, 0, max_len - 1)
         return qflat[rid * max_len + safe]
 
-    row0 = jnp.minimum(jB, NR - 1)
+    # LPT scheduling: pools drain in refill rounds, and each round costs the
+    # LONGEST walk in it (straggler-bound; measured 260 round-iters vs ~93
+    # ideal at 2048 lanes).  Serving rows longest-first packs the short
+    # walks into the stragglers' shadow.
+    rord = jnp.argsort(-Ox[:NR]).astype(jnp.int32)
+    row0 = rord[jnp.minimum(jB, NR - 1)]
     state = dict(
         done=jB >= NR,
         row=row0, nxt=jnp.int32(B),
@@ -749,6 +754,9 @@ def _smem_bwd_impl(index, q, OLkb, OLkf, OLsz, OLnfo, On, Ox,
         gmt=jnp.zeros(NR * M, jnp.int32),
         out_info=jnp.zeros(NR, jnp.int32),
     )
+    dbg = bool(os.environ.get("FERMI_TPU_SMEM_BWD_STATS"))
+    if dbg:
+        state["it"] = jnp.int32(0)
     if tail:
         # single-interval continuation slots (filled by the wide loop's
         # early exit, drained by the scalar tail loop below)
@@ -913,7 +921,7 @@ def _smem_bwd_impl(index, q, OLkb, OLkf, OLsz, OLnfo, On, Ox,
         take = freed & have
         done = done | (freed & ~have)
         nxt = st["nxt"] + inc[-1]
-        rn = jnp.minimum(row_new, NR - 1)
+        rn = rord[jnp.minimum(row_new, NR - 1)]
         row = jnp.where(take, rn, row)
         # load the fresh row's segment list
         tk_ = take[:, None]
@@ -932,6 +940,8 @@ def _smem_bwd_impl(index, q, OLkb, OLkf, OLsz, OLnfo, On, Ox,
                    gmn=gmn, last_ms=last_ms, ovf=ovf,
                    gkf=gkf, gsz=gsz, gmt=gmt, out_info=out_info)
         nst.update(nst_extra)
+        if dbg:
+            nst["it"] = st["it"] + 1
         return nst
 
     def body_n(st):
@@ -954,11 +964,12 @@ def _smem_bwd_impl(index, q, OLkb, OLkf, OLsz, OLnfo, On, Ox,
         # always extend while extendable; emit (pre-extension interval)
         # when the extension fails, on a full-length hit, or at i == -1.
         Cflag = st["Cflag"]
-        ordc = jnp.cumsum(Cflag.astype(jnp.int32)) - Cflag.astype(jnp.int32)
-        pend = jnp.zeros(NR, jnp.int32).at[
-            jnp.where(Cflag, ordc, NR)].set(
-            jnp.arange(NR, dtype=jnp.int32), mode="drop")
-        npend = (ordc[-1] + Cflag[-1].astype(jnp.int32))
+        # same LPT trick for the scalar drain: longest continuations first
+        # (remaining walk length = Ci + 2)
+        pend = jnp.argsort(
+            jnp.where(Cflag, -st["Ci"], jnp.int32(2 ** 31 - 1))
+        ).astype(jnp.int32)
+        npend = jnp.sum(Cflag.astype(jnp.int32))
         B2 = min(2048, NR)
         jB2 = jnp.arange(B2, dtype=jnp.int32)
         r0 = pend[jnp.minimum(jB2, NR - 1)]
@@ -969,6 +980,8 @@ def _smem_bwd_impl(index, q, OLkb, OLkf, OLsz, OLnfo, On, Ox,
             gmn=st["Cgmn"][r0], last=st["Clast"][r0], ovf=st["Covf"][r0],
             gkf=st["gkf"], gsz=st["gsz"], gmt=st["gmt"],
             out_info=st["out_info"])
+        if dbg:
+            st2["it"] = jnp.int32(0)
 
         def cond2(s):
             return ~jnp.all(s["done"])
@@ -1041,9 +1054,12 @@ def _smem_bwd_impl(index, q, OLkb, OLkf, OLsz, OLnfo, On, Ox,
             gmn = jnp.where(take, st["Cgmn"][pr], gmn)
             last = jnp.where(take, st["Clast"][pr], last)
             ovf = jnp.where(take, st["Covf"][pr], ovf)
-            return dict(done=done, row=row, nxt=nxt, i=i, kb=kb, kf=kf,
+            nst2 = dict(done=done, row=row, nxt=nxt, i=i, kb=kb, kf=kf,
                         sz=sz, nfo=nfo, gmn=gmn, last=last, ovf=ovf,
                         gkf=gkf, gsz=gsz, gmt=gmt, out_info=out_info)
+            if dbg:
+                nst2["it"] = s["it"] + 1
+            return nst2
 
         def body2_n(s):
             for _ in range(4):   # idempotent for done lanes
@@ -1053,6 +1069,8 @@ def _smem_bwd_impl(index, q, OLkb, OLkf, OLsz, OLnfo, On, Ox,
         st2 = jax.lax.while_loop(cond2, body2_n, st2)
         st = dict(st, gkf=st2["gkf"], gsz=st2["gsz"], gmt=st2["gmt"],
                   out_info=st2["out_info"])
+        if dbg:
+            st["_dbg"] = (st["it"], st2["it"], npend)
 
     info = st["out_info"]
     mn = jnp.minimum(info & ((1 << 30) - 1), M)
@@ -1066,6 +1084,8 @@ def _smem_bwd_impl(index, q, OLkb, OLkf, OLsz, OLnfo, On, Ox,
         jnp.zeros(compact, idt).at[tgt].set(st["gsz"], mode="drop"),
         jnp.zeros(compact, idt).at[tgt].set(
             st["gmt"].astype(idt), mode="drop")], axis=-1)
+    if dbg:
+        return cvals, info, tot, st.get("_dbg", (st.get("it", 0),))
     return cvals, info, tot
 
 
