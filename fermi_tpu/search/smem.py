@@ -525,7 +525,7 @@ _smem_batch = partial(jax.jit,
 
 
 def _smem_fwd_impl(index, q, l, self_match: bool, max_len: int,
-                   maxi: int, segs: int, lanes: int):
+                   maxi: int, segs: int, lanes: int, unroll: int = 1):
     """Phase-split pass A: forward sweeps only, one [B, 2]-row rank battery
     per iteration (the unified kernel extends the whole W-wide interval
     list every step even in forward mode — 32x more rank rows than the
@@ -705,7 +705,15 @@ def _smem_fwd_impl(index, q, l, self_match: bool, max_len: int,
                     OLkb=OLkb, OLkf=OLkf, OLsz=OLsz, OLnfo=OLnfo,
                     On=On, Ox=Ox, Onseg=Onseg, Oovf=Oovf)
 
-    st = jax.lax.while_loop(cond, body, state)
+    def body_n(st):
+        # body gathers only [2, B] rank rows, so the per-iteration fixed
+        # cost (table staging + carry round-trips) dominates; the body is
+        # idempotent for done lanes, so unrolling amortizes it k-fold.
+        for _ in range(max(1, unroll)):
+            st = body(st)
+        return st
+
+    st = jax.lax.while_loop(cond, body_n, state)
     return (st["OLkb"], st["OLkf"], st["OLsz"], st["OLnfo"], st["On"],
             st["Ox"], st["Onseg"], st["Oovf"])
 
@@ -1091,7 +1099,8 @@ def _smem_bwd_impl(index, q, OLkb, OLkf, OLsz, OLnfo, On, Ox,
 
 _smem_fwd = partial(jax.jit,
                     static_argnames=("self_match", "max_len", "maxi",
-                                     "segs", "lanes"))(_smem_fwd_impl)
+                                     "segs", "lanes", "unroll"))(
+    _smem_fwd_impl)
 _smem_bwd = partial(jax.jit,
                     static_argnames=("self_match", "max_len", "maxi",
                                      "segs", "maxm", "lanes", "compact",
