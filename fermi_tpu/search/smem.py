@@ -33,6 +33,7 @@ per-segment output reversal happens on host from the emitted segment ids.
 """
 
 import os
+import sys
 from functools import partial
 
 import numpy as np
@@ -375,7 +376,10 @@ def _smem_batch_impl(index, q, l, self_match: bool, max_len: int,
         onehot = (do_mem & (ordn < E))[:, :, None] & \
             (ordn[:, :, None] == jnp.arange(E, dtype=jnp.int32))  # [B,W,E]
         def pick(v):
-            return jnp.sum(jnp.where(onehot, v[:, :, None], 0), axis=1)
+            # keep the operand dtype: jnp.sum would promote int32 -> int64
+            # under x64, making the scatter below a FutureWarning/error
+            return jnp.sum(jnp.where(onehot, v[:, :, None], 0), axis=1,
+                           dtype=v.dtype)
         e_kf = pick(Ekf)                       # [B, E]
         e_sz = pick(Esz)
         e_meta = pick(meta.astype(jnp.int32))
@@ -721,7 +725,7 @@ def _smem_fwd_impl(index, q, l, self_match: bool, max_len: int,
 def _smem_bwd_impl(index, q, OLkb, OLkf, OLsz, OLnfo, On, Ox,
                    self_match: bool, max_len: int, maxi: int, segs: int,
                    maxm: int, lanes: int, compact: int, unroll: int = 1,
-                   tail: int = 1):
+                   tail: int = 1, dbg: bool = False):
     """Phase-split pass B: backward sweeps only, pooled over SEGMENT rows
     (each row independent: the reference's contained-match suppression is
     within-segment, smem.c:50-66).  Emissions land in per-row buffers;
@@ -762,7 +766,8 @@ def _smem_bwd_impl(index, q, OLkb, OLkf, OLsz, OLnfo, On, Ox,
         gmt=jnp.zeros(NR * M, jnp.int32),
         out_info=jnp.zeros(NR, jnp.int32),
     )
-    dbg = bool(os.environ.get("FERMI_TPU_SMEM_BWD_STATS"))
+    # dbg is a static arg (resolved by the caller from
+    # FERMI_TPU_SMEM_BWD_STATS) so the jit cache stays consistent.
     if dbg:
         state["it"] = jnp.int32(0)
     if tail:
@@ -868,7 +873,10 @@ def _smem_bwd_impl(index, q, OLkb, OLkf, OLsz, OLnfo, On, Ox,
             (ordn[:, :, None] == jnp.arange(E, dtype=jnp.int32))
 
         def pick(v):
-            return jnp.sum(jnp.where(onehot, v[:, :, None], 0), axis=1)
+            # keep the operand dtype: jnp.sum would promote int32 -> int64
+            # under x64, making the scatter below a FutureWarning/error
+            return jnp.sum(jnp.where(onehot, v[:, :, None], 0), axis=1,
+                           dtype=v.dtype)
         e_kf = pick(Lkf)
         e_sz = pick(Lsz)
         e_meta = pick(meta.astype(jnp.int32))
@@ -903,10 +911,11 @@ def _smem_bwd_impl(index, q, OLkb, OLkf, OLsz, OLnfo, On, Ox,
             # and free the lane.
             sc = bw & ~term & (cnn == 1)
             m1 = Lal & sc[:, None]
-            kb1 = jnp.sum(jnp.where(m1, Lkb, 0), axis=1)
-            kf1 = jnp.sum(jnp.where(m1, Lkf, 0), axis=1)
-            sz1 = jnp.sum(jnp.where(m1, Lsz, 0), axis=1)
-            nfo1 = jnp.sum(jnp.where(m1, Lnfo, 0), axis=1)
+            kb1 = jnp.sum(jnp.where(m1, Lkb, 0), axis=1, dtype=Lkb.dtype)
+            kf1 = jnp.sum(jnp.where(m1, Lkf, 0), axis=1, dtype=Lkf.dtype)
+            sz1 = jnp.sum(jnp.where(m1, Lsz, 0), axis=1, dtype=Lsz.dtype)
+            nfo1 = jnp.sum(jnp.where(m1, Lnfo, 0), axis=1,
+                           dtype=Lnfo.dtype)
             ctgt = jnp.where(sc, row, NR)
             nst_extra = dict(
                 Ckb=st["Ckb"].at[ctgt].set(kb1, mode="drop"),
@@ -1104,7 +1113,7 @@ _smem_fwd = partial(jax.jit,
 _smem_bwd = partial(jax.jit,
                     static_argnames=("self_match", "max_len", "maxi",
                                      "segs", "maxm", "lanes", "compact",
-                                     "unroll", "tail"))(
+                                     "unroll", "tail", "dbg"))(
     _smem_bwd_impl)
 
 
@@ -1270,9 +1279,13 @@ def _smem_all_pool_split(index, seqs, self_match, maxi, maxm, lanes,
         lanes_b = max(512, min(lanes, 2048))
         unroll_b = int(os.environ.get("FERMI_TPU_SMEM_BWD_UNROLL", "2"))
         tail_b = int(os.environ.get("FERMI_TPU_SMEM_TAIL", "1"))
-        cvals_d, info_d, tot_d = _smem_bwd(
+        dbg_b = bool(os.environ.get("FERMI_TPU_SMEM_BWD_STATS"))
+        cvals_d, info_d, tot_d, *dbg_out = _smem_bwd(
             index, qd, OLkb, OLkf, OLsz, OLnfo, On, Ox, self_match,
-            max_len, maxi, S, Ms, lanes_b, CAP, unroll_b, tail_b)
+            max_len, maxi, S, Ms, lanes_b, CAP, unroll_b, tail_b, dbg_b)
+        if dbg_b and dbg_out:
+            its = [int(np.asarray(v)) for v in dbg_out[0]]
+            print(f"[smem_bwd] iters={its}", file=sys.stderr)
         pending.append((ids, cvals_d, info_d, tot_d, Onseg, Oovf))
     for ids, cvals_d, info_d, tot_d, Onseg, Oovf in pending:
         tot = int(np.asarray(tot_d))
