@@ -63,9 +63,7 @@ def fltuniq(in_path, out_fp, k=0, verbose=True):
     two-plane presence bitmap reduces to one np.unique, no table at all.
     """
     if k == 0:
-        size = os.path.getsize(in_path)
-        k = int(math.log(size) / math.log(4) + 1.499)
-        k = min(max(k, 15), 18)
+        k = fltuniq_auto_k(in_path)
         sys.stderr.write(f"[M::fltuniq] set the k-mer size as {k}\n")
     if _fltuniq_bytes(in_path, out_fp, k, verbose):
         return
@@ -137,35 +135,36 @@ def _mask_extract(arr, starts, lens):
     return arr[np.cumsum(delta[:-1], dtype=np.int32) > 0]
 
 
-def _fltuniq_bytes(in_path, out_fp, k, verbose):
-    """Zero-record-object fast path for plain 4-line FASTQ: all record
+def _fltuniq_scan(in_path, k, verbose):
+    """Shared zero-record-object scan for plain 4-line FASTQ: all record
     bookkeeping is span arithmetic over the raw byte buffer (the previous
     data.split(b"\\n") built 4 objects per record — ~6 min of allocator
     churn at 10M reads, and it degraded the stages AFTER it).  Returns
-    False to use the generic record path (FASTA, multi-line, no lib)."""
+    (arr, ls, le, s1, lens, final_keep) or None for the generic record
+    path (FASTA, multi-line, no lib)."""
     try:
         from fermi_tpu import native
         lib = native.get_lib()
     except Exception:
-        return False
+        return None
     import ctypes
     opener = gzip.open if in_path.endswith(".gz") else open
     with opener(in_path, "rb") as f:
         data = f.read()
     if not data:
-        return False
+        return None
     if data[-1:] != b"\n":
         data += b"\n"
     data += b"+\n"  # literal '+' line all emitted records share (spans)
     arr = np.frombuffer(data, np.uint8)
     nl = np.flatnonzero(arr[:-2] == 10)
     if nl.size % 4:
-        return False
+        return None
     ls = np.concatenate([[0], nl[:-1] + 1])   # line starts
     le = nl                                   # line ends (at the \n)
     if not (arr[ls[0::4]] == ord("@")).all() or \
        not (arr[ls[2::4]] == ord("+")).all():
-        return False
+        return None
     if verbose:
         sys.stderr.write("[M::fltuniq] building the hash table...\n")
     s1, e1 = ls[1::4], le[1::4]
@@ -180,7 +179,7 @@ def _fltuniq_bytes(in_path, out_fp, k, verbose):
         n, k, keep.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         min(os.cpu_count() or 1, 16))
     if r != 0:
-        return False
+        return None
     if verbose:
         sys.stderr.write("[M::fltuniq] filtering the reads...\n")
     # pairing: consecutive records with the same name token form a group;
@@ -210,7 +209,41 @@ def _fltuniq_bytes(in_path, out_fp, k, verbose):
     gid = np.cumsum(~same) - 1
     gkeep = np.ones(int(gid[-1]) + 1 if n else 0, bool)
     np.minimum.at(gkeep, gid, keep.astype(bool))
-    final = gkeep[gid]
+    return arr, ls, le, s1, lens, gkeep[gid]
+
+
+def fltuniq_auto_k(in_path):
+    """The reference's file-size k heuristic (seq.c:149-156)."""
+    size = os.path.getsize(in_path)
+    k = int(math.log(size) / math.log(4) + 1.499)
+    return min(max(k, 15), 18)
+
+
+def fltuniq_kept_seq_spans(in_path, k=0, verbose=True):
+    """Fused fltuniq for the pipeline: the kept records' SEQ spans, never
+    materializing the filtered FASTQ (the 10M-read run spent ~370 s writing
+    + re-reading flt.fq between fltuniq and the ec build).  Returns
+    (arr, starts, lens) over the raw decompressed bytes, or None when the
+    input isn't plain 4-line FASTQ (callers fall back to the text route)."""
+    if k == 0:
+        k = fltuniq_auto_k(in_path)
+        if verbose:
+            sys.stderr.write(f"[M::fltuniq] set the k-mer size as {k}\n")
+    scan = _fltuniq_scan(in_path, k, verbose)
+    if scan is None:
+        return None
+    arr, ls, le, s1, lens, final = scan
+    sel = np.flatnonzero(final)
+    return arr, s1[sel], lens[sel]
+
+
+def _fltuniq_bytes(in_path, out_fp, k, verbose):
+    """fltuniq emission over the span scan; False -> generic record path."""
+    scan = _fltuniq_scan(in_path, k, verbose)
+    if scan is None:
+        return False
+    arr, ls, le, s1, lens, final = scan
+    h_s, h_e = ls[0::4], le[0::4]
     sel = np.flatnonzero(final)
     # emit @head\nseq\n+\nqual\n per kept record.  When every '+' line is
     # bare (the overwhelming case), a kept record is one contiguous span of
@@ -220,7 +253,7 @@ def _fltuniq_bytes(in_path, out_fp, k, verbose):
         lens4 = le[3::4][sel] + 1 - starts
         out = _mask_extract(arr, starts, lens4)
     else:
-        plus_s = np.int64(len(data) - 2)
+        plus_s = np.int64(arr.size - 2)
         starts = np.stack([ls[0::4][sel], s1[sel],
                            np.full(sel.size, plus_s),
                            ls[3::4][sel]], axis=1).reshape(-1)

@@ -13,6 +13,17 @@
 // monotone in position); streams are byte-RLE double buffers with bulk
 // memcpy of the run ranges between inserts.
 //
+// Scale design (the round-3 fix for the 10M-read regression): the
+// per-insert symbol lookup used to hit a row of the transposed read matrix
+// at RANDOM read ids — one cache+TLB miss per strand per cycle once the
+// row outgrows L2 (measured 392 s vs linear-scaling 162 s at 2 Gsym).  Now
+// the transpose is READ-MAJOR (each strand's reversed 2-bit symbols
+// contiguous) and every pending entry carries a uint64 SYMBOL BUFFER with
+// the next SYMBUF_K cycles' symbols, refilled for all entries in one
+// sequential sweep every SYMBUF_K cycles: one random row access per strand
+// per SYMBUF_K cycles instead of per cycle, and the merge walk itself
+// touches no cold memory at all.
+//
 // fbcr_build(text, n, out, n_threads): text is the 0-terminated
 // multi-string text (reads in insertion order, sentinels included); out
 // receives the BWT (n bytes).  Byte-equal to fsa_bwt / multistring_bwt.
@@ -39,7 +50,12 @@ struct Pend {
   int64_t off;    // final insert position within the class stream
   uint32_t read;  // read index
   uint32_t len;   // read length (avoids a random lens[] lookup per insert)
+  uint64_t buf;   // 2-bit symbols for cycles [block_start, block_end)
 };
+
+// symbols buffered per refill: a u64 loaded at byte (j>>2) and shifted by
+// 2*(j&3) keeps >= 29 valid 2-bit lanes; 28 leaves headroom
+constexpr int64_t SYMBUF_K = 28;
 
 struct Stream {
   std::vector<uint8_t> runs[2];  // double buffer of (len<<3 | sym) runs
@@ -69,131 +85,194 @@ struct Bcr {
   Stream S[6];
 };
 
-// the cycle machinery, shared by the text and fragments front-ends;
-// SymV(j, pend) returns the BWT entry of the suffix inserted at cycle j;
-// Pref(j, pend) issues a prefetch for that lookup's cache line — the
-// per-insert row access is RANDOM in read id, and past ~8M strands the
-// row falls out of L2 (measured 392 s vs linear-scaling 162 s at 2 Gsym),
-// so each insert prefetches a fixed distance ahead while the merge walk's
-// run copies hide the miss latency
-template <class SymV, class Pref>
+// the cycle machinery, shared by the text and fragments front-ends.
+// SymV(j, jb, pend) returns the BWT entry of the suffix inserted at cycle
+// j (jb = the current refill-block start); Refill(jb, arr, n) reloads the
+// symbol buffers of n pending entries for the block starting at cycle jb
+// (no-op on the unbuffered N-containing path, where SymV reads the u8
+// row-major transpose directly and prefetching hides what it can).
+template <class Refill, class SymV, class Pref>
 static void run_cycles(Bcr* B, std::vector<Pend>* pend, int64_t lmax,
-                       double t_entry, SymV&& sym_v, Pref&& pref) {
+                       double t_entry, int64_t K, Refill&& refill,
+                       SymV&& sym_v, Pref&& pref) {
   Stream* S = B->S;
   std::vector<Pend> bucket[6][6];
   const bool prof = getenv("FERMI_BCR_PROF") != nullptr;
-  double t_merge = 0, t_gather = 0, t0p = now_s();
+  double t_merge = 0, t_gather = 0, t_refill = 0, t0p = now_s();
   const double t_setup = t0p - t_entry;  // offs scan + transpose + cycle 0
 
-  for (int64_t j = 1; j <= lmax; ++j) {
+  for (int64_t jb = 1; jb <= lmax; jb += K) {
+    const int64_t je = jb + K - 1 < lmax ? jb + K - 1 : lmax;
     if (prof) t0p = now_s();
-    // merge-insert each class in parallel; emit counters give next ranks
     {
+      // refill the symbol buffers for this block: one sequential sweep per
+      // class, one random (prefetched) row read per entry
       std::vector<std::thread> th;
-      for (int k = 1; k < 6; ++k)  // class 0 never receives inserts
-        th.emplace_back([&, k] {
-          for (int c = 0; c < 6; ++c) bucket[k][c].clear();
-          auto& P = pend[k];
-          if (P.empty()) return;
-          auto& src = S[k].now();
-          auto& dst = S[k].other();
-          dst.clear();
-          dst.reserve(src.size() + P.size() + 16);
-          int64_t emc[6] = {0, 0, 0, 0, 0, 0};  // symbols emitted so far
-          size_t ri = 0;
-          int64_t out_len = 0;
-          int64_t carry_len = 0;
-          int carry_sym = 0;
-          const size_t PF = 12;
-          const size_t np_ = P.size();
-          for (size_t pi = 0; pi < np_; ++pi) {
-            const Pend& p = P[pi];
-            if (pi + PF < np_) pref(j, P[pi + PF]);
-            int64_t need = p.off - out_len;
-            while (need > 0) {
-              if (carry_len) {
-                int64_t take = need < carry_len ? need : carry_len;
-                rle_push(dst, carry_sym, take);
-                emc[carry_sym] += take;
-                carry_len -= take;
-                out_len += take;
-                need -= take;
-                continue;
-              }
-              // merge-push one run, then bulk-copy whole runs that fit
-              int sym = src[ri] & 7;
-              int64_t l = src[ri] >> 3;
-              ++ri;
-              if (l > need) {
-                carry_sym = sym;
-                carry_len = l;
-                continue;
-              }
-              rle_push(dst, sym, l);
-              emc[sym] += l;
-              out_len += l;
-              need -= l;
-              size_t r0 = ri;
-              while (ri < src.size() &&
-                     (int64_t)(src[ri] >> 3) <= need) {
-                int64_t rl = src[ri] >> 3;
-                emc[src[ri] & 7] += rl;
-                out_len += rl;
-                need -= rl;
-                ++ri;
-              }
-              if (ri > r0) {
-                dst.insert(dst.end(), src.begin() + r0, src.begin() + ri);
-              }
-            }
-            int v = sym_v(j, p);
-            // emc[v] == rank_v(grown stream, p.off): the within-class part
-            // of next cycle's insert position (frontier entries included)
-            if ((int64_t)p.len >= j + 1)
-              bucket[k][v].push_back({emc[v], p.read, p.len});
-            rle_push(dst, v, 1);
-            emc[v]++;
-            out_len++;
-            S[k].cnt[v]++;
-          }
-          if (carry_len) rle_push(dst, carry_sym, carry_len);
-          if (ri < src.size())
-            dst.insert(dst.end(), src.begin() + ri, src.end());
-          S[k].flip();
-        });
+      for (int k = 1; k < 6; ++k)
+        th.emplace_back(
+            [&, k] { refill(jb, pend[k].data(), pend[k].size()); });
       for (auto& x : th) x.join();
     }
     if (prof) {
       double t1p = now_s();
-      t_merge += t1p - t0p;
-      t0p = t1p;
+      t_refill += t1p - t0p;
     }
-    // post-cycle cross-class bases: count of symbol c in classes < k
-    int64_t base[6][6];
-    for (int c = 0; c < 6; ++c) base[0][c] = 0;
-    for (int k = 1; k < 6; ++k)
-      for (int c = 0; c < 6; ++c)
-        base[k][c] = base[k - 1][c] + S[k - 1].cnt[c];
-    // gather next-cycle pendings: destination order = (source class,
-    // within-class rank) — stable because rank is monotone in position
-    {
-      std::vector<std::thread> th;
-      for (int c = 1; c < 6; ++c)
-        th.emplace_back([&, c] {
-          auto& P = pend[c];
-          P.clear();
-          for (int k = 1; k < 6; ++k)
-            for (const Pend& p : bucket[k][c])
-              P.push_back({base[k][c] + p.off, p.read, p.len});
-        });
-      for (auto& x : th) x.join();
+    for (int64_t j = jb; j <= je; ++j) {
+      if (prof) t0p = now_s();
+      // merge-insert each class in parallel; emit counters give next ranks
+      {
+        std::vector<std::thread> th;
+        for (int k = 1; k < 6; ++k)  // class 0 never receives inserts
+          th.emplace_back([&, k] {
+            for (int c = 0; c < 6; ++c) bucket[k][c].clear();
+            auto& P = pend[k];
+            if (P.empty()) return;
+            auto& src = S[k].now();
+            auto& dst = S[k].other();
+            dst.clear();
+            dst.reserve(src.size() + P.size() + 16);
+            int64_t emc[6] = {0, 0, 0, 0, 0, 0};  // symbols emitted so far
+            size_t ri = 0;
+            int64_t out_len = 0;
+            int64_t carry_len = 0;
+            int carry_sym = 0;
+            const size_t PF = 12;
+            const size_t np_ = P.size();
+            for (size_t pi = 0; pi < np_; ++pi) {
+              const Pend& p = P[pi];
+              if (pi + PF < np_) pref(j, P[pi + PF]);
+              int64_t need = p.off - out_len;
+              while (need > 0) {
+                if (carry_len) {
+                  int64_t take = need < carry_len ? need : carry_len;
+                  rle_push(dst, carry_sym, take);
+                  emc[carry_sym] += take;
+                  carry_len -= take;
+                  out_len += take;
+                  need -= take;
+                  continue;
+                }
+                // merge-push one run, then bulk-copy whole runs that fit
+                int sym = src[ri] & 7;
+                int64_t l = src[ri] >> 3;
+                ++ri;
+                if (l > need) {
+                  carry_sym = sym;
+                  carry_len = l;
+                  continue;
+                }
+                rle_push(dst, sym, l);
+                emc[sym] += l;
+                out_len += l;
+                need -= l;
+                size_t r0 = ri;
+                while (ri < src.size() &&
+                       (int64_t)(src[ri] >> 3) <= need) {
+                  int64_t rl = src[ri] >> 3;
+                  emc[src[ri] & 7] += rl;
+                  out_len += rl;
+                  need -= rl;
+                  ++ri;
+                }
+                if (ri > r0) {
+                  dst.insert(dst.end(), src.begin() + r0, src.begin() + ri);
+                }
+              }
+              int v = sym_v(j, jb, p);
+              // emc[v] == rank_v(grown stream, p.off): the within-class
+              // part of next cycle's insert position
+              if ((int64_t)p.len >= j + 1)
+                bucket[k][v].push_back({emc[v], p.read, p.len, p.buf});
+              rle_push(dst, v, 1);
+              emc[v]++;
+              out_len++;
+              S[k].cnt[v]++;
+            }
+            if (carry_len) rle_push(dst, carry_sym, carry_len);
+            if (ri < src.size())
+              dst.insert(dst.end(), src.begin() + ri, src.end());
+            S[k].flip();
+          });
+        for (auto& x : th) x.join();
+      }
+      if (prof) {
+        double t1p = now_s();
+        t_merge += t1p - t0p;
+        t0p = t1p;
+      }
+      // post-cycle cross-class bases: count of symbol c in classes < k
+      int64_t base[6][6];
+      for (int c = 0; c < 6; ++c) base[0][c] = 0;
+      for (int k = 1; k < 6; ++k)
+        for (int c = 0; c < 6; ++c)
+          base[k][c] = base[k - 1][c] + S[k - 1].cnt[c];
+      // gather next-cycle pendings: destination order = (source class,
+      // within-class rank) — stable because rank is monotone in position
+      {
+        std::vector<std::thread> th;
+        for (int c = 1; c < 6; ++c)
+          th.emplace_back([&, c] {
+            auto& P = pend[c];
+            P.clear();
+            for (int k = 1; k < 6; ++k)
+              for (const Pend& p : bucket[k][c])
+                P.push_back({base[k][c] + p.off, p.read, p.len, p.buf});
+          });
+        for (auto& x : th) x.join();
+      }
+      if (prof) t_gather += now_s() - t0p;
     }
-    if (prof) t_gather += now_s() - t0p;
   }
   if (prof)
-    fprintf(stderr, "[bcr prof] setup %.1fs merge %.1fs gather %.1fs\n",
-            t_setup, t_merge, t_gather);
+    fprintf(stderr,
+            "[bcr prof] setup %.1fs refill %.1fs merge %.1fs gather %.1fs\n",
+            t_setup, t_refill, t_merge, t_gather);
 }
+
+// read-major reversed 2-bit transpose: row r holds strand r's symbols
+// numbered from the END (position i in [1, len] at bit 2*(i & 3) of byte
+// i >> 2), so a block refill for cycles [jb, jb+K) is ONE unaligned u64
+// load per strand.  Rows are padded so that load never runs off the
+// allocation.
+struct RevRows {
+  std::vector<uint8_t> bytes;
+  size_t stride = 0;
+
+  void alloc(int64_t m, int64_t lmax) {
+    stride = (size_t)((((lmax + 2 + 3) >> 2) + 8 + 7) & ~(int64_t)7);
+    bytes.assign(stride * (size_t)m, 0);
+  }
+  inline uint8_t* row(uint32_t r) { return bytes.data() + stride * r; }
+  inline const uint8_t* row(uint32_t r) const {
+    return bytes.data() + stride * r;
+  }
+  // u64 window whose low bits start at rev-position pos (2-bit lanes)
+  inline uint64_t window(uint32_t r, int64_t pos) const {
+    uint64_t w;
+    memcpy(&w, row(r) + (pos >> 2), 8);
+    return w >> (2 * (pos & 3));
+  }
+};
+
+// refill + sym_v pair over a RevRows transpose.  Cycle j consumes the
+// read's (j+1)-th symbol from the end, so block [jb, je] loads the window
+// at rev-position jb+1.
+struct BufferedSyms {
+  const RevRows* rr;
+
+  void refill(int64_t jb, Pend* arr, size_t n) const {
+    const size_t PF = 16;
+    for (size_t i = 0; i < n; ++i) {
+      if (i + PF < n)
+        __builtin_prefetch(rr->row(arr[i + PF].read) + ((jb + 1) >> 2));
+      arr[i].buf = rr->window(arr[i].read, jb + 1);
+    }
+  }
+  inline int sym(int64_t j, int64_t jb, const Pend& p) const {
+    if ((int64_t)p.len == j) return 0;
+    return (int)((p.buf >> (2 * (j - jb))) & 3) + 1;
+  }
+};
 
 // Fragments front-end: fwd + rc strands SYNTHESIZED from forward-only
 // nt6 fragments (F concatenated without sentinels, offs[nfrag+1]),
@@ -225,42 +304,28 @@ static void build_streams_frags(const uint8_t* F, const int64_t* offs,
     lens[2 * k] = lens[2 * k + 1] = l;
     if (l > lmax) lmax = l;
   }
-  const int64_t stride2 = (m + 3) >> 2;
-  std::vector<uint8_t> rev2((size_t)(lmax + 1) * stride2, 0);
+  RevRows rr;
+  rr.alloc(m, lmax);
   {
-    const int64_t TB = 2048;  // fragment blocks; reads 4k..4k+3 share bytes
-                              // only within one fragment pair block
     int T = n_threads < 1 ? 1 : n_threads;
     std::vector<std::thread> th;
     for (int t = 0; t < T; ++t)
       th.emplace_back([&, t] {
-        for (int64_t k0 = t * TB; k0 < nfrag; k0 += (int64_t)T * TB) {
-          int64_t k1 = k0 + TB < nfrag ? k0 + TB : nfrag;
-          for (int64_t k = k0; k < k1; ++k) {
-            const uint8_t* s = F + offs[k];
-            int64_t l = lens[2 * k];
-            int64_t rf = 2 * k, rr = 2 * k + 1;
-            int shf = (int)(rf & 3) * 2, shr = (int)(rr & 3) * 2;
-            for (int64_t j = 1; j <= l; ++j) {
-              // fwd read: j-th from end = s[l-j]; rc read: comp(s[j-1])
-              rev2[(size_t)j * stride2 + (rf >> 2)] |=
-                  (uint8_t)((s[l - j] - 1) << shf);
-              rev2[(size_t)j * stride2 + (rr >> 2)] |=
-                  (uint8_t)((4 - s[j - 1]) << shr);
-            }
+        for (int64_t k = t; k < nfrag; k += T) {
+          const uint8_t* s = F + offs[k];
+          int64_t l = lens[2 * k];
+          uint8_t* rf = rr.row((uint32_t)(2 * k));
+          uint8_t* rv = rr.row((uint32_t)(2 * k + 1));
+          for (int64_t j = 1; j <= l; ++j) {
+            // fwd read: j-th from end = s[l-j]; rc read: comp(s[j-1])
+            rf[j >> 2] |= (uint8_t)((s[l - j] - 1) << ((j & 3) * 2));
+            rv[j >> 2] |= (uint8_t)((4 - s[j - 1]) << ((j & 3) * 2));
           }
         }
       });
     for (auto& x : th) x.join();
   }
-  auto sym_v = [&](int64_t j, const Pend& p) -> int {
-    if ((int64_t)p.len == j) return 0;
-    return ((rev2[(size_t)(j + 1) * stride2 + (p.read >> 2)]
-             >> ((p.read & 3) * 2)) & 3) + 1;
-  };
-  auto pref = [&](int64_t j, const Pend& p) {
-    __builtin_prefetch(&rev2[(size_t)(j + 1) * stride2 + (p.read >> 2)]);
-  };
+  BufferedSyms bs{&rr};
 
   Stream* S = B->S;
   std::vector<Pend> pend[6];
@@ -274,11 +339,15 @@ static void build_streams_frags(const uint8_t* F, const int64_t* offs,
                        : ((r & 1) ? 5 - (int)s[0] : (int)s[l - 1]);
       rle_push(v, sym, 1);
       if (l >= 1)
-        pend[sym].push_back({S[0].cnt[sym], (uint32_t)r, (uint32_t)l});
+        pend[sym].push_back({S[0].cnt[sym], (uint32_t)r, (uint32_t)l, 0});
       S[0].cnt[sym]++;
     }
   }
-  run_cycles(B, pend, lmax, t_entry, sym_v, pref);
+  run_cycles(
+      B, pend, lmax, t_entry, SYMBUF_K,
+      [&](int64_t jb, Pend* a, size_t n) { bs.refill(jb, a, n); },
+      [&](int64_t j, int64_t jb, const Pend& p) { return bs.sym(j, jb, p); },
+      [](int64_t, const Pend&) {});
 }
 
 // core build: fills B->S from the 0-terminated multi-string text
@@ -295,29 +364,24 @@ static void build_streams(const uint8_t* text, int64_t n, int n_threads,
   int64_t m = (int64_t)offs.size() - 1;
   if (m == 0) return;
 
-  // reversed-transposed reads: rev[j][k] = read k's j-th symbol from the
-  // end (row 0 unused; rows past a read's length hold 0).  Row-contiguous
-  // so each cycle streams one row; filled in read-blocks of 4096 so the
-  // column writes stay cache-resident.  ACGT-only texts (the pipeline
-  // splits fragments at N) use a 2-bit row instead: the per-insert lookups
-  // hit the row at RANDOM read positions, and at 20M reads a u8 row is
-  // 20 MB (every lookup an L2 miss — measured 392 s vs linear-scaling
-  // 162 s at 2 Gsym); 2-bit rows are 4x smaller.
   int64_t lmax = 0;
   std::vector<int64_t> lens(m);
   for (int64_t k = 0; k < m; ++k) {
     lens[k] = offs[k + 1] - offs[k] - 1;
     if (lens[k] > lmax) lmax = lens[k];
   }
-  const int64_t stride2 = (m + 3) >> 2;
-  std::vector<uint8_t> rev, rev2;
+  // ACGT-only texts use the read-major 2-bit transpose + symbol buffers
+  // (see RevRows/BufferedSyms); texts with N fall back to a row-major u8
+  // transpose read per cycle (symbol 5 doesn't fit 2 bits), with the merge
+  // walk prefetching the lookups
+  std::vector<uint8_t> rev;
+  RevRows rr;
   if (has_n)
     rev.assign((size_t)(lmax + 2) * m, 0);
   else
-    rev2.assign((size_t)(lmax + 1) * stride2, 0);
+    rr.alloc(m, lmax);
   {
-    const int64_t TB = 4096;  // multiple of 4: thread stripes never share
-                              // a 2-bit byte
+    const int64_t TB = 4096;
     int T = n_threads < 1 ? 1 : n_threads;
     std::vector<std::thread> th;
     for (int t = 0; t < T; ++t)
@@ -330,30 +394,15 @@ static void build_streams(const uint8_t* text, int64_t n, int n_threads,
               for (int64_t j = 1; j <= lens[k]; ++j)
                 rev[(size_t)j * m + k] = s[lens[k] - j];
             } else {
-              int sh = (int)(k & 3) * 2;
+              uint8_t* rk = rr.row((uint32_t)k);
               for (int64_t j = 1; j <= lens[k]; ++j)
-                rev2[(size_t)j * stride2 + (k >> 2)] |=
-                    (uint8_t)((s[lens[k] - j] - 1) << sh);
+                rk[j >> 2] |= (uint8_t)((s[lens[k] - j] - 1) << ((j & 3) * 2));
             }
           }
         }
       });
     for (auto& x : th) x.join();
   }
-  // v = BWT entry of the suffix inserted at cycle j = symbol j+1 from the
-  // end, or the sentinel when the suffix is the whole read
-  auto sym_v = [&](int64_t j, const Pend& p) -> int {
-    if ((int64_t)p.len == j) return 0;
-    if (has_n) return rev[(size_t)(j + 1) * m + p.read];
-    return ((rev2[(size_t)(j + 1) * stride2 + (p.read >> 2)]
-             >> ((p.read & 3) * 2)) & 3) + 1;
-  };
-  auto pref = [&](int64_t j, const Pend& p) {
-    if (has_n)
-      __builtin_prefetch(&rev[(size_t)(j + 1) * m + p.read]);
-    else
-      __builtin_prefetch(&rev2[(size_t)(j + 1) * stride2 + (p.read >> 2)]);
-  };
 
   Stream* S = B->S;
   std::vector<Pend> pend[6];
@@ -369,12 +418,33 @@ static void build_streams(const uint8_t* text, int64_t n, int n_threads,
       rle_push(v, sym, 1);
       if (lens[k] >= 1)
         pend[sym].push_back({S[0].cnt[sym], (uint32_t)k,
-                             (uint32_t)lens[k]});
+                             (uint32_t)lens[k], 0});
       S[0].cnt[sym]++;
     }
   }
 
-  run_cycles(B, pend, lmax, t_entry, sym_v, pref);
+  if (has_n) {
+    // v = BWT entry of the suffix inserted at cycle j = symbol j+1 from
+    // the end, or the sentinel when the suffix is the whole read
+    auto sym_v = [&](int64_t j, int64_t, const Pend& p) -> int {
+      if ((int64_t)p.len == j) return 0;
+      return rev[(size_t)(j + 1) * m + p.read];
+    };
+    auto pref = [&](int64_t j, const Pend& p) {
+      __builtin_prefetch(&rev[(size_t)(j + 1) * m + p.read]);
+    };
+    run_cycles(B, pend, lmax, t_entry, lmax + 1,
+               [](int64_t, Pend*, size_t) {}, sym_v, pref);
+  } else {
+    BufferedSyms bs{&rr};
+    run_cycles(
+        B, pend, lmax, t_entry, SYMBUF_K,
+        [&](int64_t jb, Pend* a, size_t n) { bs.refill(jb, a, n); },
+        [&](int64_t j, int64_t jb, const Pend& p) {
+          return bs.sym(j, jb, p);
+        },
+        [](int64_t, const Pend&) {});
+  }
 }
 
 // Two-phase runs hand-off.  The builder holds the BWT as per-class RLE

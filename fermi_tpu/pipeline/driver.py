@@ -152,15 +152,9 @@ class Pipeline:
         4-line FASTQ bytes (native fencode_frags: table encode + maximal
         ACGT-run split in one threaded C pass); None when a file isn't
         that shape."""
-        import ctypes
         import gzip as _gz
 
         from fermi_tpu.core import fastx
-        try:
-            from fermi_tpu import native
-            lib = native.get_lib()
-        except Exception:
-            return None
         Fs, offs_list = [], []
         for path in paths:
             opener = _gz.open if str(path).endswith(".gz") else open
@@ -169,23 +163,10 @@ class Pipeline:
             sp = fastx.fastq_seq_spans(data)
             if sp is None:
                 return None
-            arr, starts, lens = sp
-            starts = np.ascontiguousarray(starts, np.int64)
-            lens = np.ascontiguousarray(lens, np.int64)
-            pF = ctypes.POINTER(ctypes.c_uint8)()
-            pO = ctypes.POINTER(ctypes.c_int64)()
-            nfrag = lib.fencode_frags(
-                arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-                starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-                lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-                len(starts), 4, ctypes.byref(pF), ctypes.byref(pO))
-            try:
-                offs = np.ctypeslib.as_array(pO, shape=(nfrag + 1,)).copy()
-                F = np.ctypeslib.as_array(
-                    pF, shape=(int(offs[-1]),)).copy()
-            finally:
-                lib.frld_free(ctypes.cast(pF, ctypes.c_void_p))
-                lib.frld_free(ctypes.cast(pO, ctypes.c_void_p))
+            fo = Pipeline._encode_spans(*sp)
+            if fo is None:
+                return None
+            F, offs = fo
             Fs.append(F)
             offs_list.append(offs)
         if len(Fs) == 1:
@@ -198,6 +179,62 @@ class Pipeline:
         adj.append(np.array([base], np.int64))
         return np.concatenate(Fs), np.concatenate(adj)
 
+    @staticmethod
+    def _encode_spans(arr, starts, lens):
+        """(F, offsets) forward nt6 fragments from seq spans over a raw
+        byte buffer (native fencode_frags: table encode + maximal ACGT-run
+        split in one threaded C pass); None without the lib."""
+        import ctypes
+
+        try:
+            from fermi_tpu import native
+            lib = native.get_lib()
+        except Exception:
+            return None
+        starts = np.ascontiguousarray(starts, np.int64)
+        lens = np.ascontiguousarray(lens, np.int64)
+        pF = ctypes.POINTER(ctypes.c_uint8)()
+        pO = ctypes.POINTER(ctypes.c_int64)()
+        nfrag = lib.fencode_frags(
+            arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(starts), 4, ctypes.byref(pF), ctypes.byref(pO))
+        try:
+            offs = np.ctypeslib.as_array(pO, shape=(nfrag + 1,)).copy()
+            F = np.ctypeslib.as_array(pF, shape=(int(offs[-1]),)).copy()
+        finally:
+            lib.frld_free(ctypes.cast(pF, ctypes.c_void_p))
+            lib.frld_free(ctypes.cast(pO, ctypes.c_void_p))
+        return F, offs
+
+    def _build_from_frags(self, F, offs, out_fmd, t0):
+        """BWT + .fmd dump from forward-only nt6 fragments (the shared
+        tail of every index build)."""
+        from fermi_tpu.construct import suffix
+        from fermi_tpu import rld
+
+        nfrag = len(offs) - 1
+        n_est = 2 * len(F) + 2 * nfrag
+        mean_l = len(F) / max(nfrag, 1)
+        t_text = time.time()
+        log("build", f"{nfrag} fragments, {n_est / 1e6:.1f}M "
+            "symbols (native frags)")
+        if (self._plan_builder(n_est) == "bcr" and mean_l < 1024):
+            # fragments-direct BCR: rc strands synthesized in the
+            # builder, the doubled text never materializes
+            from fermi_tpu.construct.bcr import bcr_runs_from_frags
+            runs = bcr_runs_from_frags(F, offs, n_threads=self.t)
+        else:
+            text = suffix.build_text_packed(F, offs)
+            runs = self._build_runs(text)
+        t_bwt = time.time()
+        rld.write_fmd(runs, out_fmd)
+        self._cache[("runs", out_fmd)] = runs
+        log("build", f"wrote {out_fmd} in {time.time() - t0:.1f}s "
+            f"(frags {t_text - t0:.1f}, bwt {t_bwt - t_text:.1f}, "
+            f"rle+dump {time.time() - t_bwt:.1f})")
+
     def build_index(self, reads_iter, out_fmd, cut_n=True, paths=None):
         """raw/ec FMD-index (the reference's ropebwt -a bcr stage)."""
         from fermi_tpu.core import dna
@@ -208,27 +245,7 @@ class Pipeline:
         if paths is not None:
             fo = self._frags_from_fastq(paths)
             if fo is not None:
-                F, offs = fo
-                nfrag = len(offs) - 1
-                n_est = 2 * len(F) + 2 * nfrag
-                mean_l = len(F) / max(nfrag, 1)
-                t_text = time.time()
-                log("build", f"{nfrag} fragments, {n_est / 1e6:.1f}M "
-                    "symbols (native frags)")
-                if (self._plan_builder(n_est) == "bcr" and mean_l < 1024):
-                    # fragments-direct BCR: rc strands synthesized in the
-                    # builder, the doubled text never materializes
-                    from fermi_tpu.construct.bcr import bcr_runs_from_frags
-                    runs = bcr_runs_from_frags(F, offs, n_threads=self.t)
-                else:
-                    text = suffix.build_text_packed(F, offs)
-                    runs = self._build_runs(text)
-                t_bwt = time.time()
-                rld.write_fmd(runs, out_fmd)
-                self._cache[("runs", out_fmd)] = runs
-                log("build", f"wrote {out_fmd} in {time.time() - t0:.1f}s "
-                    f"(frags {t_text - t0:.1f}, bwt {t_bwt - t_text:.1f}, "
-                    f"rle+dump {time.time() - t_bwt:.1f})")
+                self._build_from_frags(*fo, out_fmd, t0)
                 return
         # join reads with N: encode maps it to 5, and fragments are maximal
         # runs of non-5 symbols, so one vectorized pass covers cut_n too
@@ -303,9 +320,22 @@ class Pipeline:
         from fermi_tpu.cli import sequtils as su
         from fermi_tpu.core import fastx
 
+        src = self._p("ec.fq.gz")
+        t0 = time.time()
+        # fused path: fltuniq keep flags -> kept seq spans -> fragments ->
+        # BCR, never materializing the filtered FASTQ (identical frags to
+        # the flt.fq round-trip by construction: same spans, same encoder)
+        spans = su.fltuniq_kept_seq_spans(src)
+        if spans is not None:
+            fo = self._encode_spans(*spans)
+            if fo is not None:
+                log("ec_fmd", f"fltuniq fused: kept {len(spans[1])} reads "
+                    f"in {time.time() - t0:.1f}s")
+                self._build_from_frags(*fo, out, t0)
+                return
         flt = self._p("flt.fq")
         with open(flt, "w") as fp:
-            su.fltuniq(self._p("ec.fq.gz"), fp)
+            su.fltuniq(src, fp)
 
         def reads():
             for rec in fastx.read_fastx(flt):

@@ -111,6 +111,27 @@ def test_bcr_native_scale():
     assert np.array_equal(suffix.multistring_bwt(text), bcr_bwt_native(text))
 
 
+def test_bcr_frags_direct_matches_host():
+    # the pipeline's hot path: rc strands synthesized inside the builder
+    # (fbcr_start_frags), incl. the odd palindrome trim (ropebwt.c:25-29)
+    # and reads long enough to cross several symbol-buffer refill blocks
+    from fermi_tpu.construct.bcr import bcr_runs_from_frags
+    from fermi_tpu import rld
+    rng = np.random.default_rng(11)
+    frags = [rng.integers(1, 5, int(rng.integers(30, 150))).astype(np.uint8)
+             for _ in range(1500)]
+    pal = np.array([1, 2, 3, 4, 1, 2, 3, 4], np.uint8)
+    frags.append(np.concatenate([pal, 5 - pal[::-1]]))  # even palindrome
+    F = np.concatenate(frags)
+    offs = np.concatenate(
+        [[0], np.cumsum([len(f) for f in frags])]).astype(np.int64)
+    text = suffix.build_text(frags, both_strands=True, trim_palindrome=True)
+    want = rld.Runs.from_bwt(suffix.multistring_bwt(text))
+    got = bcr_runs_from_frags(F, offs, trim_palindrome=True, n_threads=4)
+    assert np.array_equal(want.symbols, got.symbols)
+    assert np.array_equal(want.lengths, got.lengths)
+
+
 def test_bcr_device_matches_numpy():
     for seed in (3, 4):
         reads = random_reads(50, seed=seed, with_genome=False)
