@@ -91,26 +91,46 @@ struct Bcr {
 // symbol buffers of n pending entries for the block starting at cycle jb
 // (no-op on the unbuffered N-containing path, where SymV reads the u8
 // row-major transpose directly and prefetching hides what it can).
+//
+// Pending entries live in 6x6 source->destination bucket vectors with TWO
+// generations: the merge walk of class k consumes this generation's
+// bkt[*][k] segments IN PLACE (their concatenation is off-sorted: the
+// per-segment base addend — count of symbol k in source classes below —
+// is nondecreasing, and entries within a segment were pushed in emit-rank
+// order) and pushes next cycle's entries into the other generation.  The
+// old design copied every pending entry into a per-class array between
+// cycles; at 808 Msym that gather pass was 14 s of pure memcpy (30% of
+// the build).
+//
+// pend0[c] seeds generation 0 as the single source-class-0 segment (its
+// offs are already final within class c, addend 0).
 template <class Refill, class SymV, class Pref>
-static void run_cycles(Bcr* B, std::vector<Pend>* pend, int64_t lmax,
+static void run_cycles(Bcr* B, std::vector<Pend>* pend0, int64_t lmax,
                        double t_entry, int64_t K, Refill&& refill,
                        SymV&& sym_v, Pref&& pref) {
   Stream* S = B->S;
-  std::vector<Pend> bucket[6][6];
+  std::vector<Pend> bkt[2][6][6];  // [generation][source class][dest class]
+  for (int c = 0; c < 6; ++c) bkt[0][0][c] = std::move(pend0[c]);
+  // base[g][k][c]: addend for segment bkt[g][k][c] = count of symbol c in
+  // source classes < k at the time generation g was produced
+  int64_t base[2][6][6] = {};
   const bool prof = getenv("FERMI_BCR_PROF") != nullptr;
-  double t_merge = 0, t_gather = 0, t_refill = 0, t0p = now_s();
+  double t_merge = 0, t_refill = 0, t0p = now_s();
   const double t_setup = t0p - t_entry;  // offs scan + transpose + cycle 0
 
+  int g = 0;
   for (int64_t jb = 1; jb <= lmax; jb += K) {
     const int64_t je = jb + K - 1 < lmax ? jb + K - 1 : lmax;
     if (prof) t0p = now_s();
     {
       // refill the symbol buffers for this block: one sequential sweep per
-      // class, one random (prefetched) row read per entry
+      // segment, one random (prefetched) row read per entry
       std::vector<std::thread> th;
       for (int k = 1; k < 6; ++k)
-        th.emplace_back(
-            [&, k] { refill(jb, pend[k].data(), pend[k].size()); });
+        th.emplace_back([&, k] {
+          for (int sc = 0; sc < 6; ++sc)
+            refill(jb, bkt[g][sc][k].data(), bkt[g][sc][k].size());
+        });
       for (auto& x : th) x.join();
     }
     if (prof) {
@@ -124,109 +144,101 @@ static void run_cycles(Bcr* B, std::vector<Pend>* pend, int64_t lmax,
         std::vector<std::thread> th;
         for (int k = 1; k < 6; ++k)  // class 0 never receives inserts
           th.emplace_back([&, k] {
-            for (int c = 0; c < 6; ++c) bucket[k][c].clear();
-            auto& P = pend[k];
-            if (P.empty()) return;
+            auto* nxt = bkt[g ^ 1][k];
+            for (int c = 0; c < 6; ++c) nxt[c].clear();
+            size_t np_ = 0;
+            for (int sc = 0; sc < 6; ++sc) np_ += bkt[g][sc][k].size();
+            if (np_ == 0) return;
             auto& src = S[k].now();
             auto& dst = S[k].other();
             dst.clear();
-            dst.reserve(src.size() + P.size() + 16);
+            dst.reserve(src.size() + np_ + 16);
             int64_t emc[6] = {0, 0, 0, 0, 0, 0};  // symbols emitted so far
             size_t ri = 0;
             int64_t out_len = 0;
             int64_t carry_len = 0;
             int carry_sym = 0;
             const size_t PF = 12;
-            const size_t np_ = P.size();
-            for (size_t pi = 0; pi < np_; ++pi) {
-              const Pend& p = P[pi];
-              if (pi + PF < np_) pref(j, P[pi + PF]);
-              int64_t need = p.off - out_len;
-              while (need > 0) {
-                if (carry_len) {
-                  int64_t take = need < carry_len ? need : carry_len;
-                  rle_push(dst, carry_sym, take);
-                  emc[carry_sym] += take;
-                  carry_len -= take;
-                  out_len += take;
-                  need -= take;
-                  continue;
-                }
-                // merge-push one run, then bulk-copy whole runs that fit
-                int sym = src[ri] & 7;
-                int64_t l = src[ri] >> 3;
-                ++ri;
-                if (l > need) {
-                  carry_sym = sym;
-                  carry_len = l;
-                  continue;
-                }
-                rle_push(dst, sym, l);
-                emc[sym] += l;
-                out_len += l;
-                need -= l;
-                size_t r0 = ri;
-                while (ri < src.size() &&
-                       (int64_t)(src[ri] >> 3) <= need) {
-                  int64_t rl = src[ri] >> 3;
-                  emc[src[ri] & 7] += rl;
-                  out_len += rl;
-                  need -= rl;
+            for (int sc = 0; sc < 6; ++sc) {
+              const auto& P = bkt[g][sc][k];
+              const int64_t addend = base[g][sc][k];
+              const size_t ns = P.size();
+              for (size_t pi = 0; pi < ns; ++pi) {
+                const Pend& p = P[pi];
+                if (pi + PF < ns) pref(j, P[pi + PF]);
+                int64_t need = addend + p.off - out_len;
+                while (need > 0) {
+                  if (carry_len) {
+                    int64_t take = need < carry_len ? need : carry_len;
+                    rle_push(dst, carry_sym, take);
+                    emc[carry_sym] += take;
+                    carry_len -= take;
+                    out_len += take;
+                    need -= take;
+                    continue;
+                  }
+                  // merge-push one run, then bulk-copy whole runs that fit
+                  int sym = src[ri] & 7;
+                  int64_t l = src[ri] >> 3;
                   ++ri;
+                  if (l > need) {
+                    carry_sym = sym;
+                    carry_len = l;
+                    continue;
+                  }
+                  rle_push(dst, sym, l);
+                  emc[sym] += l;
+                  out_len += l;
+                  need -= l;
+                  size_t r0 = ri;
+                  while (ri < src.size() &&
+                         (int64_t)(src[ri] >> 3) <= need) {
+                    int64_t rl = src[ri] >> 3;
+                    emc[src[ri] & 7] += rl;
+                    out_len += rl;
+                    need -= rl;
+                    ++ri;
+                  }
+                  if (ri > r0) {
+                    dst.insert(dst.end(), src.begin() + r0,
+                               src.begin() + ri);
+                  }
                 }
-                if (ri > r0) {
-                  dst.insert(dst.end(), src.begin() + r0, src.begin() + ri);
-                }
+                int v = sym_v(j, jb, p);
+                // emc[v] == rank_v(grown stream, off): the within-class
+                // part of next cycle's insert position
+                if ((int64_t)p.len >= j + 1)
+                  nxt[v].push_back({emc[v], p.read, p.len, p.buf});
+                rle_push(dst, v, 1);
+                emc[v]++;
+                out_len++;
+                S[k].cnt[v]++;
               }
-              int v = sym_v(j, jb, p);
-              // emc[v] == rank_v(grown stream, p.off): the within-class
-              // part of next cycle's insert position
-              if ((int64_t)p.len >= j + 1)
-                bucket[k][v].push_back({emc[v], p.read, p.len, p.buf});
-              rle_push(dst, v, 1);
-              emc[v]++;
-              out_len++;
-              S[k].cnt[v]++;
             }
             if (carry_len) rle_push(dst, carry_sym, carry_len);
             if (ri < src.size())
               dst.insert(dst.end(), src.begin() + ri, src.end());
             S[k].flip();
+            // the source-class-0 segment exists only at generation 0
+            // cycle 1 (initial pendings); clear it so the generation's
+            // reuse two cycles later doesn't re-merge it
+            bkt[g][0][k].clear();
           });
         for (auto& x : th) x.join();
       }
-      if (prof) {
-        double t1p = now_s();
-        t_merge += t1p - t0p;
-        t0p = t1p;
-      }
-      // post-cycle cross-class bases: count of symbol c in classes < k
-      int64_t base[6][6];
-      for (int c = 0; c < 6; ++c) base[0][c] = 0;
+      if (prof) t_merge += now_s() - t0p;
+      g ^= 1;
+      // bases for the generation just produced: count of symbol c in
+      // source classes < k AFTER this cycle's inserts
+      for (int c = 0; c < 6; ++c) base[g][0][c] = 0;
       for (int k = 1; k < 6; ++k)
         for (int c = 0; c < 6; ++c)
-          base[k][c] = base[k - 1][c] + S[k - 1].cnt[c];
-      // gather next-cycle pendings: destination order = (source class,
-      // within-class rank) — stable because rank is monotone in position
-      {
-        std::vector<std::thread> th;
-        for (int c = 1; c < 6; ++c)
-          th.emplace_back([&, c] {
-            auto& P = pend[c];
-            P.clear();
-            for (int k = 1; k < 6; ++k)
-              for (const Pend& p : bucket[k][c])
-                P.push_back({base[k][c] + p.off, p.read, p.len, p.buf});
-          });
-        for (auto& x : th) x.join();
-      }
-      if (prof) t_gather += now_s() - t0p;
+          base[g][k][c] = base[g][k - 1][c] + S[k - 1].cnt[c];
     }
   }
   if (prof)
-    fprintf(stderr,
-            "[bcr prof] setup %.1fs refill %.1fs merge %.1fs gather %.1fs\n",
-            t_setup, t_refill, t_merge, t_gather);
+    fprintf(stderr, "[bcr prof] setup %.1fs refill %.1fs merge %.1fs\n",
+            t_setup, t_refill, t_merge);
 }
 
 // read-major reversed 2-bit transpose: row r holds strand r's symbols
