@@ -6,15 +6,44 @@
 // arrays. Output is the MAG text, byte-identical to the Python engine.
 
 #include <algorithm>
+#include <atomic>
 #include <cassert>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <ctime>
+#include <memory>
 #include <string>
+#include <thread>
 #include <vector>
 
 #include "fmindex.h"
+
+namespace {
+inline double prof_now() {
+  struct timespec ts;
+  clock_gettime(CLOCK_MONOTONIC, &ts);
+  return ts.tv_sec + ts.tv_nsec * 1e-9;
+}
+// FERMI_UNITIG_PROF=1: phase breakdown of the unitig walk
+struct UProf {
+  bool on = getenv("FERMI_UNITIG_PROF") != nullptr;
+  double retrieve = 0, ovlp = 0, nei_a = 0, nei_bc = 0, nei_con = 0,
+         chk = 0;
+  int64_t rounds = 0, sumJ = 0, calls = 0;
+  void dump() const {
+    if (!on) return;
+    fprintf(stderr,
+            "[unitig prof] retrieve %.1fs ovlp_intv %.1fs neiA %.1fs "
+            "neiBC %.1fs neiCons %.1fs chk_left %.1fs | %lld rounds "
+            "avg J %.1f (%lld get_nei calls)\n",
+            retrieve, ovlp, nei_a, nei_bc, nei_con, chk,
+            (long long)rounds, rounds ? (double)sumJ / rounds : 0.0,
+            (long long)calls);
+  }
+};
+}  // namespace
 
 namespace {
 
@@ -61,30 +90,89 @@ static void extend6(const Index& e, int64_t kb, int64_t kf, int64_t sz,
   }
 }
 
+struct Ext6 {
+  int64_t KB[6], KF[6], SZ[6];
+};
+
+// used/bend/visited bitmap policies.  The exact sequential walk uses plain
+// byte arrays; the cache-warming runahead helpers (see run_helpers) share
+// one set of relaxed-atomic arrays, so they race benignly with each other
+// and never touch the main walk's state.
+struct PlainBits {
+  std::vector<uint8_t> used_, bend_, visited_;
+  void init(int64_t n) {
+    used_.assign(n, 0);
+    bend_.assign(n, 0);
+    visited_.assign(n, 0);
+  }
+  inline bool used_at(int64_t i) const { return used_[i]; }
+  inline void set_used(int64_t i) { used_[i] = 1; }
+  inline bool bend_at(int64_t i) const { return bend_[i]; }
+  inline void set_bend(int64_t i) { bend_[i] = 1; }
+  inline bool visited_at(int64_t i) const { return visited_[i]; }
+  inline void set_visited(int64_t i) { visited_[i] = 1; }
+};
+
+struct SharedAtomicBits {
+  std::atomic<uint8_t>* used_ = nullptr;  // non-owning, shared by helpers
+  std::atomic<uint8_t>* bend_ = nullptr;
+  std::atomic<uint8_t>* visited_ = nullptr;
+  void init(int64_t) {}
+  inline bool used_at(int64_t i) const {
+    return used_[i].load(std::memory_order_relaxed);
+  }
+  inline void set_used(int64_t i) {
+    used_[i].store(1, std::memory_order_relaxed);
+  }
+  inline bool bend_at(int64_t i) const {
+    return bend_[i].load(std::memory_order_relaxed);
+  }
+  inline void set_bend(int64_t i) {
+    bend_[i].store(1, std::memory_order_relaxed);
+  }
+  inline bool visited_at(int64_t i) const {
+    return visited_[i].load(std::memory_order_relaxed);
+  }
+  inline void set_visited(int64_t i) {
+    visited_[i].store(1, std::memory_order_relaxed);
+  }
+};
+
+template <class Bits>
 struct Builder {
-  Index e;
+  const Index& e;
   int min_match;
   const uint64_t* sorted;  // may be null
-  std::vector<uint8_t> used, bend, visited;
+  Bits bits;
   std::string out;
+  // per-round scratch of get_nei (reused to avoid alloc churn)
+  std::vector<Ext6> exA, exB;
+  std::vector<uint8_t> hasA, hasB;
+  std::vector<int64_t> cs0;  // [j*4 + (c-1)]: sentinel count after bwd ext
+  UProf up;
 
-  Builder(const Index& idx, int mm, const uint64_t* srt)
-      : e(idx), min_match(mm), sorted(srt) {
-    used.assign(e.n_seqs, 0);
-    bend.assign(e.n_seqs, 0);
-    visited.assign(e.n_seqs, 0);
+  Builder(const Index& idx, int mm, const uint64_t* srt, Bits b = Bits())
+      : e(idx), min_match(mm), sorted(srt), bits(b) {
+    bits.init(e.n_seqs);
+  }
+
+  // hint the lines extend6(kb_or_kf, sz) will touch (both rank positions)
+  inline void pf2(int64_t a, int64_t sz) const {
+    e.prefetch(a);
+    int64_t b = a + sz;
+    if ((b >> kBlockBits) != (a >> kBlockBits)) e.prefetch(b);
   }
 
   void set_bits(int64_t kb, int64_t kf, int64_t sz) {
     if (sorted) {
       for (int64_t i = 0; i < sz; ++i) {
-        used[sorted[kb + i] >> 2] = 1;
-        used[sorted[kf + i] >> 2] = 1;
+        bits.set_used(sorted[kb + i] >> 2);
+        bits.set_used(sorted[kf + i] >> 2);
       }
     } else {
       for (int64_t i = 0; i < sz; ++i) {
-        used[kb + i] = 1;
-        used[kf + i] = 1;
+        bits.set_used(kb + i);
+        bits.set_used(kf + i);
       }
     }
   }
@@ -92,6 +180,15 @@ struct Builder {
   // overlap_intv (unitig.c:38-64)
   Intv overlap_intv(const std::vector<uint8_t>& seq, int j, bool at5,
                     bool inc_sentinel, std::vector<Intv>& out_list) {
+    double t0 = up.on ? prof_now() : 0;
+    struct Acc {
+      double* d;
+      double t0;
+      bool on;
+      ~Acc() {
+        if (on) *d += prof_now() - t0;
+      }
+    } acc{&up.ovlp, t0, up.on};
     out_list.clear();
     int l = (int)seq.size();
     int dlt = at5 ? 1 : -1;
@@ -151,18 +248,87 @@ struct Builder {
     }
     std::vector<int> cat(prev.size(), 0);
     std::vector<Intv> curr;
+    ++up.calls;
     while (!prev.empty()) {
       curr.clear();
       size_t J = prev.size();
+      double tp0 = up.on ? prof_now() : 0;
+      ++up.rounds;
+      up.sumJ += (int64_t)J;
+      // The extend6 calls of one lockstep round are all pure and (within
+      // the round) independent, but a straight walk serializes their cache
+      // misses.  Batch them in chunked prefetch->compute passes (A: the
+      // forward extends; B/C: the backward sentinel tests they feed), then
+      // replay the reference's control flow over the precomputed values —
+      // identical state updates, byte-identical output, ~J-way MLP instead
+      // of a dependent miss chain.  Entries whose category gets eliminated
+      // mid-round compute a few extends for nothing; that waste is tiny
+      // next to the miss stalls (measured 158.7 s -> see BENCH_NOTES).
+      constexpr size_t CH = 24;
+      exA.resize(J);
+      exB.resize(J);
+      hasA.assign(J, 0);
+      hasB.assign(J, 0);
+      cs0.assign(J * 4, 0);
+      const bool grew = ori_l != (int)s.size();
+      for (size_t j0 = 0; j0 < J; j0 += CH) {
+        size_t j1 = j0 + CH < J ? j0 + CH : J;
+        for (size_t j = j0; j < j1; ++j)
+          if (cat[j] >= 0) pf2(prev[j].kf, prev[j].sz);
+        for (size_t j = j0; j < j1; ++j) {
+          if (cat[j] < 0) continue;
+          extend6(e, prev[j].kb, prev[j].kf, prev[j].sz, false,
+                  exA[j].KB, exA[j].KF, exA[j].SZ);
+          hasA[j] = 1;
+        }
+      }
+      if (up.on) {
+        double t = prof_now();
+        up.nei_a += t - tp0;
+        tp0 = t;
+      }
+      for (size_t j0 = 0; j0 < J; j0 += CH) {
+        size_t j1 = j0 + CH < J ? j0 + CH : J;
+        for (size_t j = j0; j < j1; ++j) {
+          if (!hasA[j]) continue;
+          const Ext6& a = exA[j];
+          if (a.SZ[0] && grew) pf2(a.KB[0], a.SZ[0]);
+          for (int c = 1; c < 5; ++c)
+            if (a.SZ[c]) pf2(a.KB[c], a.SZ[c]);
+        }
+        for (size_t j = j0; j < j1; ++j) {
+          if (!hasA[j]) continue;
+          const Ext6& a = exA[j];
+          if (a.SZ[0] && grew) {
+            extend6(e, a.KB[0], a.KF[0], a.SZ[0], true, exB[j].KB,
+                    exB[j].KF, exB[j].SZ);
+            hasB[j] = 1;
+          }
+          for (int c = 1; c < 5; ++c) {
+            if (a.SZ[c]) {
+              int64_t BK[6], BF[6], BS[6];
+              extend6(e, a.KB[c], a.KF[c], a.SZ[c], true, BK, BF, BS);
+              cs0[j * 4 + (c - 1)] = BS[0];
+            }
+          }
+        }
+      }
+      if (up.on) {
+        double t = prof_now();
+        up.nei_bc += t - tp0;
+        tp0 = t;
+      }
+      // consume pass: the reference control flow (unitig.c:110-155)
       for (size_t j = 0; j < J; ++j) {
         if (cat[j] < 0) continue;
-        if (j + 1 < J) e.prefetch(prev[j + 1].kf);
         Intv& p = prev[j];
-        int64_t KB[6], KF[6], SZ[6];
-        extend6(e, p.kb, p.kf, p.sz, false, KB, KF, SZ);
-        if (SZ[0] && ori_l != (int)s.size()) {
-          int64_t BK[6], BF[6], BS[6];
-          extend6(e, KB[0], KF[0], SZ[0], true, BK, BF, BS);
+        const int64_t* KB = exA[j].KB;
+        const int64_t* KF = exA[j].KF;
+        const int64_t* SZ = exA[j].SZ;
+        if (SZ[0] && grew) {
+          const int64_t* BK = exB[j].KB;
+          const int64_t* BF = exB[j].KF;
+          const int64_t* BS = exB[j].SZ;
           if (BS[0]) {
             if (SZ[0] == p.sz && p.sz == BS[0]) {
               int cat0 = cat[j];
@@ -182,9 +348,7 @@ struct Builder {
         if (cat[j] < 0) continue;
         for (int c = 1; c < 5; ++c) {
           if (SZ[c]) {
-            int64_t BK[6], BF[6], BS[6];
-            extend6(e, KB[c], KF[c], SZ[c], true, BK, BF, BS);
-            if (BS[0]) {
+            if (cs0[j * 4 + (c - 1)]) {
               uint64_t info =
                   (p.info & 0xFFFFFFF0FFFFFFFFULL) | ((uint64_t)c << 32);
               curr.push_back({KB[c], KF[c], SZ[c], info});
@@ -214,6 +378,7 @@ struct Builder {
         if (cat0 != 0) is_forked = true;
       }
       prev = curr;
+      if (up.on) up.nei_con += prof_now() - tp0;
     }
     if (nei.empty()) return -1;
     int rbeg = ori_l - (int)(uint32_t)nei[0].info;
@@ -252,13 +417,15 @@ struct Builder {
     return rbeg;
   }
 
-  // check_left_simple (unitig.c:186-204)
+  // check_left_simple (unitig.c:186-204); the per-step extends are
+  // independent — prefetch the whole round before computing it
   int check_left_simple(int beg, int rbeg, const std::vector<uint8_t>& s) {
     std::vector<Intv> prev, curr;
     overlap_intv(s, rbeg, true, true, prev);
     for (int i = rbeg - 1; i >= beg; --i) {
       if (prev.empty()) break;
       curr.clear();
+      for (auto& p : prev) pf2(p.kb, p.sz);
       for (auto& p : prev) {
         int64_t KB[6], KF[6], SZ[6];
         extend6(e, p.kb, p.kf, p.sz, true, KB, KF, SZ);
@@ -274,7 +441,10 @@ struct Builder {
   int check_left(int beg, int rbeg, const std::vector<uint8_t>& s,
                  const std::vector<Intv>& nei) {
     assert(nei.size() == 1);
-    if (check_left_simple(beg, rbeg, s) == 0) return 0;
+    double t0 = up.on ? prof_now() : 0;
+    int r0 = check_left_simple(beg, rbeg, s);
+    if (up.on) up.chk += prof_now() - t0;
+    if (r0 == 0) return 0;
     std::vector<uint8_t> rc;
     for (int i = (int)s.size() - 1; i >= rbeg; --i)
       rc.push_back((uint8_t)comp6(s[i]));
@@ -296,13 +466,13 @@ struct Builder {
       prev.clear();
       if (rbeg < 0) break;
       if (nei.size() > 1) {
-        bend[*end] = 1;
+        bits.set_bend(*end);
         break;
       }
       int64_t k = nei[0].kb;
       if (k == *end) break;
-      if (bend[k] || check_left(beg, rbeg, s, nei) < 0) {
-        bend[k] = 1;
+      if (bits.bend_at(k) || check_left(beg, rbeg, s, nei) < 0) {
+        bits.set_bend(k);
         break;
       }
       if (k == k0) {
@@ -330,6 +500,15 @@ struct Builder {
   }
 
   void retrieve(int64_t x, std::vector<uint8_t>* s, int64_t* final_k) {
+    double t0 = up.on ? prof_now() : 0;
+    struct Acc {
+      double* d;
+      double t0;
+      bool on;
+      ~Acc() {
+        if (on) *d += prof_now() - t0;
+      }
+    } acc{&up.retrieve, t0, up.on};
     int64_t k = x;
     s->clear();
     while (true) {
@@ -347,12 +526,12 @@ struct Builder {
   // unitig1 (unitig.c:274-317); returns false on skip
   bool unitig1(int64_t seed, std::vector<uint8_t>& s, std::vector<uint8_t>& cov,
                int64_t k_out[2], std::vector<Intv> nei_out[2], int* nsr) {
-    if (sorted && used[seed]) return false;
+    if (sorted && bits.used_at(seed)) return false;
     int64_t k;
     retrieve(seed, &s, &k);
     int seed_len = (int)s.size();
     if ((int)s.size() <= min_match) return false;
-    if (!sorted && used[k]) return false;
+    if (!sorted && bits.used_at(k)) return false;
     Intv intv0;
     std::vector<Intv> ovlp;
     int ret = is_contained(s, &intv0, ovlp);
@@ -417,22 +596,60 @@ struct Builder {
     out += "\n";
   }
 
-  void run() {
+  void run(std::atomic<int64_t>* progress = nullptr) {
     int64_t n1 = e.n_seqs;
     std::vector<uint8_t> s, cov;
     for (int64_t j = 0; j <= (n1 >> 2); ++j) {
       for (int64_t i = (j << 2) | 1; i < (j << 2) + 4 && i < n1; i += 2) {
+        if (progress) progress->store(i, std::memory_order_relaxed);
         int64_t k_out[2];
         std::vector<Intv> nei_out[2];
         int nsr = 0;
         if (!unitig1(i, s, cov, k_out, nei_out, &nsr)) continue;
-        if (visited[k_out[0]] || visited[k_out[1]]) continue;
-        visited[k_out[0]] = visited[k_out[1]] = 1;
+        if (bits.visited_at(k_out[0]) || bits.visited_at(k_out[1])) continue;
+        bits.set_visited(k_out[0]);
+        bits.set_visited(k_out[1]);
         write_mag(s, cov, k_out, nei_out, nsr);
       }
     }
+    up.dump();
   }
 };
+
+// Cache-warming runahead (the 10M-scale fix): the unitig walk is a chain
+// of dependent rank queries whose misses can't be overlapped within one
+// walk, and byte-parity with the reference's t=1 output forbids real
+// threading — so spare cores run the SAME walks a bounded number of seeds
+// AHEAD of the exact sequential walker, sharing a relaxed-atomic bitmap
+// set among themselves and discarding their output.  Their only effect is
+// pulling the index lines the main walk is about to need into the shared
+// L3 (260 MB here); the main thread's output is byte-identical with any
+// helper count including zero.
+static void helper_loop(const Index& e, int min_match, const uint64_t* srt,
+                        SharedAtomicBits bits, std::atomic<int64_t>* claim,
+                        std::atomic<int64_t>* progress, int64_t lead) {
+  Builder<SharedAtomicBits> b(e, min_match, srt, bits);
+  b.up.on = false;
+  int64_t n1 = e.n_seqs;
+  std::vector<uint8_t> s, cov;
+  while (true) {
+    int64_t seed = 2 * claim->fetch_add(1, std::memory_order_relaxed) + 1;
+    if (seed >= n1) break;
+    while (seed > progress->load(std::memory_order_relaxed) + lead) {
+      if (progress->load(std::memory_order_relaxed) >= n1) return;
+      std::this_thread::yield();
+    }
+    if (seed < progress->load(std::memory_order_relaxed)) continue;
+    int64_t k_out[2];
+    std::vector<Intv> nei_out[2];
+    int nsr = 0;
+    if (!b.unitig1(seed, s, cov, k_out, nei_out, &nsr)) continue;
+    if (b.bits.visited_at(k_out[0]) || b.bits.visited_at(k_out[1]))
+      continue;
+    b.bits.set_visited(k_out[0]);
+    b.bits.set_visited(k_out[1]);
+  }
+}
 
 }  // namespace
 
@@ -445,8 +662,39 @@ char* funitig_run(const uint8_t* blocks, const int64_t* occ, int64_t n_rows,
                   const uint64_t* sorted, int64_t* out_len) {
   Index idx;
   idx.setup(blocks, occ, n_rows, cnt, n_seqs);
-  Builder b(idx, min_match, sorted);
-  b.run();
+  Builder<PlainBits> b(idx, min_match, sorted);
+  // default 0: on this 4-vCPU host the helpers' cycle steal cancels their
+  // L3 warming (A/B: 141.6 s off vs 144-150 s on at 4M reads); they pay
+  // off when spare cores outnumber the exact walker's needs
+  int n_help = 0;
+  if (const char* s = getenv("FERMI_UNITIG_HELPERS")) n_help = atoi(s);
+  int64_t lead = 1 << 14;  // swept on the 2M-pair bench: 16k best
+  if (const char* s = getenv("FERMI_UNITIG_LEAD")) lead = atoll(s);
+  if (n_help > 0) {
+    std::unique_ptr<std::atomic<uint8_t>[]> au(
+        new std::atomic<uint8_t>[n_seqs]);
+    std::unique_ptr<std::atomic<uint8_t>[]> ab(
+        new std::atomic<uint8_t>[n_seqs]);
+    std::unique_ptr<std::atomic<uint8_t>[]> av(
+        new std::atomic<uint8_t>[n_seqs]);
+    for (int64_t i = 0; i < n_seqs; ++i) {
+      au[i].store(0, std::memory_order_relaxed);
+      ab[i].store(0, std::memory_order_relaxed);
+      av[i].store(0, std::memory_order_relaxed);
+    }
+    SharedAtomicBits sb{au.get(), ab.get(), av.get()};
+    std::atomic<int64_t> claim{0}, progress{0};
+    std::vector<std::thread> th;
+    for (int t = 0; t < n_help; ++t)
+      th.emplace_back(helper_loop, std::cref(idx), min_match, sorted, sb,
+                      &claim, &progress, lead);
+    b.run(&progress);
+    progress.store(n_seqs, std::memory_order_relaxed);
+    claim.store(n_seqs, std::memory_order_relaxed);
+    for (auto& x : th) x.join();
+  } else {
+    b.run();
+  }
   *out_len = (int64_t)b.out.size();
   char* p = (char*)malloc(b.out.size() + 1);
   memcpy(p, b.out.data(), b.out.size());
