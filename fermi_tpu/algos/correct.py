@@ -61,15 +61,23 @@ def collect_solid_kmers_native(index: FMDIndex, w: int, min_occ: int,
     if n_threads is None:
         n_threads = min(os.cpu_count() or 1, 16)
     lib = native.get_lib()
-    blocks, occ, cnt = _index_carrays(index)
     counts = np.zeros(3, np.int64)
-    ptr = lib.fec_collect(
-        blocks.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        occ.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        blocks.shape[0],
-        cnt.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        int(np.asarray(index.mcnt[1])), w, min_occ, n_threads,
-        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    from fermi_tpu.index.blkidx import BlkIndex
+    if isinstance(index, BlkIndex):  # out-of-core `-M` path
+        ptr = lib.fec_collect_blk(
+            index.path.encode(), w, min_occ, n_threads,
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        if counts[0] < 0:
+            raise OSError(f"fec_collect_blk failed on {index.path}")
+    else:
+        blocks, occ, cnt = _index_carrays(index)
+        ptr = lib.fec_collect(
+            blocks.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            occ.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            blocks.shape[0],
+            cnt.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            int(np.asarray(index.mcnt[1])), w, min_occ, n_threads,
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
     n = int(counts[0])
     try:
         flat = np.ctypeslib.as_array(ptr, shape=(3 * n + 1,))[: 3 * n]             .reshape(n, 3).copy()

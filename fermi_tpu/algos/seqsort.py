@@ -24,16 +24,26 @@ def seqsort_native(index, n_threads: int = 4,
     from fermi_tpu.search.smem import _native_index_arrays
 
     lib = native.get_lib()
-    blocks, occ, cnt, n_seqs = _native_index_arrays(index)
-    sorted_arr = np.zeros(n_seqs, np.uint64)
-    lib.fseqsort(
-        blocks.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        occ.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        blocks.shape[0],
-        cnt.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        n_seqs,
-        sorted_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
-        n_threads)
+    from fermi_tpu.index.blkidx import BlkIndex
+    if isinstance(index, BlkIndex):  # out-of-core `-M` path
+        sorted_arr = np.zeros(index.n_seqs, np.uint64)
+        rc = lib.fseqsort_blk(
+            index.path.encode(),
+            sorted_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            n_threads)
+        if rc:
+            raise OSError(f"fseqsort_blk failed on {index.path}")
+    else:
+        blocks, occ, cnt, n_seqs = _native_index_arrays(index)
+        sorted_arr = np.zeros(n_seqs, np.uint64)
+        lib.fseqsort(
+            blocks.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            occ.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            blocks.shape[0],
+            cnt.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n_seqs,
+            sorted_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            n_threads)
     if verbose:
         _report(sorted_arr)
     return sorted_arr

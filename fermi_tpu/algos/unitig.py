@@ -377,27 +377,34 @@ def fm6_unitig_native(e: HostIndex, min_match: int, sorted_arr=None) -> str:
     from fermi_tpu import native
 
     lib = native.get_lib()
-    blocks = np.ascontiguousarray(e.blocks)
-    occ = getattr(e, "occ8", None)
-    if occ is None:
-        occ6 = e.occ.astype(np.int64, copy=False)
-        occ = np.zeros((occ6.shape[0], 8), np.int64)
-        occ[:, : occ6.shape[1]] = occ6
-    cnt = np.ascontiguousarray(e.cnt.astype(np.int64))
-    cnt8 = np.zeros(8, np.int64)
-    cnt8[:7] = cnt[:7]
-    cnt8[7] = cnt[6]
     srt_ptr = None
     if sorted_arr is not None:
         sorted_arr = np.ascontiguousarray(sorted_arr, dtype=np.uint64)
         srt_ptr = sorted_arr.ctypes.data_as(ctypes.c_void_p)
     out_len = ctypes.c_int64()
-    p = lib.funitig_run(
-        blocks.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        occ.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        blocks.shape[0],
-        cnt8.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        e.n_seqs, min_match, srt_ptr, ctypes.byref(out_len))
+    from fermi_tpu.index.blkidx import BlkIndex
+    if isinstance(e, BlkIndex):  # out-of-core `-M` path
+        p = lib.funitig_run_blk(e.path.encode(), min_match, srt_ptr,
+                                ctypes.byref(out_len))
+        if out_len.value < 0:
+            raise OSError(f"funitig_run_blk failed on {e.path}")
+    else:
+        blocks = np.ascontiguousarray(e.blocks)
+        occ = getattr(e, "occ8", None)
+        if occ is None:
+            occ6 = e.occ.astype(np.int64, copy=False)
+            occ = np.zeros((occ6.shape[0], 8), np.int64)
+            occ[:, : occ6.shape[1]] = occ6
+        cnt = np.ascontiguousarray(e.cnt.astype(np.int64))
+        cnt8 = np.zeros(8, np.int64)
+        cnt8[:7] = cnt[:7]
+        cnt8[7] = cnt[6]
+        p = lib.funitig_run(
+            blocks.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            occ.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            blocks.shape[0],
+            cnt8.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            e.n_seqs, min_match, srt_ptr, ctypes.byref(out_len))
     try:
         text = ctypes.string_at(p, out_len.value).decode("latin1")
     finally:

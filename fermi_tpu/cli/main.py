@@ -63,13 +63,28 @@ def cmd_build(args):
 def _add_unpack(sub):
     p = sub.add_parser("unpack", help="retrieve DNA sequences from an index")
     p.add_argument("-i", dest="ids", type=int, action="append", default=[])
-    p.add_argument("-M", dest="mmap", action="store_true")  # accepted, no-op
+    p.add_argument("-M", dest="mmap", action="store_true",
+                   help="query the compressed index via mmap (bounded RSS)")
     p.add_argument("fmd")
     p.set_defaults(func=cmd_unpack)
 
 
 def cmd_unpack(args):
     from fermi_tpu.core import dna
+
+    if args.mmap:
+        # compressed-domain walks off the mmapped .fmd (rld.c:327-346)
+        from fermi_tpu.index.mmapfmd import MmapIndex
+
+        m = MmapIndex(args.fmd)
+        n = m.n_seqs
+        ids = [i for i in args.ids if i < n] if args.ids else range(n)
+        ids = np.fromiter(ids, dtype=np.int64)
+        for lo in range(0, len(ids), 4096):
+            seqs, ranks = m.retrieve(ids[lo: lo + 4096], return_ranks=True)
+            for s, k in zip(seqs, ranks):
+                sys.stdout.write(f"{dna.decode(s)}\t{int(k)}\n")
+        return 0
     from fermi_tpu.index.fmd import FMDIndex
     from fermi_tpu.search import extend as se
 
@@ -99,7 +114,12 @@ def cmd_exact(args):
     from fermi_tpu.index.fmd import FMDIndex
     from fermi_tpu.search import smem as sm
 
-    idx = FMDIndex.restore(args.fmd)
+    if args.mmap:  # out-of-core: SMEMs off the mmapped record cache
+        from fermi_tpu.index.blkidx import ensure_blk
+
+        idx = ensure_blk(args.fmd)
+    else:
+        idx = FMDIndex.restore(args.fmd)
     recs = list(fastx.read_fastx(args.fastx))
     seqs = [dna.encode(r.seq) for r in recs]
     batch = 4096
@@ -130,6 +150,8 @@ def cmd_chkbwt(args):
     from fermi_tpu.core import dna
     from fermi_tpu.index.fmd import FMDIndex
 
+    if args.mmap:
+        return _chkbwt_mmap(args)
     runs = rld.read_fmd(args.fmd)
     mc = ", ".join(str(int(x)) for x in runs.mcnt)
     sys.stderr.write(f"[M::chkbwt] marginal counts: ({mc})\n")
@@ -159,6 +181,65 @@ def cmd_chkbwt(args):
     return 0
 
 
+def _chkbwt_mmap(args):
+    """chkbwt with bounded RSS: validate the blocked record cache against
+    itself (occ rows vs running counts) and against compressed-domain rank
+    queries on the mmapped .fmd — without ever expanding the BWT in RAM."""
+    from fermi_tpu.core import dna
+    from fermi_tpu.index.blkidx import ensure_blk
+    from fermi_tpu.index.mmapfmd import MmapIndex
+
+    m = MmapIndex(args.fmd)
+    mc = ", ".join(str(int(x)) for x in m.mcnt)
+    sys.stderr.write(f"[M::chkbwt] marginal counts: ({mc})\n")
+    blk = ensure_blk(args.fmd)
+    rstride = 256 if blk.wide else 192
+    odt = np.uint64 if blk.wide else np.uint32
+    raw = np.memmap(blk.path, np.uint8, "r", offset=4096)
+    raw = raw.reshape(blk.n_rows, rstride)
+    run_cnt = np.zeros(6, np.int64)
+    chunk = 1 << 16
+    rng = np.random.default_rng(0)
+    for lo in range(0, blk.n_rows, chunk):
+        rows = np.asarray(raw[lo: lo + chunk])
+        occ = rows[:, 128:128 + (48 if blk.wide else 24)].copy()
+        occ = occ.view(odt).reshape(-1, 6).astype(np.int64)
+        if args.check_rank:
+            # every block's stored occ must equal the running decode counts
+            hist = np.zeros((len(rows), 6), np.int64)
+            for c in range(6):
+                hist[:, c] = (rows[:, :128] == c).sum(axis=1)
+            expect = run_cnt + np.vstack(
+                [np.zeros(6, np.int64), np.cumsum(hist[:-1], axis=0)])
+            if not np.array_equal(occ, expect):
+                bad = int(np.argwhere((occ != expect).any(axis=1))[0][0])
+                sys.stderr.write(
+                    f"[E::chkbwt] occ row {lo + bad} mismatch\n")
+                return 1
+            run_cnt = expect[-1] + hist[-1]
+            # tie the cache to the compressed index: spot-check rank6
+            pos = int(rng.integers(lo, min(lo + chunk, blk.n_rows))) << 7
+            pos = min(pos, blk.total)
+            got = m.rank6(np.array([pos]))[0]
+            want = occ[min((pos >> 7) - lo, len(occ) - 1)]
+            if (pos & 127) == 0 and pos < blk.total and \
+                    not np.array_equal(got, want):
+                sys.stderr.write(f"[E::chkbwt] fmd/blk rank({pos})\n")
+                return 1
+        if args.plain:
+            flat = rows[:, :128].reshape(-1)
+            end = min(blk.total - (lo << 7), flat.size)
+            sys.stdout.write(dna.decode(flat[:end]))
+    if args.check_rank:
+        if not np.array_equal(run_cnt, m.mcnt[1:7].astype(np.int64)):
+            sys.stderr.write("[E::chkbwt] marginal count mismatch\n")
+            return 1
+        sys.stderr.write("[M::chkbwt] rank check passed\n")
+    if args.plain:
+        sys.stdout.write("\n")
+    return 0
+
+
 def _add_correct(sub):
     p = sub.add_parser("correct", help="error-correct reads against an index")
     p.add_argument("-M", dest="mmap", action="store_true")
@@ -180,7 +261,12 @@ def cmd_correct(args):
     from fermi_tpu.index.fmd import FMDIndex
     from fermi_tpu.algos import correct as ec
 
-    idx = FMDIndex.restore(args.fmd)
+    if args.mmap:  # collect phase off the mmapped record cache
+        from fermi_tpu.index.blkidx import ensure_blk
+
+        idx = ensure_blk(args.fmd)
+    else:
+        idx = FMDIndex.restore(args.fmd)
     ec.ec_correct(idx, args.fastx, sys.stdout, w=args.w,
                   min_occ=args.min_occ, keep_bad=args.keep_bad,
                   is_paired=args.is_paired, max_corr=args.max_corr,
@@ -192,12 +278,21 @@ def cmd_correct(args):
 def _add_seqsort(sub):
     for name in ("seqsort", "seqrank"):
         p = sub.add_parser(name, help="compute the rank of sequences")
+        p.add_argument("-M", dest="mmap", action="store_true")
         p.add_argument("-t", dest="n_threads", type=int, default=1)
         p.add_argument("fmd")
         p.set_defaults(func=cmd_seqsort)
 
 
 def cmd_seqsort(args):
+    if args.mmap:  # walks off the mmapped record cache
+        from fermi_tpu.index.blkidx import ensure_blk
+        from fermi_tpu.algos.seqsort import seqsort_native
+
+        arr = seqsort_native(ensure_blk(args.fmd),
+                             n_threads=max(args.n_threads, 1))
+        sys.stdout.buffer.write(arr.tobytes())
+        return 0
     from fermi_tpu.index.fmd import FMDIndex
     from fermi_tpu.algos.seqsort import seqsort
 
@@ -222,8 +317,12 @@ def cmd_unitig(args):
     from fermi_tpu.algos.hostindex import HostIndex
     from fermi_tpu.algos.unitig import fm6_unitig
 
-    runs = rld.read_fmd(args.fmd)
-    e = HostIndex.from_runs(runs)
+    if args.mmap:  # the whole walk off the mmapped record cache
+        from fermi_tpu.index.blkidx import ensure_blk
+
+        e = ensure_blk(args.fmd)
+    else:
+        e = HostIndex.from_runs(rld.read_fmd(args.fmd))
     sorted_arr = None
     if args.rank_file:
         sorted_arr = np.fromfile(args.rank_file, np.uint64, e.n_seqs)
@@ -412,7 +511,12 @@ def cmd_remap(args):
     from fermi_tpu.index.fmd import FMDIndex
     from fermi_tpu.algos.remap import remap
 
-    idx = FMDIndex.restore(args.fmd)
+    if args.mmap:  # contig SMEMs off the mmapped record cache
+        from fermi_tpu.index.blkidx import ensure_blk
+
+        idx = ensure_blk(args.fmd)
+    else:
+        idx = FMDIndex.restore(args.fmd)
     sorted_arr = None
     if args.rank_file:
         sorted_arr = np.fromfile(args.rank_file, np.uint64)

@@ -107,11 +107,13 @@ class MmapIndex:
             out.append((lo, sz))
         return out
 
-    def retrieve(self, ranks) -> list[np.ndarray]:
+    def retrieve(self, ranks, return_ranks: bool = False):
         """Recover reads from sentinel ranks via LF walks (exact.c:59-70),
-        batched across lanes per step."""
+        batched across lanes per step.  With return_ranks, also return the
+        sentinel rank each walk terminated on (fm_retrieve's return)."""
         ranks = np.asarray(ranks, np.int64)
         k = ranks.copy()
+        final = np.zeros(k.size, np.int64)
         alive = np.ones(k.size, bool)
         seqs = [[] for _ in range(k.size)]
         while alive.any():
@@ -125,6 +127,10 @@ class MmapIndex:
             for j, ci, dead in zip(idx.tolist(), c.tolist(), stop.tolist()):
                 if not dead:
                     seqs[j].append(ci)
+            final[idx[stop]] = kp[stop]    # rank among sentinels
             k[idx[~stop]] = kp[~stop]
             alive[idx[stop]] = False
-        return [np.array(s, np.uint8)[::-1] for s in seqs]
+        out = [np.array(s, np.uint8)[::-1] for s in seqs]
+        if return_ranks:
+            return out, final
+        return out

@@ -108,6 +108,35 @@ def get_lib() -> ctypes.CDLL:
                 ctypes.c_int,
                 ctypes.POINTER(ctypes.c_int64),
             ]
+            # out-of-core (.fmd.blk mmapped record cache) variants
+            lib.fmblk_build.restype = ctypes.c_int
+            lib.fmblk_build.argtypes = [
+                ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int]
+            lib.fmblk_info.restype = ctypes.c_int
+            lib.fmblk_info.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64)]
+            lib.funitig_run_blk.restype = ctypes.c_void_p
+            lib.funitig_run_blk.argtypes = [
+                ctypes.c_char_p, ctypes.c_int, ctypes.c_void_p,
+                ctypes.POINTER(ctypes.c_int64)]
+            lib.fsmem_all_blk.restype = ctypes.POINTER(ctypes.c_int64)
+            lib.fsmem_all_blk.argtypes = [
+                ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64,
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+            ]
+            lib.fec_collect_blk.restype = ctypes.POINTER(ctypes.c_int64)
+            lib.fec_collect_blk.argtypes = [
+                ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int64)]
+            lib.fseqsort_blk.restype = ctypes.c_int
+            lib.fseqsort_blk.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint64),
+                ctypes.c_int]
             lib.fsa_prewarm.restype = None
             lib.fsa_prewarm.argtypes = [ctypes.c_int64, ctypes.c_int]
             lib.fsa_build.restype = ctypes.c_int

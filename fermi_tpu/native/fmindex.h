@@ -16,6 +16,9 @@
 #ifndef FERMI_NATIVE_FMINDEX_H_
 #define FERMI_NATIVE_FMINDEX_H_
 
+#include <fcntl.h>
+#include <unistd.h>
+
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
@@ -58,6 +61,23 @@ struct HugeBuf {
   HugeBuf& operator=(const HugeBuf&) = delete;
 };
 
+// on-disk header of the blocked record cache (.fmd.blk sidecar built by
+// fmblk_build in rld_codec.cpp): one 4 KB page, then the records verbatim.
+// The cache is the out-of-core form of this Index: engines mmap it
+// read-only (MADV_RANDOM) so an index bigger than RAM runs with RSS
+// bounded by the touched pages — the rebuild's `-M` (rld.c:327-346).
+struct BlkHeader {
+  char magic[8];  // "FMBLK\1\0\0"
+  int64_t rstride;
+  int64_t n_rows;
+  int64_t total;
+  int64_t n_seqs;
+  int64_t cnt[8];  // cumulative counts, cnt[7] = cnt[6] (python convention)
+  int64_t wide;
+};
+constexpr char kBlkMagic[8] = {'F', 'M', 'B', 'L', 'K', 1, 0, 0};
+constexpr size_t kBlkHeaderBytes = 4096;
+
 struct Index {
   // record: [0,128) bwt | occ 6x(u32|u64) | 18B sub | pad
   //   narrow (u32): meta bytes [128,170), stride 192 — one meta line
@@ -67,6 +87,48 @@ struct Index {
   bool wide = false;
   int64_t cnt[8] = {0};
   int64_t n_seqs = 0;
+  void* map_base = nullptr;  // set when records are a file mapping
+  size_t map_len = 0;
+
+  ~Index() {
+#if defined(__linux__)
+    if (map_base) {
+      rec.p = nullptr;  // borrowed from the mapping; don't free()
+      munmap(map_base, map_len);
+    }
+#endif
+  }
+
+  // mmap a .fmd.blk record cache; returns 0 on success
+  int setup_blk(const char* path) {
+#if defined(__linux__)
+    int fd = open(path, O_RDONLY);
+    if (fd < 0) return -1;
+    off_t len = lseek(fd, 0, SEEK_END);
+    if (len < (off_t)kBlkHeaderBytes) { close(fd); return -2; }
+    void* base = mmap(nullptr, (size_t)len, PROT_READ, MAP_PRIVATE, fd, 0);
+    close(fd);
+    if (base == MAP_FAILED) return -3;
+    const BlkHeader* h = (const BlkHeader*)base;
+    if (memcmp(h->magic, kBlkMagic, 8) != 0 ||
+        (size_t)len != kBlkHeaderBytes + (size_t)h->rstride * h->n_rows) {
+      munmap(base, (size_t)len);
+      return -4;
+    }
+    madvise(base, (size_t)len, MADV_RANDOM);
+    map_base = base;
+    map_len = (size_t)len;
+    rstride = (size_t)h->rstride;
+    wide = h->wide != 0;
+    for (int i = 0; i < 8; ++i) cnt[i] = h->cnt[i];
+    n_seqs = h->n_seqs;
+    rec.p = (uint8_t*)base + kBlkHeaderBytes;
+    return 0;
+#else
+    (void)path;
+    return -1;
+#endif
+  }
 
   void setup(const uint8_t* blocks_, const int64_t* occ_, int64_t n_rows,
              const int64_t* cnt_, int64_t n_seqs_) {
@@ -97,7 +159,7 @@ struct Index {
             for (int j = 0; j < 6; ++j) o[j] = (uint32_t)ob[j];
           }
           uint8_t* dst = R + kBlock + (wide ? 48 : 24);
-          uint8_t c[6] = {0, 0, 0, 0, 0, 0};
+          uint8_t c[8] = {0};  // 8: rows are padded with symbol 6
           for (int s = 0; s < 3; ++s) {
             for (int i = s * 32; i < (s + 1) * 32; ++i) ++c[row[i]];
             for (int j = 0; j < 6; ++j) dst[s * 6 + j] = c[j];

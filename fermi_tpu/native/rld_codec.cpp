@@ -30,6 +30,8 @@
 #include <vector>
 #include <string>
 
+#include "fmindex.h"
+
 namespace {
 
 constexpr int kSuperBits = 23;                    // words per superblock = 2^23
@@ -481,6 +483,78 @@ static void fmmap_rank6_one(const FmmapIndex* e, uint64_t k, int64_t* out) {
   for (int j = 0; j < e->asize; ++j) out[j] += (int64_t)cnt[j];
 }
 
+// Streaming run cursor over the compressed payload of an FmmapIndex:
+// decodes blocks in order starting anywhere, using the same width-table
+// step as RldDecoder::decode_range.  Used by the blockcache builder.
+struct RunCursor {
+  const FmmapIndex* e;
+  uint64_t off, p, stail;
+  int r;
+
+  void seek_block(uint64_t block_off) {
+    off = block_off;
+    uint64_t blk_end_in_super = (off & (kSuperWords - 1)) + e->ssize;
+    stail = off + e->ssize - (blk_end_in_super == kSuperWords ? 2 : 1);
+    p = off + (((uint32_t)e->words[off] >> 31) ? e->hdr32 : e->hdr16);
+    r = 64;
+  }
+
+  // next run; returns false at end of the current block (caller advances)
+  bool next(int64_t* len, int* sym) {
+    const uint64_t* w = e->words;
+    uint64_t x = w[p] << (64 - r) | (p != stail && r != 64 ? w[p + 1] >> r : 0);
+    int64_t l;
+    int width;
+    if (x >> 63 == 0) {
+      width = (int)(0x333333335555779bull >> ((x >> 59) << 2) & 0xf);
+      if (width == 0xb && x >> 58 == 0) return false;  // zero padding
+      int64_t y = (int64_t)(x >> (64 - width)) - 1;
+      l = (int64_t)(x << width >> (64 - y) | 1ull << y);
+      width += (int)y;
+    } else {
+      width = 1;
+      l = 1;
+    }
+    int c = (int)(x << width >> (64 - e->abits));
+    width += e->abits;
+    if (c > e->asize) return false;  // invalid symbol: end of block
+    if (r > width) r -= width;
+    else { ++p; r = 64 + r - width; }
+    *len = l;
+    *sym = c;
+    return true;
+  }
+
+  // run iterator that transparently hops block boundaries
+  bool next_any(int64_t* len, int* sym) {
+    while (!next(len, sym)) {
+      if (off + e->ssize >= e->n_bytes / 8) return false;
+      seek_block(off + e->ssize);
+    }
+    return true;
+  }
+};
+
+// block word-offset + per-symbol counts at the start of the RLD block
+// containing symbol position s (same walk as fmmap_rank6_one's seek).
+static void fmblk_locate(const FmmapIndex* e, uint64_t s, uint64_t* off_out,
+                         uint64_t cnt_out[8]) {
+  const uint64_t* z = e->frame + (s >> e->ibits) * e->asize1;
+  uint64_t off = z[0];
+  uint64_t cnt[8] = {0}, add[8], sum = 0;
+  for (int j = 0; j < e->asize; ++j) sum += (cnt[j] = z[j + 1]);
+  while (true) {
+    uint64_t nxt = off + e->ssize;
+    uint64_t c = fmmap_header(e, nxt, add);
+    if (sum + c > s) break;
+    for (int j = 0; j < e->asize; ++j) cnt[j] += add[j];
+    sum += c;
+    off = nxt;
+  }
+  *off_out = off;
+  for (int j = 0; j < e->asize; ++j) cnt_out[j] = cnt[j];
+}
+
 }  // namespace
 
 // ---------------------------------------------------------------------------
@@ -488,6 +562,8 @@ static void fmmap_rank6_one(const FmmapIndex* e, uint64_t k, int64_t* out) {
 // ---------------------------------------------------------------------------
 
 extern "C" {
+
+void fmmap_close(void* h);  // defined below; used by fmblk_build
 
 int frld_encode_file(const int64_t* run_len, const uint8_t* run_sym,
                      int64_t n_runs, int asize, int sbits, const char* path) {
@@ -581,6 +657,165 @@ void* fmmap_open(const char* path, int64_t* info) {
   for (int i = 0; i <= e->asize; ++i) info[5 + i] = (int64_t)e->cnt[i];
   for (int i = 0; i <= e->asize; ++i) info[13 + i] = (int64_t)e->mcnt[i];
   return e;
+}
+
+// Build the blocked record cache (.fmd.blk) for a compressed .fmd,
+// streaming: the fmd stays an evictable read-only mapping, records are
+// emitted through a small per-thread buffer, so peak RSS is O(buffers)
+// regardless of index size.  Layout per fermi_native::Index / BlkHeader
+// (fmindex.h); the cache is the out-of-core `-M` form every native engine
+// can mmap (reference counterpart: rld_restore_mmap, rld.c:327-346).
+int fmblk_build(const char* fmd_path, const char* blk_path, int n_threads) {
+  using fermi_native::BlkHeader;
+  using fermi_native::kBlkHeaderBytes;
+  using fermi_native::kBlkMagic;
+  using fermi_native::kBlock;
+  int64_t info[24];
+  FmmapIndex* e = static_cast<FmmapIndex*>(fmmap_open(fmd_path, info));
+  if (!e) return -1;
+  madvise(const_cast<uint64_t*>(e->mem), e->map_len, MADV_SEQUENTIAL);
+  const uint64_t total = e->mcnt[0];
+  const int64_t n_blocks = (int64_t)((total + kBlock - 1) / kBlock);
+  const int64_t n_rows = n_blocks + 1;
+  const bool wide = (int64_t)total > (int64_t)UINT32_MAX;
+  const int64_t rstride = wide ? 256 : 192;
+
+  BlkHeader hdr = {};
+  memcpy(hdr.magic, kBlkMagic, 8);
+  hdr.rstride = rstride;
+  hdr.n_rows = n_rows;
+  hdr.total = (int64_t)total;
+  hdr.n_seqs = (int64_t)e->mcnt[1];
+  for (int i = 0; i < 7; ++i) hdr.cnt[i] = (int64_t)e->cnt[i];
+  hdr.cnt[7] = hdr.cnt[6];
+  hdr.wide = wide;
+
+  int fd = open(blk_path, O_RDWR | O_CREAT | O_TRUNC, 0644);
+  if (fd < 0) { fmmap_close(e); return -2; }
+  uint8_t page[kBlkHeaderBytes] = {0};
+  memcpy(page, &hdr, sizeof hdr);
+  if (pwrite(fd, page, kBlkHeaderBytes, 0) != (ssize_t)kBlkHeaderBytes ||
+      ftruncate(fd, kBlkHeaderBytes + rstride * n_rows) != 0) {
+    close(fd);
+    fmmap_close(e);
+    return -3;
+  }
+
+  if (n_threads < 1) n_threads = 1;
+  unsigned hw = std::thread::hardware_concurrency();
+  if (hw && n_threads > (int)hw) n_threads = (int)hw;
+  int64_t rows_per = (n_rows + n_threads - 1) / n_threads;
+  std::vector<int> rcs(n_threads, 0);
+  auto work = [&](int t) {
+    int64_t r0 = t * rows_per;
+    int64_t r1 = std::min(n_rows, r0 + rows_per);
+    if (r0 >= r1) return;
+    const int64_t kBufRecs = 8192;  // ~1.5-2 MB write buffer
+    std::vector<uint8_t> buf((size_t)kBufRecs * rstride);
+    int64_t buf_row0 = r0, buf_n = 0;
+    auto flush = [&]() -> bool {
+      if (!buf_n) return true;
+      off_t at = kBlkHeaderBytes + (off_t)buf_row0 * rstride;
+      ssize_t want = (ssize_t)(buf_n * rstride);
+      bool ok = pwrite(fd, buf.data(), want, at) == want;
+      buf_row0 += buf_n;
+      buf_n = 0;
+      return ok;
+    };
+    uint64_t s0 = (uint64_t)r0 * kBlock;
+    uint64_t occ[8] = {0};
+    RunCursor cur{e, 0, 0, 0, 64};
+    int64_t run_len = 0;
+    int run_sym = 6;
+    uint64_t produced = s0;  // symbols consumed from the stream so far
+    if (s0 < total) {
+      uint64_t off;
+      fmblk_locate(e, s0, &off, occ);
+      uint64_t before = 0;
+      for (int j = 0; j < e->asize; ++j) before += occ[j];
+      cur.seek_block(off);
+      // skip into the middle of the located block
+      uint64_t skip = s0 - before;
+      while (skip) {
+        if (!cur.next_any(&run_len, &run_sym)) { rcs[t] = -4; return; }
+        if ((uint64_t)run_len > skip) {
+          occ[run_sym] += skip;
+          run_len -= (int64_t)skip;
+          skip = 0;
+        } else {
+          occ[run_sym] += (uint64_t)run_len;
+          skip -= (uint64_t)run_len;
+          run_len = 0;
+        }
+      }
+    }
+    for (int64_t row = r0; row < r1; ++row) {
+      uint8_t* R = buf.data() + (size_t)buf_n * rstride;
+      memset(R, 0, (size_t)rstride);
+      // occ at row start
+      if (wide) {
+        uint64_t* o = (uint64_t*)(R + kBlock);
+        for (int j = 0; j < 6; ++j) o[j] = occ[j];
+      } else {
+        uint32_t* o = (uint32_t*)(R + kBlock);
+        for (int j = 0; j < 6; ++j) o[j] = (uint32_t)occ[j];
+      }
+      int fill = (int)std::min<uint64_t>(
+          kBlock, total > produced ? total - produced : 0);
+      int i = 0;
+      while (i < fill) {
+        if (run_len == 0) {
+          if (!cur.next_any(&run_len, &run_sym)) { rcs[t] = -5; return; }
+        }
+        int take = (int)std::min<int64_t>(run_len, fill - i);
+        memset(R + i, run_sym, take);
+        occ[run_sym] += (uint64_t)take;
+        run_len -= take;
+        i += take;
+      }
+      if (fill < kBlock) memset(R + fill, 6, kBlock - fill);
+      produced += (uint64_t)fill;
+      // sub-block counts over bytes [0,32s)
+      uint8_t* dst = R + kBlock + (wide ? 48 : 24);
+      uint8_t c[8] = {0};
+      for (int s = 0; s < 3; ++s) {
+        for (int k = s * 32; k < (s + 1) * 32; ++k) ++c[R[k]];
+        for (int j = 0; j < 6; ++j) dst[s * 6 + j] = c[j];
+      }
+      if (++buf_n == kBufRecs && !flush()) { rcs[t] = -6; return; }
+    }
+    if (!flush()) rcs[t] = -6;
+  };
+  std::vector<std::thread> th;
+  for (int t = 0; t < n_threads; ++t) th.emplace_back(work, t);
+  for (auto& x : th) x.join();
+  close(fd);
+  fmmap_close(e);
+  for (int rc : rcs)
+    if (rc) return rc;
+  return 0;
+}
+
+// read a .fmd.blk header: info[0]=n_rows [1]=total [2]=n_seqs [3]=wide
+// [4..11]=cnt8
+int fmblk_info(const char* path, int64_t* info) {
+  using fermi_native::BlkHeader;
+  using fermi_native::kBlkMagic;
+  FILE* fp = fopen(path, "rb");
+  if (!fp) return -1;
+  BlkHeader hdr;
+  if (fread(&hdr, sizeof hdr, 1, fp) != 1 ||
+      memcmp(hdr.magic, kBlkMagic, 8) != 0) {
+    fclose(fp);
+    return -2;
+  }
+  fclose(fp);
+  info[0] = hdr.n_rows;
+  info[1] = hdr.total;
+  info[2] = hdr.n_seqs;
+  info[3] = hdr.wide;
+  for (int i = 0; i < 8; ++i) info[4 + i] = hdr.cnt[i];
+  return 0;
 }
 
 void fmmap_close(void* h) {

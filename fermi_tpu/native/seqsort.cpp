@@ -98,11 +98,8 @@ WalkOut seqrank_walk1(const Index& I, int64_t x) {
 
 extern "C" {
 
-void fseqsort(const uint8_t* blocks, const int64_t* occ, int64_t n_rows,
-              const int64_t* cnt, int64_t n_seqs, uint64_t* sorted,
-              int n_threads) {
-  Index I;
-  I.setup(blocks, occ, n_rows, cnt, n_seqs);
+static void fseqsort_impl(const Index& I, int64_t n_seqs, uint64_t* sorted,
+                          int n_threads) {
   if (n_threads < 1) n_threads = 1;
   std::vector<std::thread> th;
   for (int t = 0; t < n_threads; ++t)
@@ -118,6 +115,22 @@ void fseqsort(const uint8_t* blocks, const int64_t* occ, int64_t n_rows,
       }
     });
   for (auto& x : th) x.join();
+}
+
+void fseqsort(const uint8_t* blocks, const int64_t* occ, int64_t n_rows,
+              const int64_t* cnt, int64_t n_seqs, uint64_t* sorted,
+              int n_threads) {
+  Index I;
+  I.setup(blocks, occ, n_rows, cnt, n_seqs);
+  fseqsort_impl(I, n_seqs, sorted, n_threads);
+}
+
+// out-of-core variant over an mmapped .fmd.blk cache (`-M`)
+int fseqsort_blk(const char* blk_path, uint64_t* sorted, int n_threads) {
+  Index I;
+  if (I.setup_blk(blk_path)) return -1;
+  fseqsort_impl(I, I.n_seqs, sorted, n_threads);
+  return 0;
 }
 
 }  // extern "C"

@@ -141,12 +141,10 @@ extern "C" {
 // int64 offsets[n+1]. Output: per-query match counts (int64[n]) written to
 // counts_out; match fields returned via a single malloc'd int64 buffer
 // [total, 5] (start, end, size, closed, kf), caller frees with frld_free.
-int64_t* fsmem_all(const uint8_t* blocks, const int64_t* occ, int64_t n_rows,
-                   const int64_t* cnt, int64_t n_seqs, const uint8_t* queries,
-                   const int64_t* offsets, int64_t n_queries, int self_match,
-                   int64_t* counts_out, int64_t* total_out) {
-  Index e;
-  e.setup(blocks, occ, n_rows, cnt, n_seqs);
+static int64_t* fsmem_all_impl(const Index& e, const uint8_t* queries,
+                               const int64_t* offsets, int64_t n_queries,
+                               int self_match, int64_t* counts_out,
+                               int64_t* total_out) {
   std::vector<Mem> all;
   std::vector<Intv> prev, curr;
   std::vector<Mem> mems;
@@ -174,6 +172,30 @@ int64_t* fsmem_all(const uint8_t* blocks, const int64_t* occ, int64_t n_rows,
     out[i * 5 + 4] = all[i].kf;
   }
   return out;
+}
+
+int64_t* fsmem_all(const uint8_t* blocks, const int64_t* occ, int64_t n_rows,
+                   const int64_t* cnt, int64_t n_seqs, const uint8_t* queries,
+                   const int64_t* offsets, int64_t n_queries, int self_match,
+                   int64_t* counts_out, int64_t* total_out) {
+  Index e;
+  e.setup(blocks, occ, n_rows, cnt, n_seqs);
+  return fsmem_all_impl(e, queries, offsets, n_queries, self_match,
+                        counts_out, total_out);
+}
+
+// out-of-core variant over an mmapped .fmd.blk cache (`-M`)
+int64_t* fsmem_all_blk(const char* blk_path, const uint8_t* queries,
+                       const int64_t* offsets, int64_t n_queries,
+                       int self_match, int64_t* counts_out,
+                       int64_t* total_out) {
+  Index e;
+  if (e.setup_blk(blk_path)) {
+    *total_out = -1;
+    return nullptr;
+  }
+  return fsmem_all_impl(e, queries, offsets, n_queries, self_match,
+                        counts_out, total_out);
 }
 
 }  // extern "C"
@@ -334,11 +356,8 @@ extern "C" {
 // children live in the disjoint range [cnt[c], cnt[c+1])). Cache locality,
 // not parallelism, is what this buys — each level is also split across
 // n_threads. Triple order is unspecified; consumers treat it as a set.
-int64_t* fec_collect(const uint8_t* blocks, const int64_t* occ, int64_t n_rows,
-                     const int64_t* cnt, int64_t n_seqs, int w, int min_occ,
-                     int n_threads, int64_t* counts_out) {
-  Index e;
-  e.setup(blocks, occ, n_rows, cnt, n_seqs);
+static int64_t* fec_collect_impl(const Index& e, int w, int min_occ,
+                                 int n_threads, int64_t* counts_out) {
   if (n_threads < 1) n_threads = 1;
   // small indexes fit in cache: the per-class DFS has lower constant
   // factors there; the kb-sorted level BFS wins once rank queries miss DRAM
@@ -447,6 +466,25 @@ int64_t* fec_collect(const uint8_t* blocks, const int64_t* occ, int64_t n_rows,
     at += outs[t].size();
   }
   return p;
+}
+
+int64_t* fec_collect(const uint8_t* blocks, const int64_t* occ, int64_t n_rows,
+                     const int64_t* cnt, int64_t n_seqs, int w, int min_occ,
+                     int n_threads, int64_t* counts_out) {
+  Index e;
+  e.setup(blocks, occ, n_rows, cnt, n_seqs);
+  return fec_collect_impl(e, w, min_occ, n_threads, counts_out);
+}
+
+// out-of-core variant over an mmapped .fmd.blk cache (`-M`)
+int64_t* fec_collect_blk(const char* blk_path, int w, int min_occ,
+                         int n_threads, int64_t* counts_out) {
+  Index e;
+  if (e.setup_blk(blk_path)) {
+    counts_out[0] = -1;
+    return nullptr;
+  }
+  return fec_collect_impl(e, w, min_occ, n_threads, counts_out);
 }
 
 }  // extern "C"

@@ -651,17 +651,9 @@ static void helper_loop(const Index& e, int min_match, const uint64_t* srt,
   }
 }
 
-}  // namespace
-
-extern "C" {
-
-// Runs unitig construction; returns malloc'd MAG text (caller frees with
-// frld_free) and its length via out_len.
-char* funitig_run(const uint8_t* blocks, const int64_t* occ, int64_t n_rows,
-                  const int64_t* cnt, int64_t n_seqs, int min_match,
-                  const uint64_t* sorted, int64_t* out_len) {
-  Index idx;
-  idx.setup(blocks, occ, n_rows, cnt, n_seqs);
+static char* unitig_with_index(const Index& idx, int min_match,
+                               const uint64_t* sorted, int64_t* out_len) {
+  int64_t n_seqs = idx.n_seqs;
   Builder<PlainBits> b(idx, min_match, sorted);
   // default 0: on this 4-vCPU host the helpers' cycle steal cancels their
   // L3 warming (A/B: 141.6 s off vs 144-150 s on at 4M reads); they pay
@@ -700,6 +692,32 @@ char* funitig_run(const uint8_t* blocks, const int64_t* occ, int64_t n_rows,
   memcpy(p, b.out.data(), b.out.size());
   p[b.out.size()] = 0;
   return p;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Runs unitig construction; returns malloc'd MAG text (caller frees with
+// frld_free) and its length via out_len.
+char* funitig_run(const uint8_t* blocks, const int64_t* occ, int64_t n_rows,
+                  const int64_t* cnt, int64_t n_seqs, int min_match,
+                  const uint64_t* sorted, int64_t* out_len) {
+  Index idx;
+  idx.setup(blocks, occ, n_rows, cnt, n_seqs);
+  return unitig_with_index(idx, min_match, sorted, out_len);
+}
+
+// Same walk over an mmapped .fmd.blk record cache (out-of-core `-M` path):
+// RSS stays bounded by the pages the walk touches.
+char* funitig_run_blk(const char* blk_path, int min_match,
+                      const uint64_t* sorted, int64_t* out_len) {
+  Index idx;
+  if (idx.setup_blk(blk_path)) {
+    *out_len = -1;
+    return nullptr;
+  }
+  return unitig_with_index(idx, min_match, sorted, out_len);
 }
 
 }  // extern "C"

@@ -1476,7 +1476,6 @@ def smem_all_native_raw(index, seqs, self_match=False):
     from fermi_tpu import native
 
     lib = native.get_lib()
-    blocks, occ, cnt, n_seqs = _native_index_arrays(index)
     offsets = np.zeros(len(seqs) + 1, np.int64)
     for i, q in enumerate(seqs):
         offsets[i + 1] = offsets[i] + len(q)
@@ -1485,17 +1484,30 @@ def smem_all_native_raw(index, seqs, self_match=False):
         if seqs else np.zeros(0, np.uint8))
     counts = np.zeros(len(seqs), np.int64)
     total = ctypes.c_int64()
-    ptr = lib.fsmem_all(
-        blocks.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        occ.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        blocks.shape[0],
-        cnt.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        n_seqs,
-        qbuf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        len(seqs), int(self_match),
-        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        ctypes.byref(total))
+    from fermi_tpu.index.blkidx import BlkIndex
+    if isinstance(index, BlkIndex):  # out-of-core `-M` path
+        ptr = lib.fsmem_all_blk(
+            index.path.encode(),
+            qbuf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(seqs), int(self_match),
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.byref(total))
+    else:
+        blocks, occ, cnt, n_seqs = _native_index_arrays(index)
+        ptr = lib.fsmem_all(
+            blocks.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            occ.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            blocks.shape[0],
+            cnt.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n_seqs,
+            qbuf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(seqs), int(self_match),
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.byref(total))
+    if total.value < 0:
+        raise OSError(f"fsmem_all_blk failed on {index.path}")
     try:
         flat = np.ctypeslib.as_array(ptr, shape=(total.value + 1, 5))[
             : total.value].copy()
