@@ -108,6 +108,13 @@ def get_lib() -> ctypes.CDLL:
                 ctypes.c_int,
                 ctypes.POINTER(ctypes.c_int64),
             ]
+            lib.ffastq_frags.restype = ctypes.c_int64
+            lib.ffastq_frags.argtypes = [
+                ctypes.c_char_p, ctypes.c_int,
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+                ctypes.POINTER(ctypes.c_int64),
+            ]
             # out-of-core (.fmd.blk mmapped record cache) variants
             lib.fmblk_build.restype = ctypes.c_int
             lib.fmblk_build.argtypes = [
@@ -343,3 +350,19 @@ def get_lib() -> ctypes.CDLL:
             ]
             _lib = lib
     return _lib
+
+
+def adopt_array(ptr, count, dtype):
+    """Wrap a malloc'd buffer returned by the native lib as a numpy array
+    WITHOUT copying; the buffer is frld_free'd when the array (and every
+    view of it) is garbage-collected."""
+    import weakref
+
+    import numpy as np
+
+    lib = get_lib()
+    nbytes = int(count) * np.dtype(dtype).itemsize
+    addr = ctypes.cast(ptr, ctypes.c_void_p).value
+    buf = (ctypes.c_uint8 * nbytes).from_address(addr)
+    weakref.finalize(buf, lib.frld_free, ctypes.c_void_p(addr))
+    return np.frombuffer(buf, dtype=dtype)

@@ -157,6 +157,12 @@ class Pipeline:
         from fermi_tpu.core import fastx
         Fs, offs_list = [], []
         for path in paths:
+            if not str(path).endswith(".gz"):
+                fo = Pipeline._frags_from_plain_fastq(path)
+                if fo is not None:
+                    Fs.append(fo[0])
+                    offs_list.append(fo[1])
+                    continue
             opener = _gz.open if str(path).endswith(".gz") else open
             with opener(path, "rb") as f:
                 data = f.read()
@@ -178,6 +184,32 @@ class Pipeline:
             base += len(F)
         adj.append(np.array([base], np.int64))
         return np.concatenate(Fs), np.concatenate(adj)
+
+    @staticmethod
+    def _frags_from_plain_fastq(path):
+        """(F, offsets) straight from a plain 4-line FASTQ file in one
+        native pass (ffastq_frags: mmap + threaded newline scan + encode +
+        ACGT-run split, zero-copy adoption of the result buffers); None on
+        any shape/IO problem so callers can fall back."""
+        import ctypes
+
+        try:
+            from fermi_tpu import native
+            lib = native.get_lib()
+        except Exception:
+            return None
+        pF = ctypes.POINTER(ctypes.c_uint8)()
+        pO = ctypes.POINTER(ctypes.c_int64)()
+        nfrag = ctypes.c_int64()
+        n = lib.ffastq_frags(str(path).encode(),
+                             min(os.cpu_count() or 1, 8),
+                             ctypes.byref(pF), ctypes.byref(pO),
+                             ctypes.byref(nfrag))
+        if n < 0:
+            return None
+        F = native.adopt_array(pF, int(n), np.uint8)
+        offs = native.adopt_array(pO, int(nfrag.value) + 1, np.int64)
+        return F, offs
 
     @staticmethod
     def _encode_spans(arr, starts, lens):
