@@ -363,16 +363,21 @@ def mag_v_format(z) -> str:
 
 
 def fm6_unitig(e: HostIndex, min_match: int, out_fp, sorted_arr=None,
-               use_native: bool = True):
+               use_native: bool = True, n_threads: int = 1):
     """Unitig construction; the native engine (native/unitig.cpp, same
-    control flow) is the fast path, the Python builder the oracle."""
+    control flow) is the fast path, the Python builder the oracle.
+    n_threads > 1 selects the reference's `-t N` semantics: stride workers
+    over shared atomic bitmaps (unitig.c:378-407) — boundary decisions
+    become timing-dependent exactly as in the threaded reference, so use
+    1 (the default) when byte-reproducibility matters."""
     if use_native:
-        out_fp.write(fm6_unitig_native(e, min_match, sorted_arr))
+        out_fp.write(fm6_unitig_native(e, min_match, sorted_arr, n_threads))
     else:
         UnitigBuilder(e, min_match, sorted_arr).run(out_fp)
 
 
-def fm6_unitig_native(e: HostIndex, min_match: int, sorted_arr=None) -> str:
+def fm6_unitig_native(e: HostIndex, min_match: int, sorted_arr=None,
+                      n_threads: int = 1) -> str:
     import ctypes
     from fermi_tpu import native
 
@@ -385,7 +390,7 @@ def fm6_unitig_native(e: HostIndex, min_match: int, sorted_arr=None) -> str:
     from fermi_tpu.index.blkidx import BlkIndex
     if isinstance(e, BlkIndex):  # out-of-core `-M` path
         p = lib.funitig_run_blk(e.path.encode(), min_match, srt_ptr,
-                                ctypes.byref(out_len))
+                                n_threads, ctypes.byref(out_len))
         if out_len.value < 0:
             raise OSError(f"funitig_run_blk failed on {e.path}")
     else:
@@ -404,7 +409,8 @@ def fm6_unitig_native(e: HostIndex, min_match: int, sorted_arr=None) -> str:
             occ.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             blocks.shape[0],
             cnt8.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            e.n_seqs, min_match, srt_ptr, ctypes.byref(out_len))
+            e.n_seqs, min_match, srt_ptr, n_threads,
+            ctypes.byref(out_len))
     try:
         text = ctypes.string_at(p, out_len.value).decode("latin1")
     finally:

@@ -326,7 +326,8 @@ def cmd_unitig(args):
     sorted_arr = None
     if args.rank_file:
         sorted_arr = np.fromfile(args.rank_file, np.uint64, e.n_seqs)
-    fm6_unitig(e, args.min_match, sys.stdout, sorted_arr)
+    fm6_unitig(e, args.min_match, sys.stdout, sorted_arr,
+               n_threads=args.n_threads)
     return 0
 
 

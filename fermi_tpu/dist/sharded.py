@@ -235,70 +235,124 @@ def _sharded_gap_chunk_fn(mesh: Mesh, steps: int):
     return run
 
 
+def _gap_bits_update_fn(mesh: Mesh):
+    """Scatter a chunk of emitted merge positions into the dp-sharded gap
+    vector, entirely on device: every shard all-gathers the (small) emit
+    buffer over dp and sets the hits that land in its own bits range —
+    merge.c:21-29's atomic-OR bitmap as a sharded masked scatter."""
+
+    @jax.jit
+    @partial(shard_map, mesh=mesh, in_specs=(P("dp"), P("dp", None)),
+             out_specs=P("dp"), check_rep=False)
+    def upd(bits_l, pos_l):
+        pos = jax.lax.all_gather(pos_l, "dp", tiled=True).ravel()
+        L = bits_l.shape[0]
+        lo = jax.lax.axis_index("dp").astype(pos.dtype) * L
+        loc = pos - lo
+        ok = (pos >= 0) & (loc >= 0) & (loc < L)
+        return bits_l.at[jnp.where(ok, loc, L)].max(
+            jnp.ones_like(pos, bits_l.dtype), mode="drop")
+
+    return upd
+
+
 def compute_gap_bits_sharded(e0: FMDIndex, e1: FMDIndex, mesh: Mesh,
-                             batch=8192, chunk_steps=128) -> np.ndarray:
-    """bool[n0+n1] gap vector via mesh-parallel walks (merge.c:21-66: one
-    update_bits per step, here a host OR over the dp-gathered emit
-    buffers)."""
+                             batch=8192, chunk_steps=128):
+    """dp-sharded int8[npad] gap vector via mesh-parallel walks
+    (merge.c:21-66).  The bits stay ON DEVICE, sharded P("dp") — per-device
+    memory is (n0+n1)/dp + chunk buffers; the emitted positions never
+    round-trip through the host.  Returns (bits_device_array, n0+n1)."""
     dp = mesh.shape["dp"]
     batch = ((batch + dp - 1) // dp) * dp
     a0 = shard_index(e0, mesh)
     a1 = shard_index(e1, mesh)
     fn = _sharded_gap_chunk_fn(mesh, chunk_steps)
+    upd = _gap_bits_update_fn(mesh)
     n0 = int(np.asarray(e0.mcnt[0]))
     n1 = int(np.asarray(e1.mcnt[0]))
     n1_seqs = int(np.asarray(e1.mcnt[1]))
     n0_seqs = int(np.asarray(e0.mcnt[1]))
-    bits = np.zeros(n0 + n1, bool)
+    n = n0 + n1
+    npad = ((n + dp - 1) // dp) * dp
     idt = e1.idtype
     dput = lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec))
+    bits = dput(np.zeros(npad, np.int8), P("dp"))
     for lo in range(0, n1_seqs, batch):
         chunk = np.arange(lo, min(lo + batch, n1_seqs), dtype=np.int64)
         m = len(chunk)
         k = dput(np.pad(chunk, (0, batch - m)).astype(idt), P("dp"))
         i = dput(np.full(batch, n0_seqs - 1, dtype=idt), P("dp"))
         done = dput(np.arange(batch) >= m, P("dp"))
-        bits[np.asarray(k)[:m] + n0_seqs] = True  # initial emit (merge.c:42)
+        # initial emit (merge.c:42)
+        init = np.full((batch, 1), -1, np.int64)
+        init[:m, 0] = chunk + n0_seqs
+        bits = upd(bits, dput(init, P("dp", None)))
         while not bool(np.asarray(jnp.all(done))):
             k, i, done, pos = fn(*a1, *a0, k, i, done)
-            p = np.asarray(pos).ravel()
-            bits[p[p >= 0]] = True
-    return bits
+            bits = upd(bits, pos)
+    return bits, n
 
 
-def interleave_device(mesh: Mesh, bwt0, bwt1, bits):
-    """The merge interleave (merge.c:100-137) as a device segmented scan:
-    destination ranks of both streams come from two cumsums over the
-    dp-sharded gap vector; XLA lowers the sharded cumsum + gathers to
-    per-shard scans with ICI collectives."""
-    n = bits.shape[0]
+def interleave_device(mesh: Mesh, bwt0, bwt1, bits, n=None):
+    """The merge interleave (merge.c:100-137), memory-scalable: output and
+    gap bits are dp-sharded; each shard's output needs only a CONTIGUOUS
+    range of each input stream (destination ranks are monotone), so the
+    host hands every device exactly its bwt0/bwt1 slice (~n/dp each) and
+    the interleave itself is collective-free local selects.  No device ever
+    holds a full stream.  In a multi-host run each process device_puts the
+    slices of its addressable shards; the streams themselves can stay
+    memmapped on disk."""
     dp = mesh.shape["dp"]
-    npad = ((n + dp - 1) // dp) * dp
+    bwt0 = np.asarray(bwt0)
+    bwt1 = np.asarray(bwt1)
+    if isinstance(bits, np.ndarray):  # host bool vector (oracle callers)
+        n = bits.shape[0] if n is None else n
+        npad = ((n + dp - 1) // dp) * dp
+        b = np.zeros(npad, np.int8)
+        b[:n] = bits
+        bits = jax.device_put(b, NamedSharding(mesh, P("dp")))
+    npad = bits.shape[0]
+    L = npad // dp
+    # per-shard popcounts -> each shard's base rank into bwt1/bwt0
+    pops = np.asarray(jnp.sum(bits.reshape(dp, L).astype(jnp.int64), axis=1))
+    base1 = np.zeros(dp + 1, np.int64)
+    np.cumsum(pops, out=base1[1:])
+    # slice each stream per shard (contiguous, pad to L)
+    b1 = np.zeros((dp, L), np.uint8)
+    b0 = np.zeros((dp, L), np.uint8)
+    for d in range(dp):
+        lo = d * L
+        s1 = bwt1[base1[d]: base1[d + 1]]
+        b1[d, : len(s1)] = s1
+        start0 = lo - base1[d]
+        end0 = min(lo + L, len(bwt0) + base1[d + 1]) - base1[d + 1]
+        s0 = bwt0[start0: max(end0, start0)]
+        b0[d, : len(s0)] = s0
+    dput = lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec))
 
     @jax.jit
-    def run(bwt0, bwt1, bits):
-        sel1 = jnp.cumsum(bits) - bits          # exclusive: rank within bwt1
-        sel0 = jnp.arange(npad, dtype=sel1.dtype) - (sel1 + bits)
-        return jnp.where(bits.astype(bool),
-                         bwt1[jnp.clip(sel1, 0, bwt1.shape[0] - 1)],
-                         bwt0[jnp.clip(sel0, 0, bwt0.shape[0] - 1)])
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P("dp"), P("dp", None), P("dp", None)),
+             out_specs=P("dp"), check_rep=False)
+    def inter(bits_l, b1_l, b0_l):
+        lc = jnp.cumsum(bits_l.astype(jnp.int64)) - bits_l
+        j = jnp.arange(bits_l.shape[0], dtype=jnp.int64)
+        return jnp.where(bits_l.astype(bool),
+                         b1_l[0][jnp.clip(lc, 0, b1_l.shape[1] - 1)],
+                         b0_l[0][jnp.clip(j - lc, 0, b0_l.shape[1] - 1)])
 
-    spec = NamedSharding(mesh, P("dp"))
-    rep = NamedSharding(mesh, P())
-    bits_p = np.zeros(npad, np.int32)
-    bits_p[:n] = np.asarray(bits)
-    out = run(jax.device_put(np.asarray(bwt0), rep),
-              jax.device_put(np.asarray(bwt1), rep),
-              jax.device_put(bits_p, spec))
+    out = inter(bits, dput(b1, P("dp", None)), dput(b0, P("dp", None)))
+    n = n if n is not None else len(bwt0) + len(bwt1)
     return np.asarray(out)[:n].astype(np.uint8)
 
 
 def fm_merge_sharded(e0: FMDIndex, bwt0, e1: FMDIndex, bwt1, mesh: Mesh,
                      batch=8192) -> np.ndarray:
-    """Mesh-parallel fm_merge: dp-sharded gap walks + device interleave.
+    """Mesh-parallel fm_merge: dp-sharded gap walks into a device-resident
+    sharded gap vector, then a collective-free sharded interleave.
     Byte-equal to algos.merge.fm_merge (tested)."""
-    bits = compute_gap_bits_sharded(e0, e1, mesh, batch=batch)
-    return interleave_device(mesh, bwt0, bwt1, bits)
+    bits, n = compute_gap_bits_sharded(e0, e1, mesh, batch=batch)
+    return interleave_device(mesh, bwt0, bwt1, bits, n=n)
 
 
 # ---------------------------------------------------------------------------

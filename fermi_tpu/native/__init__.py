@@ -80,6 +80,7 @@ def get_lib() -> ctypes.CDLL:
                 ctypes.c_int64,
                 ctypes.c_int,
                 ctypes.c_void_p,
+                ctypes.c_int,
                 ctypes.POINTER(ctypes.c_int64),
             ]
             lib.fsmem_all.restype = ctypes.POINTER(ctypes.c_int64)
@@ -125,7 +126,7 @@ def get_lib() -> ctypes.CDLL:
             lib.funitig_run_blk.restype = ctypes.c_void_p
             lib.funitig_run_blk.argtypes = [
                 ctypes.c_char_p, ctypes.c_int, ctypes.c_void_p,
-                ctypes.POINTER(ctypes.c_int64)]
+                ctypes.c_int, ctypes.POINTER(ctypes.c_int64)]
             lib.fsmem_all_blk.restype = ctypes.POINTER(ctypes.c_int64)
             lib.fsmem_all_blk.argtypes = [
                 ctypes.c_char_p,

@@ -111,6 +111,11 @@ struct PlainBits {
   inline void set_bend(int64_t i) { bend_[i] = 1; }
   inline bool visited_at(int64_t i) const { return visited_[i]; }
   inline void set_visited(int64_t i) { visited_[i] = 1; }
+  inline bool test_and_set_visited(int64_t i) {
+    bool o = visited_[i];
+    visited_[i] = 1;
+    return o;
+  }
 };
 
 struct SharedAtomicBits {
@@ -135,6 +140,11 @@ struct SharedAtomicBits {
   }
   inline void set_visited(int64_t i) {
     visited_[i].store(1, std::memory_order_relaxed);
+  }
+  // atomic test-and-set for the threaded walk's dedupe (the reference's
+  // __sync_fetch_and_or on `visited`, unitig.c:336-339)
+  inline bool test_and_set_visited(int64_t i) {
+    return visited_[i].exchange(1, std::memory_order_relaxed);
   }
 };
 
@@ -614,7 +624,75 @@ struct Builder {
     }
     up.dump();
   }
+
+  // stride worker for the threaded mode (reference unitig_core seed order,
+  // unitig.c:332-346); records the output length after every j block so
+  // the caller can gather blocks in global j order.
+  void run_strided(int64_t start, int64_t step, std::vector<size_t>* marks) {
+    int64_t n1 = e.n_seqs;
+    std::vector<uint8_t> s, cov;
+    for (int64_t j = start; j <= (n1 >> 2); j += step) {
+      for (int64_t i = (j << 2) | 1; i < (j << 2) + 4 && i < n1; i += 2) {
+        int64_t k_out[2];
+        std::vector<Intv> nei_out[2];
+        int nsr = 0;
+        if (!unitig1(i, s, cov, k_out, nei_out, &nsr)) continue;
+        // the reference's fetch_or order (unitig.c:336-339)
+        if (bits.test_and_set_visited(k_out[0])) continue;
+        if (bits.test_and_set_visited(k_out[1])) continue;
+        write_mag(s, cov, k_out, nei_out, nsr);
+      }
+      marks->push_back(out.size());
+    }
+  }
 };
+
+// Threaded walk matching the reference's `unitig -t N` semantics
+// (unitig.c:378-407): stride workers share relaxed-atomic used/bend/visited
+// bitmaps, so which unitig claims a boundary read under contention is
+// timing-dependent — the same nondeterminism class the reference accepts
+// with threads.  Unlike the reference (workers fputs-interleave stdout),
+// output blocks are gathered in deterministic global j order.
+static char* unitig_threaded(const Index& idx, int min_match,
+                             const uint64_t* sorted, int T,
+                             int64_t* out_len) {
+  int64_t n_seqs = idx.n_seqs;
+  std::unique_ptr<std::atomic<uint8_t>[]> au(new std::atomic<uint8_t>[n_seqs]);
+  std::unique_ptr<std::atomic<uint8_t>[]> ab(new std::atomic<uint8_t>[n_seqs]);
+  std::unique_ptr<std::atomic<uint8_t>[]> av(new std::atomic<uint8_t>[n_seqs]);
+  for (int64_t i = 0; i < n_seqs; ++i) {
+    au[i].store(0, std::memory_order_relaxed);
+    ab[i].store(0, std::memory_order_relaxed);
+    av[i].store(0, std::memory_order_relaxed);
+  }
+  SharedAtomicBits sb{au.get(), ab.get(), av.get()};
+  std::vector<std::unique_ptr<Builder<SharedAtomicBits>>> bs;
+  for (int t = 0; t < T; ++t)
+    bs.emplace_back(new Builder<SharedAtomicBits>(idx, min_match, sorted, sb));
+  std::vector<std::vector<size_t>> marks(T);
+  std::vector<std::thread> th;
+  for (int t = 0; t < T; ++t)
+    th.emplace_back([&, t] { bs[t]->run_strided(t, T, &marks[t]); });
+  for (auto& x : th) x.join();
+  size_t total = 0;
+  for (int t = 0; t < T; ++t) total += bs[t]->out.size();
+  char* p = (char*)malloc(total + 1);
+  size_t at = 0;
+  std::vector<size_t> seg(T, 0), from(T, 0);
+  for (int64_t blk = 0;; ++blk) {
+    int t = (int)(blk % T);
+    size_t si = seg[t];
+    if (si >= marks[t].size()) break;
+    size_t end = marks[t][si];
+    memcpy(p + at, bs[t]->out.data() + from[t], end - from[t]);
+    at += end - from[t];
+    from[t] = end;
+    ++seg[t];
+  }
+  p[at] = 0;
+  *out_len = (int64_t)at;
+  return p;
+}
 
 // Cache-warming runahead (the 10M-scale fix): the unitig walk is a chain
 // of dependent rank queries whose misses can't be overlapped within one
@@ -699,24 +777,33 @@ static char* unitig_with_index(const Index& idx, int min_match,
 extern "C" {
 
 // Runs unitig construction; returns malloc'd MAG text (caller frees with
-// frld_free) and its length via out_len.
+// frld_free) and its length via out_len.  n_threads==1: the exact
+// sequential walk (byte-parity with the single-threaded reference);
+// n_threads>1: reference `-t N` semantics (shared atomic bitmaps,
+// unitig.c:378-407), deterministic output ORDER but boundary decisions
+// timing-dependent like the reference's.
 char* funitig_run(const uint8_t* blocks, const int64_t* occ, int64_t n_rows,
                   const int64_t* cnt, int64_t n_seqs, int min_match,
-                  const uint64_t* sorted, int64_t* out_len) {
+                  const uint64_t* sorted, int n_threads, int64_t* out_len) {
   Index idx;
   idx.setup(blocks, occ, n_rows, cnt, n_seqs);
+  if (n_threads > 1)
+    return unitig_threaded(idx, min_match, sorted, n_threads, out_len);
   return unitig_with_index(idx, min_match, sorted, out_len);
 }
 
 // Same walk over an mmapped .fmd.blk record cache (out-of-core `-M` path):
 // RSS stays bounded by the pages the walk touches.
 char* funitig_run_blk(const char* blk_path, int min_match,
-                      const uint64_t* sorted, int64_t* out_len) {
+                      const uint64_t* sorted, int n_threads,
+                      int64_t* out_len) {
   Index idx;
   if (idx.setup_blk(blk_path)) {
     *out_len = -1;
     return nullptr;
   }
+  if (n_threads > 1)
+    return unitig_threaded(idx, min_match, sorted, n_threads, out_len);
   return unitig_with_index(idx, min_match, sorted, out_len);
 }
 

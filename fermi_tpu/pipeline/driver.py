@@ -28,13 +28,19 @@ def log(stage, msg):
 
 class Pipeline:
     def __init__(self, prefix, n_threads=8, unitig_k=50, paired=False,
-                 trim_l=0, skip_ec=False):
+                 trim_l=0, skip_ec=False, unitig_threads=None):
         self.prefix = prefix
         self.t = n_threads
         self.k = unitig_k
         self.paired = paired
         self.trim_l = trim_l
         self.skip_ec = skip_ec
+        # unitig threads default to n_threads like run-fermi.pl's
+        # `unitig -t $t`; pass 1 for byte-reproducible output (the
+        # reference's threaded unitig is timing-dependent too —
+        # unitig.c:336-339 raced bitmaps)
+        self.unitig_threads = (n_threads if unitig_threads is None
+                               else unitig_threads)
         self.min_clean_o = int(unitig_k * 1.2 + 0.499)
         self._cache = {}  # in-process index reuse across stages
 
@@ -407,8 +413,11 @@ class Pipeline:
         sorted_arr = None
         if self.paired:
             sorted_arr = np.fromfile(self._p("ec.rank"), np.uint64)
+        # FERMI_UNITIG_THREADS overrides the constructor's choice
+        ut = int(os.environ.get("FERMI_UNITIG_THREADS",
+                                str(self.unitig_threads)))
         with io.TextIOWrapper(gzip.open(out + ".tmp", "wb", 1)) as fp:
-            fm6_unitig(e, self.k, fp, sorted_arr)
+            fm6_unitig(e, self.k, fp, sorted_arr, n_threads=ut)
         os.rename(out + ".tmp", out)
 
     def _clean(self, src, dst, **over):

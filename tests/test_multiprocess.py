@@ -1,0 +1,106 @@
+"""Real multi-process distributed test: 2 CPU processes via
+jax.distributed.initialize, global dp mesh spanning both, sharded SMEM +
+distributed merge with parity asserted against the single-process oracle.
+
+This makes dist/sharded.py's multi-host claim real: the same shard_map
+code runs over a mesh whose devices belong to two OS processes, with the
+collectives crossing the process boundary (the CPU backend's stand-in for
+ICI/DCN).  Reference counterpart: none (fermi is single-host, files are
+the only cross-process channel — SURVEY §2.6); this is the rebuild's
+distributed backend working end-to-end.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+_WORKER = r"""
+import os, sys
+import numpy as np
+
+pid = int(sys.argv[1])
+nproc = int(sys.argv[2])
+coord = sys.argv[3]
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.distributed.initialize(coordinator_address=coord, num_processes=nproc,
+                           process_id=pid)
+assert jax.process_count() == nproc
+assert len(jax.devices()) == 4 * nproc
+
+sys.path.insert(0, os.getcwd())
+sys.path.insert(0, os.path.join(os.getcwd(), "tests"))
+from util import random_reads
+from fermi_tpu.core import dna
+from fermi_tpu.construct import suffix
+from fermi_tpu.index.fmd import FMDIndex
+from fermi_tpu.dist import sharded as sh
+
+def index_from(reads):
+    text = suffix.build_text([dna.encode(r) for r in reads],
+                             trim_palindrome=False)
+    bwt = suffix.multistring_bwt(text)
+    return FMDIndex.from_bwt(bwt), bwt
+
+# every process builds the same inputs deterministically
+r0 = random_reads(40, seed=7, with_genome=True, genome_len=900)
+r1 = random_reads(30, seed=8, with_genome=True, genome_len=900)
+e0, bwt0 = index_from(r0)
+e1, bwt1 = index_from(r1)
+
+mesh = sh.make_mesh(jax.devices(), dp=4, tp=2)   # spans both processes
+
+# sharded SMEM across processes
+qs = [dna.encode(r) for r in r0[:12]]
+eng = sh.ShardedSMEM(e0, mesh)
+got = eng.smem_all(qs, maxi=8, maxm=16)
+from fermi_tpu.search.smem import smem_all
+want = smem_all(e0, qs)
+assert got == want, "sharded SMEM mismatch across processes"
+
+# distributed merge across processes
+from fermi_tpu.algos.merge import fm_merge
+got_bwt = sh.fm_merge_sharded(e0, bwt0, e1, bwt1, mesh, batch=32)
+want_bwt = fm_merge(e0, bwt0, e1, bwt1)
+assert np.array_equal(got_bwt, want_bwt), "merge mismatch across processes"
+
+if pid == 0:
+    print("MULTIPROC_OK", len(got), int(got_bwt.size))
+jax.distributed.shutdown()
+"""
+
+
+@pytest.mark.slow
+def test_two_process_distributed(tmp_path):
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    script = str(tmp_path / "worker.py")
+    with open(script, "w") as f:
+        f.write(_WORKER)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    procs = [subprocess.Popen(
+        [sys.executable, script, str(pid), "2", coord],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, cwd=root, env=env)
+        for pid in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append((p.returncode, out, err))
+    for rc, out, err in outs:
+        assert rc == 0, err.decode()[-1500:]
+    assert b"MULTIPROC_OK" in outs[0][1], outs[0]

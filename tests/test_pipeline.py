@@ -77,7 +77,10 @@ def test_full_pipeline_parity(tmp_path, ref_fermi):
     from fermi_tpu.pipeline.driver import Pipeline
 
     myp = str(tmp_path / "my")
-    pl = Pipeline(myp, n_threads=4, unitig_k=40, paired=True)
+    # unitig_threads=1: byte parity is defined against the single-threaded
+    # reference (its own -t N output is timing-dependent)
+    pl = Pipeline(myp, n_threads=4, unitig_k=40, paired=True,
+                  unitig_threads=1)
     final = pl.run([fq])
 
     def read(path):

@@ -95,3 +95,39 @@ def test_native_matches_python_engine(tmp_path, ref_fermi):
         UnitigBuilder(e, 30, srt).run(buf)
         nat = fm6_unitig_native(e, 30, srt)
         assert nat == buf.getvalue()
+
+
+def test_threaded_mode(tmp_path):
+    """n_threads>1 follows the reference's `-t N` contract: a valid MAG
+    with unique end ids and the same read mass; the gather order is
+    deterministic (unlike the reference's interleaved stdout), and
+    n_threads=1 through the same entry stays byte-equal to sequential."""
+    import io
+
+    from fermi_tpu import rld
+    from fermi_tpu.algos.hostindex import HostIndex
+    from fermi_tpu.algos import mag as M
+    from fermi_tpu.algos.unitig import fm6_unitig_native
+
+    reads = random_reads(500, seed=41, with_genome=True, genome_len=4000,
+                         min_len=60, max_len=100)
+    fmd = str(tmp_path / "i.fmd")
+    build_my_fmd(reads, fmd)
+    e = HostIndex(rld.read_fmd(fmd).expand())
+    seq = fm6_unitig_native(e, 30, None, n_threads=1)
+    assert seq == fm6_unitig_native(e, 30, None)  # entry default unchanged
+    thr = fm6_unitig_native(e, 30, None, n_threads=3)
+
+    def parse(text, name):
+        p = str(tmp_path / name)
+        with open(p, "w") as f:
+            f.write(text)
+        return M.mag_read(p, dict(M.DEFAULT_OPT))
+
+    g_seq = parse(seq, "s.mag")
+    g_thr = parse(thr, "t.mag")
+    ids = [k for v in g_thr.v for k in v.k]
+    assert len(ids) == len(set(ids))  # visited dedupe held under threads
+    mass = lambda g: sum(v.len for v in g.v)
+    # same assembled mass up to boundary-read movement between unitigs
+    assert abs(mass(g_thr) - mass(g_seq)) <= 0.02 * mass(g_seq)
