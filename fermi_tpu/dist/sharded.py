@@ -35,6 +35,17 @@ from fermi_tpu.search.smem import _smem_batch_impl
 from fermi_tpu.search import smem as smem_mod
 
 
+def _fetch(x) -> np.ndarray:
+    """Host copy of a possibly process-spanning device array: plain
+    np.asarray single-process, process_allgather when the mesh spans
+    jax.distributed processes (every process gets the full value)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 def make_mesh(devices=None, dp=None, tp=None) -> Mesh:
     """dp×tp device mesh. Arbitrary shapes: pass dp and/or tp; the missing
     factor is derived from the device count (default tp=1: replicate the
@@ -185,7 +196,10 @@ class ShardedSMEM:
             qd = jax.device_put(
                 q, NamedSharding(self.mesh, P("dp", None)))
             ld = jax.device_put(lens, NamedSharding(self.mesh, P("dp")))
-            return self._fns[key](*self.arrays, qd, ld)
+            out = self._fns[key](*self.arrays, qd, ld)
+            if jax.process_count() > 1:
+                out = tuple(_fetch(o) for o in out)
+            return out
 
         return smem_mod.smem_all(self.index, seqs, self_match=self_match,
                                  maxi=maxi, maxm=maxm, batch=batch,
@@ -287,7 +301,7 @@ def compute_gap_bits_sharded(e0: FMDIndex, e1: FMDIndex, mesh: Mesh,
         init = np.full((batch, 1), -1, np.int64)
         init[:m, 0] = chunk + n0_seqs
         bits = upd(bits, dput(init, P("dp", None)))
-        while not bool(np.asarray(jnp.all(done))):
+        while not bool(_fetch(jnp.all(done))):
             k, i, done, pos = fn(*a1, *a0, k, i, done)
             bits = upd(bits, pos)
     return bits, n
@@ -314,7 +328,7 @@ def interleave_device(mesh: Mesh, bwt0, bwt1, bits, n=None):
     npad = bits.shape[0]
     L = npad // dp
     # per-shard popcounts -> each shard's base rank into bwt1/bwt0
-    pops = np.asarray(jnp.sum(bits.reshape(dp, L).astype(jnp.int64), axis=1))
+    pops = _fetch(jnp.sum(bits.reshape(dp, L).astype(jnp.int64), axis=1))
     base1 = np.zeros(dp + 1, np.int64)
     np.cumsum(pops, out=base1[1:])
     # slice each stream per shard (contiguous, pad to L)
@@ -343,7 +357,7 @@ def interleave_device(mesh: Mesh, bwt0, bwt1, bits, n=None):
 
     out = inter(bits, dput(b1, P("dp", None)), dput(b0, P("dp", None)))
     n = n if n is not None else len(bwt0) + len(bwt1)
-    return np.asarray(out)[:n].astype(np.uint8)
+    return _fetch(out)[:n].astype(np.uint8)
 
 
 def fm_merge_sharded(e0: FMDIndex, bwt0, e1: FMDIndex, bwt1, mesh: Mesh,

@@ -27,8 +27,11 @@ nproc = int(sys.argv[2])
 coord = sys.argv[3]
 
 os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
 import jax
+# the axon terminal's sitecustomize force-registers its TPU plugin at
+# interpreter start; override again post-import (same as tests/conftest.py)
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 4)
 jax.distributed.initialize(coordinator_address=coord, num_processes=nproc,
                            process_id=pid)
 assert jax.process_count() == nproc
