@@ -180,3 +180,112 @@ def test_correct_mean_properties():
     assert all(a < b for a, b in zip(vals, vals[1:]))
     assert abs(vals[0] - (mu + sigma ** 2 / (mu - 100.0))) < 0.2
     assert abs(correct_mean(600.0, mu, sigma) - 600.0) < 10.0
+
+
+def _linked_pair_pipeline(tmp_path, ref_fermi, distort=1.0, name="br"):
+    """Genome with a repeat (so arcs/maxo survive and the A-stat is sane)
+    and a read-START dead zone at one junction: the overlap chain breaks
+    there with the two contig ends physically overlapping by ~20 bp and
+    mate pairs still spanning — the exact precondition of patch_gap's
+    negative-gap machinery (scaf.c:497-519).  `distort` scales the
+    avg/std handed to scaf to drive the t-test (scaf.c:371-406,490-495)."""
+    rng = np.random.default_rng(1)
+    rl, insert = 70, 240
+    rep = "".join("ACGT"[c] for c in rng.integers(0, 4, 160))
+    segs = ["".join("ACGT"[c] for c in rng.integers(0, 4, n))
+            for n in (2200, 1400, 2000, 1500)]
+    genome = segs[0] + rep + segs[1] + segs[2] + rep + segs[3]
+    jn = len(segs[0]) + 160 + len(segs[1])
+    dead = (jn - 38, jn + 10)
+    glen = len(genome)
+    reads = []
+    for _ in range(4000):
+        ins = int(np.clip(rng.normal(insert, 22), rl + 10, 450))
+        pos = int(rng.integers(0, glen - ins))
+        r0 = pos + ins - rl
+        if dead[0] < pos < dead[1] or dead[0] < r0 < dead[1]:
+            continue
+        reads.append(genome[pos:pos + rl])
+        reads.append(revcomp_str(genome[r0:r0 + rl]))
+    fmd = str(tmp_path / f"{name}.fmd")
+    build_my_fmd(reads, fmd)
+    rank = subprocess.run([ref_fermi, "seqsort", fmd], check=True,
+                          capture_output=True).stdout
+    rank_f = str(tmp_path / f"{name}.rank")
+    open(rank_f, "wb").write(rank)
+    mag = subprocess.run([ref_fermi, "unitig", "-l", "40", "-r", rank_f, fmd],
+                         check=True, capture_output=True).stdout
+    p2 = subprocess.run([ref_fermi, "clean", "-CAOFo", "48", "-"],
+                        input=mag, check=True, capture_output=True).stdout
+    res = subprocess.run([ref_fermi, "remap", "-r", rank_f, fmd, "-"],
+                         input=p2, check=True, capture_output=True)
+    p3 = str(tmp_path / f"{name}.p3.mag")
+    open(p3, "wb").write(res.stdout)
+    m = re.search(r"avg = ([\d.]+) std = ([\d.]+)", res.stderr.decode())
+    return fmd, p3, float(m.group(1)) * distort, float(m.group(2)) * distort
+
+
+def _run_scaf_both(ref_fermi, fmd, p3, avg, std):
+    """(parity, ref_sw_lines, my_sw_lines, neg_gap_ts, tiny_ts)."""
+    from fermi_tpu.algos import scaf as S
+
+    res = subprocess.run([ref_fermi, "scaf", fmd, p3, str(avg), str(std)],
+                         check=True, capture_output=True)
+    ref_sw = [l for l in res.stderr.decode().splitlines()
+              if l.startswith("SW\t")]
+    negs, tiny = [], []
+    orig = S.compute_t
+
+    def spy(h, v, idd, l, *a, **k):
+        t = orig(h, v, idd, l, *a, **k)
+        if l < 0:
+            negs.append(t)
+        if t < 1e-5:
+            tiny.append(t)
+        return t
+
+    S.compute_t = spy
+    e = HostIndex(rld.read_fmd(fmd).expand())
+    buf, err = io.StringIO(), io.StringIO()
+    old = sys.stderr
+    sys.stderr = err
+    try:
+        S.scaf_core(e, p3, avg, std, out_fp=buf, verbose=False)
+    finally:
+        sys.stderr = old
+        S.compute_t = orig
+    my_sw = [l for l in err.getvalue().splitlines() if l.startswith("SW\t")]
+    return buf.getvalue() == res.stdout.decode(), ref_sw, my_sw, negs, tiny
+
+
+def test_scaf_negative_gap_sw_join(tmp_path, ref_fermi):
+    """SW fallback SUCCESS (scaf.c:497-516): overlapping contig ends are
+    joined with a negative gap after the mini-assembly fails."""
+    fmd, p3, avg, std = _linked_pair_pipeline(tmp_path, ref_fermi)
+    parity, _, _, negs, _ = _run_scaf_both(ref_fermi, fmd, p3, avg, std)
+    assert parity
+    assert negs, "negative-gap SW join did not engage"
+    assert all(t > 1e-5 for t in negs)  # accepted joins
+
+
+def test_scaf_t_test_rejection(tmp_path, ref_fermi):
+    """t-test rejection (scaf.c:371-406 + 490-495): inflated avg/std make
+    every patch's t vanish, so no links are committed — and the output
+    still byte-matches the reference under the same distortion."""
+    fmd, p3, avg, std = _linked_pair_pipeline(tmp_path, ref_fermi,
+                                              distort=2.5, name="tt")
+    parity, _, _, _, tiny = _run_scaf_both(ref_fermi, fmd, p3, avg, std)
+    assert parity
+    assert tiny, "t-test rejection did not engage"
+
+
+def test_scaf_sw_failure_diagnostic(tmp_path, ref_fermi):
+    """SW fallback FAILURE (scaf.c:518): when neither the mini-assembly
+    nor the end-overlap alignment survives, both sides emit the same
+    SW diagnostic lines and the same (unjoined) scaftigs."""
+    fmd, p3, avg, std = _linked_pair_pipeline(tmp_path, ref_fermi,
+                                              distort=0.4, name="swf")
+    parity, ref_sw, my_sw, _, _ = _run_scaf_both(ref_fermi, fmd, p3, avg, std)
+    assert parity
+    assert ref_sw, "SW failure path did not engage in the reference"
+    assert my_sw == ref_sw
