@@ -1126,8 +1126,8 @@ POOL_MAX = 8192         # reads per pool-mode device call (larger pools
 
 
 def smem_all(index: FMDIndex, seqs: list[np.ndarray], self_match=False,
-             maxi: int = 32, maxm: int = 64, batch: int | None = None,
-             runner=None):
+             maxi: int | None = None, maxm: int = 64,
+             batch: int | None = None, runner=None):
     """All SMEMs for a list of nt6 reads.
 
     Returns per read a list of (start, end, size, left_closed, kf) tuples, in
@@ -1137,9 +1137,13 @@ def smem_all(index: FMDIndex, seqs: list[np.ndarray], self_match=False,
     their interval sets reach hundreds of entries.  A custom `runner` (the
     distributed layer) uses the fixed-batch path.
 
-    maxi=32 default: measured on 100 bp reads against a 3x-coverage index,
-    per-segment interval lists run 17-32 entries; at 32 the redo rate is
-    ~0.2%.
+    The per-segment interval-list width (maxi) is COVERAGE-ADAPTIVE when
+    not given: interval counts scale with index coverage (17-32 entries at
+    3x for 100 bp reads, several-fold more at 25x), so the pool drivers
+    record the observed overflow fraction and double the learned width
+    (sticky on the index object) whenever >5% of a call rides the redo
+    ladder — the first call on a dense index pays redos once, subsequent
+    calls run at the learned width instead of redoing most of the pool.
     """
     B = len(seqs)
     if B == 0:
@@ -1148,6 +1152,8 @@ def smem_all(index: FMDIndex, seqs: list[np.ndarray], self_match=False,
     max_len = max(len(s) for s in seqs)
     if max_len > LONG_QUERY_LEN or not isinstance(index, FMDIndex):
         return smem_all_native(index, seqs, self_match)
+    if maxi is None:
+        maxi = getattr(index, "_smem_maxi", 32)
     if runner is None:
         if os.environ.get("FERMI_TPU_SMEM_SPLIT", "1") == "1":
             return _smem_all_pool_split(index, seqs, self_match, maxi,
@@ -1193,6 +1199,18 @@ def smem_all(index: FMDIndex, seqs: list[np.ndarray], self_match=False,
             redo = np.array(still, dtype=np.int64)
         assert not redo.size, "SMEM overflow at guaranteed buffer size"
     return results
+
+
+def _learn_maxi(index, n_redo, n_total, maxi):
+    """Coverage adaptation: when >5% of a call overflows the per-segment
+    interval list, double the width future smem_all calls start from
+    (sticky on the index object, capped at 256)."""
+    if n_total and n_redo > 0.05 * n_total:
+        try:
+            index._smem_maxi = min(256, 2 * max(
+                maxi, getattr(index, "_smem_maxi", 0)))
+        except Exception:
+            pass
 
 
 def _redo_ladder(index, seqs, redo, results, self_match, max_len, maxi,
@@ -1309,6 +1327,7 @@ def _smem_all_pool_split(index, seqs, self_match, maxi, maxm, lanes,
                 for s_i in range(int(nseg[t])):
                     out.extend(dec[t * S + s_i])
                 results[si] = out
+    _learn_maxi(index, len(redo), len(seqs), maxi)
     _redo_ladder(index, seqs, redo, results, self_match, max_len, maxi,
                  maxm)
     return results
@@ -1377,6 +1396,7 @@ def _smem_all_pool(index, seqs, self_match, maxi, maxm, lanes, max_len):
                 redo.append(si)
             else:
                 results[si] = dec[t]
+    _learn_maxi(index, len(redo), len(seqs), maxi)
     _redo_ladder(index, seqs, redo, results, self_match, max_len, maxi,
                  maxm)
     return results

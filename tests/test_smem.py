@@ -145,3 +145,30 @@ def test_redo_tiers_forced_by_tiny_buffers(tmp_path):
     want = smem_all(idx, seqs)
     got = smem_all(idx, seqs, maxi=4, maxm=8)
     assert got == want
+
+
+def test_high_coverage_adaptive_maxi(tmp_path, ref_fermi):
+    """25x-coverage index: the default-width pool overflows heavily, the
+    redo ladder still produces exact results (parity vs `fermi exact -s`),
+    and the coverage adaptation learns a wider per-segment interval width
+    so a second call starts above the 3x default."""
+    rng = np.random.default_rng(9)
+    genome = "".join("ACGT"[c] for c in rng.integers(0, 4, 9000))
+    reads = []
+    for _ in range(2500):   # 2500 * 90 / 9000 = 25x
+        pos = int(rng.integers(0, len(genome) - 90))
+        reads.append(genome[pos:pos + 90])
+    fmd = str(tmp_path / "cov25.fmd")
+    build_my_fmd(reads, fmd)
+    idx = FMDIndex.restore(fmd)
+    qreads = reads[:300]
+    fa = str(tmp_path / "q.fa")
+    write_fasta(fa, qreads)
+    names = [f"r{i}" for i in range(len(qreads))]
+    ref = _ref_exact(ref_fermi, fmd, fa, self_match=True)
+    assert _my_exact(idx, qreads, names, self_match=True) == ref
+    # dense index at 25x must have tripped the adaptation
+    learned = getattr(idx, "_smem_maxi", 32)
+    assert learned > 32, f"adaptation did not engage (learned={learned})"
+    # second call starts at the learned width and stays exact
+    assert _my_exact(idx, qreads, names, self_match=True) == ref
