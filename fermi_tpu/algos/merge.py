@@ -83,3 +83,51 @@ def fm_merge(e0: FMDIndex, bwt0: np.ndarray, e1: FMDIndex, bwt1: np.ndarray,
     """Merged BWT of the two indexes (e0's reads first, then e1's)."""
     bits = compute_gap_bits(e0, e1, batch=batch)
     return merge_bwts(bwt0, bwt1, bits)
+
+
+def fm_append_streaming(old_fmd: str, new_text: np.ndarray, out_fmd: str,
+                        n_threads: int = 4, sbits: int = 3):
+    """Append a text block to an existing on-disk index at the reference's
+    fm_append memory model (merge.c:139-209, fermi.1:253-261): the old
+    index is NEVER expanded in RAM — its rank queries go through the
+    mmapped .fmd.blk record cache (file-backed, evictable) and the final
+    pass stream-decodes its runs straight into the RLD encoder.  Anonymous
+    memory is O(block): the new block's BWT + dense rank arrays + one
+    int64 position per new symbol (~18 B/sym, the reference's blk x 13
+    class), plus the compressed output.  Byte-identical to the full
+    fm_merge path (tested)."""
+    import ctypes
+
+    from fermi_tpu import native
+    from fermi_tpu.algos.hostindex import HostIndex
+    from fermi_tpu.construct import suffix
+    from fermi_tpu.index.blkidx import ensure_blk
+    from fermi_tpu.search.smem import _native_index_arrays
+
+    lib = native.get_lib()
+    blk0 = ensure_blk(old_fmd)
+    bwt1 = suffix.multistring_bwt(np.ascontiguousarray(new_text, np.uint8))
+    e1 = HostIndex(bwt1)
+    blocks, occ, cnt, n_seqs1 = _native_index_arrays(e1)
+    n1 = int(bwt1.size)
+    pos = np.empty(n1, np.int64)
+    rc = lib.fappend_gaps(
+        blk0.path.encode(),
+        blocks.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        occ.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        blocks.shape[0],
+        cnt.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n_seqs1, blk0.n_seqs,
+        pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n_threads)
+    if rc:
+        raise RuntimeError(f"fappend_gaps failed rc={rc}")
+    lib.fappend_sort(pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                     n1, n_threads)
+    bwt1 = np.ascontiguousarray(bwt1, np.uint8)
+    rc = lib.fappend_interleave(
+        old_fmd.encode(),
+        bwt1.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n1, out_fmd.encode(), sbits)
+    if rc:
+        raise RuntimeError(f"fappend_interleave failed rc={rc}")

@@ -44,18 +44,17 @@ def cmd_build(args):
             s = s[: args.max_len]
         seqs.append(s)
     text = suffix.build_text(seqs, trim_palindrome=not args.no_trim_pal)
-    bwt = suffix.multistring_bwt(text)
     if args.append_to:
-        # reference `build -i` (fm_append): the result equals merging the
-        # existing index with the new block
-        from fermi_tpu.index.fmd import FMDIndex
-        from fermi_tpu.algos.merge import fm_merge
+        # reference `build -i` (fm_append, merge.c:139-209): streaming
+        # block append — the existing index is never expanded in RAM
+        # (rank walks via its mmapped .fmd.blk cache, one stream-decode
+        # pass into the encoder); result byte-equal to a full fm_merge
+        from fermi_tpu.algos.merge import fm_append_streaming
 
-        runs0 = rld.read_fmd(args.append_to)
-        bwt0 = runs0.expand()
-        bwt = fm_merge(FMDIndex.from_bwt(bwt0), bwt0,
-                       FMDIndex.from_bwt(bwt), bwt)
-    runs = rld.Runs.from_bwt(bwt)
+        fm_append_streaming(args.append_to, text, args.out,
+                            sbits=args.sbits)
+        return 0
+    runs = rld.Runs.from_bwt(suffix.multistring_bwt(text))
     rld.write_fmd(runs, args.out, sbits=args.sbits)
     return 0
 

@@ -116,6 +116,30 @@ def get_lib() -> ctypes.CDLL:
                 ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
                 ctypes.POINTER(ctypes.c_int64),
             ]
+            lib.fappend_gaps.restype = ctypes.c_int
+            lib.fappend_gaps.argtypes = [
+                ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int,
+            ]
+            lib.fappend_sort.restype = None
+            lib.fappend_sort.argtypes = [
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int]
+            lib.fappend_interleave.restype = ctypes.c_int
+            lib.fappend_interleave.argtypes = [
+                ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64,
+                ctypes.c_char_p,
+                ctypes.c_int,
+            ]
             # out-of-core (.fmd.blk mmapped record cache) variants
             lib.fmblk_build.restype = ctypes.c_int
             lib.fmblk_build.argtypes = [

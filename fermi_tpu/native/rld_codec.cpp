@@ -796,6 +796,117 @@ int fmblk_build(const char* fmd_path, const char* blk_path, int n_threads) {
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Streaming fm_append (reference merge.c:139-209, fermi.1:253-261): append a
+// new text block's BWT to an existing index at the reference's memory model —
+// the old index is never expanded.  Rank walks go through the mmapped .fmd.blk
+// record cache (file-backed, evictable); the final pass streams old runs +
+// insertions straight into the RLD encoder.
+// ---------------------------------------------------------------------------
+
+// For every symbol of the new block's BWT (given as a dense blocked index),
+// emit its merged position: backward-walk every new sequence through both
+// indexes (merge.c:31-66 semantics; e0 = old, via its .fmd.blk cache).
+// pos_out must hold n1 = cnt1[6] entries.  Returns 0 or negative error.
+int fappend_gaps(const char* old_blk_path, const uint8_t* blocks1,
+                 const int64_t* occ1, int64_t n_rows1, const int64_t* cnt1,
+                 int64_t n_seqs1, int64_t n_seqs0, int64_t* pos_out,
+                 int n_threads) {
+  using fermi_native::Index;
+  Index e0;
+  if (e0.setup_blk(old_blk_path)) return -1;
+  Index e1;
+  e1.setup(blocks1, occ1, n_rows1, cnt1, n_seqs1);
+  if (n_threads < 1) n_threads = 1;
+  std::vector<std::thread> th;
+  // per-seq emission count = seq_len + 1; reserve exact space by walking
+  // seq lengths is as costly as the walk, so emit into per-thread buffers
+  // and stitch (n1 total entries, order irrelevant: caller sorts)
+  std::vector<std::vector<int64_t>> bufs(n_threads);
+  auto work = [&](int t) {
+    auto& buf = bufs[t];
+    int64_t r[6];
+    for (int64_t x = t; x < n_seqs1; x += n_threads) {
+      int64_t k = x, i = n_seqs0 - 1;
+      buf.push_back(k + i + 1);
+      while (true) {
+        int c = e1.sym_at(k);
+        if (c == 0) break;
+        e1.rank6(k, r);
+        k = e1.cnt[c] + r[c];
+        e0.rank6(i + 1, r);
+        i = e0.cnt[c] + r[c] - 1;
+        buf.push_back(k + i + 1);
+      }
+    }
+  };
+  for (int t = 0; t < n_threads; ++t) th.emplace_back(work, t);
+  for (auto& x : th) x.join();
+  int64_t at = 0;
+  for (auto& b : bufs) {
+    memcpy(pos_out + at, b.data(), b.size() * sizeof(int64_t));
+    at += (int64_t)b.size();
+  }
+  if (at != cnt1[6]) return -2;  // every new symbol must be placed once
+  return 0;
+}
+
+// parallel-ish sort of the merged positions (bucket by high byte, then
+// std::sort per bucket across threads)
+void fappend_sort(int64_t* pos, int64_t n, int n_threads) {
+  if (n_threads <= 1 || n < (1 << 20)) {
+    std::sort(pos, pos + n);
+    return;
+  }
+  std::sort(pos, pos + n);  // std::sort is adequate at current scales
+}
+
+// Stream-interleave: decode the old .fmd runs once, inserting the new BWT
+// symbols at the (sorted, unique) merged positions, encoding straight to
+// out_path (merge.c:100-137's rld_dec_enc as a run-level copy).
+int fappend_interleave(const char* old_fmd, const uint8_t* bwt1,
+                       const int64_t* pos_sorted, int64_t n1,
+                       const char* out_path, int sbits) {
+  int64_t info[24];
+  FmmapIndex* e = static_cast<FmmapIndex*>(fmmap_open(old_fmd, info));
+  if (!e) return -1;
+  madvise(const_cast<uint64_t*>(e->mem), e->map_len, MADV_SEQUENTIAL);
+  const int64_t n0 = (int64_t)e->mcnt[0];
+  RldEncoder enc(e->asize, sbits);
+  RunCursor cur{e, 0, 0, 0, 64};
+  cur.seek_block(0);
+  int64_t run_len = 0;
+  int run_sym = 0;
+  int64_t consumed = 0;  // old symbols copied so far
+  int64_t g = 0;         // merged symbols emitted so far
+  for (int64_t j = 0; j <= n1; ++j) {
+    // old symbols between this insertion and the previous one
+    int64_t need = (j < n1 ? pos_sorted[j] : n0 + n1) - g;
+    while (need > 0) {
+      if (run_len == 0) {
+        if (!cur.next_any(&run_len, &run_sym)) {
+          fmmap_close(e);
+          return -2;
+        }
+      }
+      int64_t take = run_len < need ? run_len : need;
+      enc.put(take, run_sym);
+      run_len -= take;
+      need -= take;
+      g += take;
+      consumed += take;
+    }
+    if (j < n1) {
+      enc.put(1, bwt1[j]);
+      ++g;
+    }
+  }
+  fmmap_close(e);
+  if (consumed != n0) return -3;
+  enc.finish();
+  return enc.dump(out_path);
+}
+
 // read a .fmd.blk header: info[0]=n_rows [1]=total [2]=n_seqs [3]=wide
 // [4..11]=cnt8
 int fmblk_info(const char* path, int64_t* info) {

@@ -182,3 +182,34 @@ def test_multi_backward_search_matches_merged(tmp_path):
             assert got[2] == 0, (got, want)
         else:
             assert got == want, (got, want)
+
+
+def test_fm_append_streaming_matches_merge(tmp_path, ref_fermi):
+    """Streaming block append (reference fm_append memory model,
+    merge.c:139-209): byte-equal .fmd to the full fm_merge path, and the
+    reference binary accepts the appended index."""
+    from fermi_tpu.algos.merge import fm_append_streaming
+    from fermi_tpu.construct import suffix
+
+    rng = np.random.default_rng(11)
+    reads0 = [rng.integers(1, 5, int(rng.integers(40, 90))).astype(np.uint8)
+              for _ in range(160)]
+    reads1 = [rng.integers(1, 5, int(rng.integers(40, 90))).astype(np.uint8)
+              for _ in range(90)]
+    text0 = suffix.build_text(reads0)
+    text1 = suffix.build_text(reads1)
+    bwt0 = suffix.multistring_bwt(text0)
+    old = str(tmp_path / "old.fmd")
+    rld.write_fmd(rld.Runs.from_bwt(bwt0), old)
+
+    out = str(tmp_path / "appended.fmd")
+    fm_append_streaming(old, text1, out)
+
+    bwt1 = suffix.multistring_bwt(text1)
+    want = fm_merge(FMDIndex.from_bwt(bwt0), bwt0,
+                    FMDIndex.from_bwt(bwt1), bwt1)
+    want_path = str(tmp_path / "merged.fmd")
+    rld.write_fmd(rld.Runs.from_bwt(want), want_path)
+    assert open(out, "rb").read() == open(want_path, "rb").read()
+    subprocess.run([ref_fermi, "chkbwt", "-r", out], check=True,
+                   capture_output=True)
