@@ -28,11 +28,16 @@
 // multi-string text (reads in insertion order, sentinels included); out
 // receives the BWT (n bytes).  Byte-equal to fsa_bwt / multistring_bwt.
 
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <unistd.h>
+
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <ctime>
+#include <string>
 #include <thread>
 #include <vector>
 
@@ -248,16 +253,53 @@ static void run_cycles(Bcr* B, std::vector<Pend>* pend0, int64_t lmax,
 // allocation.
 struct RevRows {
   std::vector<uint8_t> bytes;
-  size_t stride = 0;
+  uint8_t* base = nullptr;
+  size_t stride = 0, map_len = 0;
+  bool mapped = false;
 
+  ~RevRows() {
+    if (mapped) munmap(base, map_len);
+  }
+  RevRows() = default;
+  RevRows(const RevRows&) = delete;
+  RevRows& operator=(const RevRows&) = delete;
+
+  // FERMI_BCR_SPILL=<dir>: back the transpose with an (unlinked) temp
+  // file instead of anonymous memory when it exceeds FERMI_BCR_SPILL_MIN
+  // (default 256 MB) — the out-of-core story of the reference's ld_dump
+  // (bcr.c:166-193, ropebwt -f): at 35x-human scale the transpose alone
+  // is tens of GB; file-backed pages write back and evict under pressure,
+  // so the build's anonymous footprint stays O(streams + pend).
   void alloc(int64_t m, int64_t lmax) {
     stride = (size_t)((((lmax + 2 + 3) >> 2) + 8 + 7) & ~(int64_t)7);
-    bytes.assign(stride * (size_t)m, 0);
+    size_t total = stride * (size_t)m;
+    const char* dir = getenv("FERMI_BCR_SPILL");
+    size_t minsz = (size_t)256 << 20;
+    if (const char* s = getenv("FERMI_BCR_SPILL_MIN"))
+      minsz = strtoull(s, nullptr, 10);
+    if (dir && *dir && total >= minsz) {
+      std::string path = std::string(dir) + "/fermi_bcr_rev_XXXXXX";
+      int fd = mkstemp(&path[0]);
+      if (fd >= 0) {
+        bool ok = ftruncate(fd, (off_t)total) == 0;
+        void* p = ok ? mmap(nullptr, total, PROT_READ | PROT_WRITE,
+                            MAP_SHARED, fd, 0)
+                     : MAP_FAILED;
+        unlink(path.c_str());
+        close(fd);
+        if (p != MAP_FAILED) {
+          base = (uint8_t*)p;
+          map_len = total;
+          mapped = true;
+          return;
+        }
+      }
+    }
+    bytes.assign(total, 0);
+    base = bytes.data();
   }
-  inline uint8_t* row(uint32_t r) { return bytes.data() + stride * r; }
-  inline const uint8_t* row(uint32_t r) const {
-    return bytes.data() + stride * r;
-  }
+  inline uint8_t* row(uint32_t r) { return base + stride * r; }
+  inline const uint8_t* row(uint32_t r) const { return base + stride * r; }
   // u64 window whose low bits start at rev-position pos (2-bit lanes)
   inline uint64_t window(uint32_t r, int64_t pos) const {
     uint64_t w;

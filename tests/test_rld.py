@@ -93,3 +93,22 @@ def test_palindrome_trim_semantics():
     assert text.size == 12
     text2 = suffix.build_text([s], trim_palindrome=False)
     assert text2.size == 14
+
+
+def test_bcr_spill_parity(monkeypatch, tmp_path):
+    """FERMI_BCR_SPILL: the file-backed transpose (the reference's ld_dump
+    out-of-core mode, bcr.c:166-193 / ropebwt -f) produces identical runs."""
+    import numpy as np
+
+    from fermi_tpu.construct import suffix
+    from fermi_tpu.construct.bcr import bcr_runs_native
+
+    rng = np.random.default_rng(3)
+    reads = [rng.integers(1, 5, 100).astype(np.uint8) for _ in range(5000)]
+    text = suffix.build_text(reads, trim_palindrome=False)
+    a = bcr_runs_native(text, n_threads=4)
+    monkeypatch.setenv("FERMI_BCR_SPILL", str(tmp_path))
+    monkeypatch.setenv("FERMI_BCR_SPILL_MIN", "1")
+    b = bcr_runs_native(text, n_threads=4)
+    assert np.array_equal(a.lengths, b.lengths)
+    assert np.array_equal(a.symbols, b.symbols)
