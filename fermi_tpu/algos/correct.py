@@ -244,6 +244,19 @@ def fix_reads(table: SolidTable, opt, seqs: list[bytes], quals: list[bytes],
     return out_seqs, out_quals, info, n_query
 
 
+def wants_device_collect() -> bool:
+    """Collect-phase platform dispatch: device BFS on a directly-attached
+    TPU, native DFS on cpu / over the tunneled dev chip.
+    FERMI_TPU_DEVICE_COLLECT=1/0 forces."""
+    mode = os.environ.get("FERMI_TPU_DEVICE_COLLECT", "auto")
+    if mode == "1":
+        return True
+    if mode != "auto":
+        return False
+    plat = os.environ.get("JAX_PLATFORMS", "").lower()
+    return "tpu" in plat and "axon" not in plat
+
+
 def ec_correct(index: FMDIndex, fastx_path: str, out_fp, w: int = -1,
                min_occ: int = 3, keep_bad=False, is_paired=False,
                max_corr=0.3, trim_l=0, step=5, n_threads: int = 8,
@@ -260,12 +273,7 @@ def ec_correct(index: FMDIndex, fastx_path: str, out_fp, w: int = -1,
     # BFS on a directly-attached TPU, the native DFS on cpu or over the
     # tunneled dev chip (where h2d/d2h round-trips dominate).  Both produce
     # the identical (cls, key, val) set (tests/test_correct.py).
-    mode = os.environ.get("FERMI_TPU_DEVICE_COLLECT", "auto")
-    use_dev = mode == "1"
-    if mode == "auto":
-        plat = os.environ.get("JAX_PLATFORMS", "").lower()
-        use_dev = "tpu" in plat and "axon" not in plat
-    if use_dev and isinstance(index, FMDIndex):
+    if wants_device_collect() and isinstance(index, FMDIndex):
         cls, key, val, (n_tot, n_info) = collect_solid_kmers(
             index, w, min_occ)
     else:

@@ -342,9 +342,13 @@ class Pipeline:
             return
         from fermi_tpu.algos import correct as ec
 
-        # the host mirror shares the blocked layout; avoids a device
-        # round-trip since the EC collect/fix engines are native anyway
-        idx = self._host(self._p("raw.fmd"))
+        # index form follows the collect dispatch: the device BFS needs
+        # the device-resident FMDIndex; the native DFS gets the host
+        # mirror (same blocked layout, no device round-trip)
+        if ec.wants_device_collect():
+            idx = self._fmd(self._p("raw.fmd"))
+        else:
+            idx = self._host(self._p("raw.fmd"))
         with io.TextIOWrapper(gzip.open(out + ".tmp", "wb", 1)) as fp:
             # the reference corrects the concatenated input stream
             ec.ec_correct(idx, list(fastx_paths), fp, n_threads=self.t,
