@@ -7,9 +7,11 @@
 // true set sizes. Shares the blocked-occ index layout with unitig.cpp.
 
 #include <algorithm>
+#include <atomic>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 #include "fmindex.h"
@@ -145,32 +147,55 @@ static int64_t* fsmem_all_impl(const Index& e, const uint8_t* queries,
                                const int64_t* offsets, int64_t n_queries,
                                int self_match, int64_t* counts_out,
                                int64_t* total_out) {
-  std::vector<Mem> all;
-  std::vector<Intv> prev, curr;
-  std::vector<Mem> mems;
-  for (int64_t qi = 0; qi < n_queries; ++qi) {
-    const uint8_t* q = queries + offsets[qi];
-    int len = (int)(offsets[qi + 1] - offsets[qi]);
-    mems.clear();
-    int x = 0;
-    while (x < len) {
-      prev.clear();
-      curr.clear();
-      int nx = smem1_core(e, len, q, x, mems, self_match != 0, prev, curr);
-      x = nx > x ? nx : x + 1;
+  // queries are independent: dynamic work-stealing over threads (contigs
+  // vary wildly in length), results stitched back in query order
+  unsigned hw = std::thread::hardware_concurrency();
+  int T = (int)std::min<int64_t>(hw ? hw : 1, (n_queries + 7) / 8);
+  if (const char* s = getenv("FERMI_SMEM_THREADS")) T = atoi(s);
+  if (T < 1) T = 1;
+  std::vector<std::vector<Mem>> per_q((size_t)n_queries);
+  std::atomic<int64_t> next{0};
+  auto work = [&] {
+    std::vector<Intv> prev, curr;
+    std::vector<Mem> mems;
+    while (true) {
+      int64_t qi = next.fetch_add(1, std::memory_order_relaxed);
+      if (qi >= n_queries) break;
+      const uint8_t* q = queries + offsets[qi];
+      int len = (int)(offsets[qi + 1] - offsets[qi]);
+      mems.clear();
+      int x = 0;
+      while (x < len) {
+        prev.clear();
+        curr.clear();
+        int nx = smem1_core(e, len, q, x, mems, self_match != 0, prev, curr);
+        x = nx > x ? nx : x + 1;
+      }
+      counts_out[qi] = (int64_t)mems.size();
+      per_q[qi] = mems;
     }
-    counts_out[qi] = (int64_t)mems.size();
-    for (auto& m : mems) all.push_back(m);
+  };
+  if (T == 1) {
+    work();
+  } else {
+    std::vector<std::thread> th;
+    for (int t = 0; t < T; ++t) th.emplace_back(work);
+    for (auto& x : th) x.join();
   }
-  *total_out = (int64_t)all.size();
-  int64_t* out = (int64_t*)malloc(sizeof(int64_t) * 5 * (all.size() + 1));
-  for (size_t i = 0; i < all.size(); ++i) {
-    out[i * 5 + 0] = all[i].start;
-    out[i * 5 + 1] = all[i].end;
-    out[i * 5 + 2] = all[i].sz;
-    out[i * 5 + 3] = all[i].closed;
-    out[i * 5 + 4] = all[i].kf;
-  }
+  int64_t total = 0;
+  for (auto& v : per_q) total += (int64_t)v.size();
+  *total_out = total;
+  int64_t* out = (int64_t*)malloc(sizeof(int64_t) * 5 * (total + 1));
+  size_t i = 0;
+  for (auto& v : per_q)
+    for (auto& m : v) {
+      out[i * 5 + 0] = m.start;
+      out[i * 5 + 1] = m.end;
+      out[i * 5 + 2] = m.sz;
+      out[i * 5 + 3] = m.closed;
+      out[i * 5 + 4] = m.kf;
+      ++i;
+    }
   return out;
 }
 
