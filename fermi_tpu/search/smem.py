@@ -1203,11 +1203,13 @@ def smem_all(index: FMDIndex, seqs: list[np.ndarray], self_match=False,
 
 def _learn_maxi(index, n_redo, n_total, maxi):
     """Coverage adaptation: when >5% of a call overflows the per-segment
-    interval list, double the width future smem_all calls start from
-    (sticky on the index object, capped at 256)."""
+    interval list, widen the width future smem_all calls start from
+    (sticky on the index object, capped at 256); a majority-overflow call
+    (dense 25x-style index) jumps 4x instead of 2x."""
     if n_total and n_redo > 0.05 * n_total:
+        factor = 4 if n_redo > 0.5 * n_total else 2
         try:
-            index._smem_maxi = min(256, 2 * max(
+            index._smem_maxi = min(256, factor * max(
                 maxi, getattr(index, "_smem_maxi", 0)))
         except Exception:
             pass
@@ -1216,11 +1218,13 @@ def _learn_maxi(index, n_redo, n_total, maxi):
 def _redo_ladder(index, seqs, redo, results, self_match, max_len, maxi,
                  maxm):
     """Re-run overflowed reads through the unified kernel with wider
-    buffers: 2x, 8x, then the guaranteed size.  The guaranteed tier's
-    buffers are enormous ([R, 2L+4] interval lists), so it runs in <=1024
-    -read chunks — a single huge compile once crashed the axon worker."""
-    tiers = ((2 * maxi, 4 * maxm, 1 << 30),
-             (8 * maxi, 16 * maxm, 1 << 30),
+    buffers: 2x, 8x, then the guaranteed size.  EVERY tier is chunked:
+    wide-buffer kernels over a whole 16k-read redo set (a dense 25x index
+    overflows nearly everything on the first, unadapted call) exhausted
+    HBM at a 2 Gsym index, and a single huge guaranteed-tier compile once
+    crashed the axon worker."""
+    tiers = ((2 * maxi, 4 * maxm, 4096),
+             (8 * maxi, 16 * maxm, 1024),
              (2 * max_len + 4, 4 * max_len + 8, 512))
     for wi, wm, chunk in tiers:
         if not redo:
