@@ -725,11 +725,17 @@ def _smem_fwd_impl(index, q, l, self_match: bool, max_len: int,
 def _smem_bwd_impl(index, q, OLkb, OLkf, OLsz, OLnfo, On, Ox,
                    self_match: bool, max_len: int, maxi: int, segs: int,
                    maxm: int, lanes: int, compact: int, unroll: int = 1,
-                   tail: int = 1, dbg: bool = False):
+                   tail: int = 1, dbg: bool = False, rows=None,
+                   n_rows=None):
     """Phase-split pass B: backward sweeps only, pooled over SEGMENT rows
     (each row independent: the reference's contained-match suppression is
     within-segment, smem.c:50-66).  Emissions land in per-row buffers;
     the host concatenates a read's rows in order.
+
+    `rows` (optional): explicit row worklist (int32, LPT-sorted by the
+    caller, padded with NR) with `n_rows` the real count — the width-tiered
+    driver runs one narrow call over the shallow rows and one wide call
+    over the rest; row ids stay global so q/emission indexing is unchanged.
 
     Returns (cvals [compact, 3], out_info [NP*segs], total)."""
     idt = index.idtype
@@ -750,10 +756,17 @@ def _smem_bwd_impl(index, q, OLkb, OLkf, OLsz, OLnfo, On, Ox,
     # LONGEST walk in it (straggler-bound; measured 260 round-iters vs ~93
     # ideal at 2048 lanes).  Serving rows longest-first packs the short
     # walks into the stragglers' shadow.
-    rord = jnp.argsort(-Ox[:NR]).astype(jnp.int32)
-    row0 = rord[jnp.minimum(jB, NR - 1)]
+    if rows is None:
+        rord = jnp.argsort(-Ox[:NR]).astype(jnp.int32)
+        n_real = jnp.int32(NR)
+        NSEL = NR
+    else:
+        rord = rows.astype(jnp.int32)
+        n_real = n_rows.astype(jnp.int32)
+        NSEL = rows.shape[0]
+    row0 = rord[jnp.minimum(jB, NSEL - 1)]
     state = dict(
-        done=jB >= NR,
+        done=jB >= n_real,
         row=row0, nxt=jnp.int32(B),
         i=Ox[row0] - 1,
         Lkb=OLkb[row0], Lkf=OLkf[row0], Lsz=OLsz[row0], Lnfo=OLnfo[row0],
@@ -934,11 +947,11 @@ def _smem_bwd_impl(index, q, OLkb, OLkf, OLsz, OLnfo, On, Ox,
             gmn | (ovf.astype(jnp.int32) << 30), mode="drop")
         rank, inc = _excl_cumsum(freed)
         row_new = st["nxt"] + rank
-        have = row_new < NR
+        have = row_new < n_real
         take = freed & have
         done = done | (freed & ~have)
         nxt = st["nxt"] + inc[-1]
-        rn = rord[jnp.minimum(row_new, NR - 1)]
+        rn = rord[jnp.minimum(row_new, NSEL - 1)]
         row = jnp.where(take, rn, row)
         # load the fresh row's segment list
         tk_ = take[:, None]
@@ -1278,10 +1291,15 @@ def _smem_all_pool_split(index, seqs, self_match, maxi, maxm, lanes,
     Ms = maxm  # per-segment match budget
     redo = []
     CAP = NPc * 16
-    # dispatch every pool's device work up front (jax dispatch is async and
-    # the device queue serializes) so host-side decode of pool k overlaps
-    # pool k+1's kernels
-    pending = []
+    # dispatch every pool's pass A up front (jax dispatch is async and the
+    # device queue serializes) so the host-side width triage of pool k
+    # overlaps pool k+1's forward kernel
+    lanes_b = max(512, min(lanes, 2048))
+    unroll_b = int(os.environ.get("FERMI_TPU_SMEM_BWD_UNROLL", "2"))
+    tail_b = int(os.environ.get("FERMI_TPU_SMEM_TAIL", "1"))
+    dbg_b = bool(os.environ.get("FERMI_TPU_SMEM_BWD_STATS"))
+    tier_b = os.environ.get("FERMI_TPU_SMEM_BWD_TIER", "1") == "1"
+    pendA = []
     for lo in range(0, len(ids_all), NPc):
         ids = ids_all[lo: lo + NPc]
         q = np.zeros((NPc, max_len), np.uint8)
@@ -1292,37 +1310,84 @@ def _smem_all_pool_split(index, seqs, self_match, maxi, maxm, lanes,
             lens[t] = len(s)
         qd, ld = jnp.asarray(q), jnp.asarray(lens)
         fa = _smem_fwd(index, qd, ld, self_match, max_len, maxi, S, lanes)
-        OLkb, OLkf, OLsz, OLnfo, On, Ox, Onseg, Oovf = fa
-        # With the scalar tail the long single-interval walks leave the
-        # wide loop, so wider pass-B lanes now pay off (pre-tail the
-        # scatter cost grew super-linearly and 1024 was the optimum):
-        # measured 512:1.27 1024:1.13 2048:0.91 4096:0.96 for the same
-        # segment pool, and unroll=2 is free at 2048.
-        lanes_b = max(512, min(lanes, 2048))
-        unroll_b = int(os.environ.get("FERMI_TPU_SMEM_BWD_UNROLL", "2"))
-        tail_b = int(os.environ.get("FERMI_TPU_SMEM_TAIL", "1"))
-        dbg_b = bool(os.environ.get("FERMI_TPU_SMEM_BWD_STATS"))
-        cvals_d, info_d, tot_d, *dbg_out = _smem_bwd(
-            index, qd, OLkb, OLkf, OLsz, OLnfo, On, Ox, self_match,
-            max_len, maxi, S, Ms, lanes_b, CAP, unroll_b, tail_b, dbg_b)
-        if dbg_b and dbg_out:
-            its = [int(np.asarray(v)) for v in dbg_out[0]]
-            print(f"[smem_bwd] iters={its}", file=sys.stderr)
-        pending.append((ids, cvals_d, info_d, tot_d, Onseg, Oovf))
-    for ids, cvals_d, info_d, tot_d, Onseg, Oovf in pending:
-        tot = int(np.asarray(tot_d))
-        a_ovf = np.asarray(Oovf)
-        nseg = np.asarray(Onseg)
-        info = np.asarray(info_d)
-        mn = np.minimum(info & ((1 << 30) - 1), Ms)
-        b_ovf = (info >> 30).astype(bool).reshape(NPc, S).any(axis=1)
-        if tot > CAP:
+        pendA.append((ids, qd, fa))
+
+    def run_bwd(qd, fa, wq, rows=None, n_rows=None):
+        OLkb, OLkf, OLsz, OLnfo, On, Ox = fa[:6]
+        if wq < maxi:  # slice the lists to the tier width (On <= wq)
+            OLkb, OLkf = OLkb[:, :wq], OLkf[:, :wq]
+            OLsz, OLnfo = OLsz[:, :wq], OLnfo[:, :wq]
+        out = _smem_bwd(index, qd, OLkb, OLkf, OLsz, OLnfo, On, Ox,
+                        self_match, max_len, wq, S, Ms, lanes_b, CAP,
+                        unroll_b, tail_b, dbg_b, rows, n_rows)
+        if dbg_b and len(out) > 3:
+            its = [int(np.asarray(v)) for v in out[3]]
+            print(f"[smem_bwd w={wq}] iters={its}", file=sys.stderr)
+        return out[:3]
+
+    def qwidth(w):
+        for cand in (8, 16, 32, 48, 64, 96, 128, 192, 256):
+            if w <= cand <= maxi:
+                return cand
+        return maxi
+
+    pendB = []
+    for ids, qd, fa in pendA:
+        On_h = np.asarray(fa[4])[:-1]
+        Ox_h = np.asarray(fa[5])[:-1]
+        nseg = np.asarray(fa[6])
+        NRp = NPc * S
+        real = np.zeros(NRp, bool)
+        for t in range(len(ids)):
+            real[t * S: t * S + nseg[t]] = True
+        rr = np.flatnonzero(real)
+        wmax = int(On_h[rr].max()) if rr.size else 1
+        wq = qwidth(wmax)
+        calls = []
+        narrow_mask = None
+        if tier_b and rr.size:
+            # width-tiered pass B: rank volume scales with the list width,
+            # so shallow rows (the majority at high coverage) run a narrow
+            # kernel and only the deep rows pay for the wide one
+            wn = qwidth(max(1, wq // 2))
+            nar = On_h[rr] <= wn
+            if wn < wq and 0.25 < nar.mean() < 1.0:
+                narrow_mask = np.zeros(NRp, bool)
+                narrow_mask[rr[nar]] = True
+                for rows_sel, w_sel in ((rr[nar], wn), (rr[~nar], wq)):
+                    order = rows_sel[np.argsort(-Ox_h[rows_sel])]
+                    NSEL = 1 << max(4, int(np.ceil(np.log2(len(order)))))
+                    rows_p = np.full(NSEL, NRp, np.int32)
+                    rows_p[: len(order)] = order
+                    calls.append(run_bwd(qd, fa, w_sel, jnp.asarray(rows_p),
+                                         jnp.int32(len(order))))
+        if not calls:
+            calls.append(run_bwd(qd, fa, wq))
+        pendB.append((ids, calls, narrow_mask, nseg, np.asarray(fa[7])))
+
+    for ids, calls, narrow_mask, nseg, a_ovf in pendB:
+        decs, infos, overcap = [], [], False
+        for cvals_d, info_d, tot_d in calls:
+            tot = int(np.asarray(tot_d))
+            if tot > CAP:
+                overcap = True
+                break
+            info = np.asarray(info_d)
+            mn = np.minimum(info & ((1 << 30) - 1), Ms)
+            tpad = min(CAP, ((max(tot, 1) + 65535) // 65536) * 65536)
+            decs.append(_decode_compact(np.asarray(cvals_d[:tpad]), mn))
+            infos.append(info)
+        if overcap:
             # extremely dense pool: redo everything through the ladder
             redo.extend(ids)
             continue
-        tpad = min(CAP, ((max(tot, 1) + 65535) // 65536) * 65536)
-        cvals = np.asarray(cvals_d[:tpad])
-        dec = _decode_compact(cvals, mn)
+        if len(decs) == 1:
+            dec, info = decs[0], infos[0]
+        else:
+            dec = [a if narrow_mask[r] else b
+                   for r, (a, b) in enumerate(zip(decs[0], decs[1]))]
+            info = np.where(narrow_mask, infos[0], infos[1])
+        b_ovf = (info >> 30).astype(bool).reshape(NPc, S).any(axis=1)
         for t, si in enumerate(ids):
             if a_ovf[t] or b_ovf[t]:
                 redo.append(si)
