@@ -574,7 +574,8 @@ def _smem_fwd_impl(index, q, l, self_match: bool, max_len: int,
         x=jnp.zeros(B, jnp.int32), i=jnp.ones(B, jnp.int32),
         seg=jnp.zeros(B, jnp.int32),
         kb=kb0, kf=kf0, sz=sz0,
-        lastnfo=jnp.zeros(B, jnp.int32),
+        Lkb=jnp.zeros((B, W), idt), Lkf=jnp.zeros((B, W), idt),
+        Lsz=jnp.zeros((B, W), idt), Lnfo=jnp.zeros((B, W), jnp.int32),
         n=jnp.zeros(B, jnp.int32),
         rovf=jnp.zeros(B, bool),
         OLkb=jnp.zeros((NR + 1, W), idt),
@@ -594,7 +595,7 @@ def _smem_fwd_impl(index, q, l, self_match: bool, max_len: int,
         done = st["done"]
         rid, ll, x, i, seg = st["rid"], st["ll"], st["x"], st["i"], st["seg"]
         kb, kf, sz, n = st["kb"], st["kf"], st["sz"], st["n"]
-        lastnfo = st["lastnfo"]
+        Lkb, Lkf, Lsz, Lnfo = st["Lkb"], st["Lkf"], st["Lsz"], st["Lnfo"]
         rovf = st["rovf"]
         fw = ~done
         at_end = i >= ll
@@ -631,41 +632,25 @@ def _smem_fwd_impl(index, q, l, self_match: bool, max_len: int,
         pushF1 = fw & at_end
         pushF2 = fw & at_end & (not self_match) & (f_ok0_sz != 0)
 
-        # push straight into the per-segment HBM rows (4 x B-element
-        # scatters) instead of carrying [B, W] lists: the lists were
-        # rewritten whole every iteration and dumped by full-row scatter,
-        # ~W times more vector traffic than the pushes themselves
-        prow = jnp.where(seg < S, rid * S + jnp.minimum(seg, S - 1), NR)
-        OLkb, OLkf = st["OLkb"], st["OLkf"]
-        OLsz, OLnfo = st["OLsz"], st["OLnfo"]
-
-        def spush(OLkb, OLkf, OLsz, OLnfo, n, rovf, lastnfo,
-                  m, vkb, vkf, vsz, vnfo):
+        def lpush(Lkb, Lkf, Lsz, Lnfo, n, rovf, m, vkb, vkf, vsz, vnfo):
             at = jnp.minimum(n, W - 1)
-            trow = jnp.where(m & (n < W), prow, NR)
-            OLkb = OLkb.at[trow, at].set(vkb.astype(idt), mode="drop")
-            OLkf = OLkf.at[trow, at].set(vkf.astype(idt), mode="drop")
-            OLsz = OLsz.at[trow, at].set(vsz.astype(idt), mode="drop")
-            OLnfo = OLnfo.at[trow, at].set(vnfo, mode="drop")
+            sel = m[:, None] & (jW[None, :] == at[:, None])
+            Lkb = jnp.where(sel, vkb[:, None].astype(idt), Lkb)
+            Lkf = jnp.where(sel, vkf[:, None].astype(idt), Lkf)
+            Lsz = jnp.where(sel, vsz[:, None].astype(idt), Lsz)
+            Lnfo = jnp.where(sel, vnfo[:, None], Lnfo)
             rovf = rovf | (m & (n >= W))
-            lastnfo = jnp.where(m, vnfo, lastnfo)
-            return (OLkb, OLkf, OLsz, OLnfo, n + m.astype(jnp.int32), rovf,
-                    lastnfo)
+            return Lkb, Lkf, Lsz, Lnfo, n + m.astype(jnp.int32), rovf
 
-        iB = jnp.broadcast_to(i, (B,))
-        llB = jnp.broadcast_to(ll, (B,))
-        OLkb, OLkf, OLsz, OLnfo, n2, rovf, lastnfo = spush(
-            OLkb, OLkf, OLsz, OLnfo, n, rovf, lastnfo, push1, kb, kf, sz,
-            iB)
-        OLkb, OLkf, OLsz, OLnfo, n2, rovf, lastnfo = spush(
-            OLkb, OLkf, OLsz, OLnfo, n2, rovf, lastnfo, push2, f_kb0,
-            f_kf0, f_ok0_sz, iB)
-        OLkb, OLkf, OLsz, OLnfo, n2, rovf, lastnfo = spush(
-            OLkb, OLkf, OLsz, OLnfo, n2, rovf, lastnfo, pushF1, kb, kf, sz,
-            llB)
-        OLkb, OLkf, OLsz, OLnfo, n2, rovf, lastnfo = spush(
-            OLkb, OLkf, OLsz, OLnfo, n2, rovf, lastnfo, pushF2, f_kb0,
-            f_kf0, f_ok0_sz, llB)
+        Lkb, Lkf, Lsz, Lnfo, n2, rovf = lpush(
+            Lkb, Lkf, Lsz, Lnfo, n, rovf, push1, kb, kf, sz, i)
+        Lkb, Lkf, Lsz, Lnfo, n2, rovf = lpush(
+            Lkb, Lkf, Lsz, Lnfo, n2, rovf, push2, f_kb0, f_kf0, f_ok0_sz, i)
+        Lkb, Lkf, Lsz, Lnfo, n2, rovf = lpush(
+            Lkb, Lkf, Lsz, Lnfo, n2, rovf, pushF1, kb, kf, sz, ll)
+        Lkb, Lkf, Lsz, Lnfo, n2, rovf = lpush(
+            Lkb, Lkf, Lsz, Lnfo, n2, rovf, pushF2, f_kb0, f_kf0, f_ok0_sz,
+            ll)
 
         adv = stepm & ~dead
         kb = jnp.where(adv, f_kbc, kb)
@@ -673,11 +658,18 @@ def _smem_fwd_impl(index, q, l, self_match: bool, max_len: int,
         sz = jnp.where(adv, okc_sz, sz)
 
         trans = fw & (dead | at_end)
-        ret_seg = jnp.where(n2 > 0, lastnfo, x + 1)
+        last_nfo = jnp.take_along_axis(
+            Lnfo, jnp.clip(n2 - 1, 0, W - 1)[:, None], 1)[:, 0]
+        ret_seg = jnp.where(n2 > 0, last_nfo, x + 1)
 
-        # close the finished segment's row (counts + start position)
+        # dump the finished segment's list
+        srow = rid * S + jnp.minimum(seg, S - 1)
         dump = trans & (seg < S)
-        tgt = jnp.where(dump, rid * S + jnp.minimum(seg, S - 1), NR)
+        tgt = jnp.where(dump, srow, NR)
+        OLkb = st["OLkb"].at[tgt].set(Lkb, mode="drop")
+        OLkf = st["OLkf"].at[tgt].set(Lkf, mode="drop")
+        OLsz = st["OLsz"].at[tgt].set(Lsz, mode="drop")
+        OLnfo = st["OLnfo"].at[tgt].set(Lnfo, mode="drop")
         On = st["On"].at[tgt].set(n2, mode="drop")
         Ox = st["Ox"].at[tgt].set(x, mode="drop")
         rovf = rovf | (trans & (seg >= S))
@@ -708,12 +700,12 @@ def _smem_fwd_impl(index, q, l, self_match: bool, max_len: int,
         kf = jnp.where(restart, rkf, kf)
         sz = jnp.where(restart, rsz, sz)
         n = jnp.where(restart, 0, n2)
-        lastnfo = jnp.where(restart, 0, lastnfo)
         x = xr
         i = jnp.where(restart, xr + 1, i + 1)
 
         return dict(done=done, rid=rid, ll=ll, nxt=nxt, x=x, i=i, seg=seg,
-                    kb=kb, kf=kf, sz=sz, lastnfo=lastnfo, n=n, rovf=rovf,
+                    kb=kb, kf=kf, sz=sz, Lkb=Lkb, Lkf=Lkf, Lsz=Lsz,
+                    Lnfo=Lnfo, n=n, rovf=rovf,
                     OLkb=OLkb, OLkf=OLkf, OLsz=OLsz, OLnfo=OLnfo,
                     On=On, Ox=Ox, Onseg=Onseg, Oovf=Oovf)
 
