@@ -1294,7 +1294,8 @@ def _smem_all_pool_split(index, seqs, self_match, maxi, maxm, lanes,
     # dispatch every pool's pass A up front (jax dispatch is async and the
     # device queue serializes) so the host-side width triage of pool k
     # overlaps pool k+1's forward kernel
-    lanes_b = max(512, min(lanes, 2048))
+    lanes_b = int(os.environ.get("FERMI_TPU_SMEM_BWD_LANES",
+                                 str(max(512, min(lanes, 2048)))))
     unroll_b = int(os.environ.get("FERMI_TPU_SMEM_BWD_UNROLL", "2"))
     tail_b = int(os.environ.get("FERMI_TPU_SMEM_TAIL", "1"))
     dbg_b = bool(os.environ.get("FERMI_TPU_SMEM_BWD_STATS"))
