@@ -1294,9 +1294,12 @@ def _smem_all_pool_split(index, seqs, self_match, maxi, maxm, lanes,
     # dispatch every pool's pass A up front (jax dispatch is async and the
     # device queue serializes) so the host-side width triage of pool k
     # overlaps pool k+1's forward kernel
-    lanes_b = int(os.environ.get("FERMI_TPU_SMEM_BWD_LANES",
-                                 str(max(512, min(lanes, 2048)))))
-    unroll_b = int(os.environ.get("FERMI_TPU_SMEM_BWD_UNROLL", "2"))
+    # pass-B shape swept on the 2 Gsym 25x index (tunnel, settled runs):
+    # lanes 128..512 tie at ~5.5-5.6k reads/s, 1024/2048/4096 fall off
+    # (4.7k/4.0k/3.2k) — per-iteration vector cost grows faster than the
+    # refill-round savings; unroll 4 ~= 2 > 8.
+    lanes_b = int(os.environ.get("FERMI_TPU_SMEM_BWD_LANES", "512"))
+    unroll_b = int(os.environ.get("FERMI_TPU_SMEM_BWD_UNROLL", "4"))
     tail_b = int(os.environ.get("FERMI_TPU_SMEM_TAIL", "1"))
     dbg_b = bool(os.environ.get("FERMI_TPU_SMEM_BWD_STATS"))
     tier_b = os.environ.get("FERMI_TPU_SMEM_BWD_TIER", "1") == "1"
