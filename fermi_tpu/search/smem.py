@@ -1132,10 +1132,13 @@ _smem_bwd = partial(jax.jit,
 
 LONG_QUERY_LEN = 512   # above this, use the native sequential engine
 SEGMENTS_PER_CALL = 16  # restart segments per device call in the long path
-POOL_MAX = 8192         # reads per pool-mode device call (larger pools
+POOL_MAX = int(os.environ.get("FERMI_TPU_SMEM_POOL", "8192"))
+                        # reads per pool-mode device call (larger pools
                         # measured slower: 8192 -> 2381 r/s vs 32768 -> 712
                         # on the same index/queries; output-compaction
-                        # scatter cost grows with NO*M)
+                        # scatter cost grows with NO*M, and pass A's
+                        # per-iteration OL dump scatter copies the whole
+                        # [NP*S+1, W] buffers — traced 60% of pass A)
 
 
 def smem_all(index: FMDIndex, seqs: list[np.ndarray], self_match=False,
