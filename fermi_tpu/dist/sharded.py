@@ -27,7 +27,21 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:  # jax >= 0.8: top-level; the experimental alias is deprecated
+    from jax import shard_map as _shard_map
+    _REP_KW = "check_vma"  # renamed from check_rep in the top-level API
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map as _shard_map
+    _REP_KW = "check_rep"
+
+
+def shard_map(f=None, /, **kw):
+    """shard_map with replication checking off, across jax versions."""
+    kw.setdefault(_REP_KW, False)
+    kw.pop("check_rep" if _REP_KW == "check_vma" else "check_vma", None)
+    if f is None:
+        return lambda g: _shard_map(g, **kw)
+    return _shard_map(f, **kw)
 
 from fermi_tpu.index.fmd import (BLOCK_BITS, BLOCK, FMDIndex,
                                  _swar_rank_count)
@@ -155,8 +169,7 @@ def _sharded_smem_fn(mesh: Mesh, self_match: bool, max_len: int, maxi: int,
     @partial(shard_map, mesh=mesh,
              in_specs=(P("tp", None), P("tp", None), P(), P(),
                        P("dp", None), P("dp")),
-             out_specs=(P("dp", None, None), P("dp"), P("dp"), P("dp")),
-             check_rep=False)
+             out_specs=(P("dp", None, None), P("dp"), P("dp"), P("dp")))
     def run(packed_l, occ_l, cnt, mcnt, q_l, l_l):
         view = _TpIndexView(packed_l, occ_l, cnt, mcnt)
         return _smem_batch_impl(view, q_l, l_l, self_match, max_len,
@@ -220,8 +233,7 @@ def _sharded_gap_chunk_fn(mesh: Mesh, steps: int):
              in_specs=(P("tp", None), P("tp", None), P(), P(),
                        P("tp", None), P("tp", None), P(), P(),
                        P("dp"), P("dp"), P("dp")),
-             out_specs=(P("dp"), P("dp"), P("dp"), P("dp", None)),
-             check_rep=False)
+             out_specs=(P("dp"), P("dp"), P("dp"), P("dp", None)))
     def run(p1, o1, c1, m1, p0, o0, c0, m0, k, i, done):
         e1 = _TpIndexView(p1, o1, c1, m1)
         e0 = _TpIndexView(p0, o0, c0, m0)
@@ -257,7 +269,7 @@ def _gap_bits_update_fn(mesh: Mesh):
 
     @jax.jit
     @partial(shard_map, mesh=mesh, in_specs=(P("dp"), P("dp", None)),
-             out_specs=P("dp"), check_rep=False)
+             out_specs=P("dp"))
     def upd(bits_l, pos_l):
         pos = jax.lax.all_gather(pos_l, "dp", tiled=True).ravel()
         L = bits_l.shape[0]
@@ -347,7 +359,7 @@ def interleave_device(mesh: Mesh, bwt0, bwt1, bits, n=None):
     @jax.jit
     @partial(shard_map, mesh=mesh,
              in_specs=(P("dp"), P("dp", None), P("dp", None)),
-             out_specs=P("dp"), check_rep=False)
+             out_specs=P("dp"))
     def inter(bits_l, b1_l, b0_l):
         lc = jnp.cumsum(bits_l.astype(jnp.int64)) - bits_l
         j = jnp.arange(bits_l.shape[0], dtype=jnp.int64)

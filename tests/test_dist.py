@@ -63,11 +63,11 @@ def test_tp_sharded_rank_parity(setup, tp):
 
     from functools import partial
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from fermi_tpu.dist.sharded import shard_map
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P("tp", None), P("tp", None), P(), P(), P("dp")),
-             out_specs=P("dp", None), check_rep=False)
+             out_specs=P("dp", None))
     def run(packed_l, occ_l, cnt, mcnt, k):
         view = sh._TpIndexView(packed_l, occ_l, cnt, mcnt)
         return view.rank6(k)
@@ -88,11 +88,11 @@ def test_tp_sharded_lf_parity(setup, tp):
 
     from functools import partial
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from fermi_tpu.dist.sharded import shard_map
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P("tp", None), P("tp", None), P(), P(), P("dp")),
-             out_specs=(P("dp"), P("dp")), check_rep=False)
+             out_specs=(P("dp"), P("dp")))
     def run(packed_l, occ_l, cnt, mcnt, k):
         view = sh._TpIndexView(packed_l, occ_l, cnt, mcnt)
         return view.lf(k)
