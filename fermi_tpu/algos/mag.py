@@ -156,7 +156,8 @@ class Mag:
         self.v_del(p)
 
     def v_flip(self, p: MagVertex):
-        p.seq = bytearray(dna.revcomp(np.frombuffer(bytes(p.seq), np.uint8)).tobytes())
+        rc = bytes(p.seq).translate(_NT6_COMP)
+        p.seq = bytearray(rc[::-1])
         p.cov.reverse()
         p.k[0], p.k[1] = p.k[1], p.k[0]
         p.nei[0], p.nei[1] = p.nei[1], p.nei[0]
@@ -392,6 +393,12 @@ def mag_print(g: Mag, out):
         out.write(mag_v_text(p))
 
 
+# nt6 -> printable base, bulk-translated (mag.c:149-174 prints "$ACGTN"[c])
+_NT6_PRINT = bytes.maketrans(bytes(range(6)), b"$ACGTN")
+# nt6 complement (fermi.h:52: fm6_comp is 5-c for A..T, fixed points 0/5)
+_NT6_COMP = bytes.maketrans(bytes(range(6)), bytes([0, 4, 3, 2, 1, 5]))
+
+
 def mag_v_text(p: MagVertex) -> str:
     if p.len <= 0:
         return ""
@@ -402,7 +409,7 @@ def mag_v_text(p: MagVertex) -> str:
             if not edge_is_del(a))
         parts.append(field_txt if p.nei[j] else ".")
     head = "\t".join(parts)
-    seq = "".join("ACGT"[c - 1] for c in p.seq)
+    seq = bytes(p.seq).translate(_NT6_PRINT).decode("latin1")
     cov = p.cov.decode("latin1")
     return f"{head}\n{seq}\n+\n{cov}\n"
 
