@@ -42,6 +42,27 @@ def _pallas_rank_mode() -> str:
     return "1" if jax.default_backend() not in ("cpu",) else "0"
 
 
+def _pick_idtype(n: int):
+    """Index integer domain for a total length of n symbols.
+
+    int32 while everything fits; uint32 up to 4 Gsym (kb/kf/occ values are
+    nonnegative counts, and the TPU emulates int64 — the 2 Gsym SMEM bench
+    ran ~int64-emulation-bound AND lost the fused rank row, which requires
+    32-bit occ); int64 beyond.  FERMI_TPU_IDX_DTYPE forces a domain (tests
+    exercise the uint32 kernels on small indexes this way)."""
+    import os
+
+    mode = os.environ.get("FERMI_TPU_IDX_DTYPE", "auto")
+    if mode != "auto":
+        return {"int32": np.int32, "uint32": np.uint32,
+                "int64": np.int64}[mode]
+    if n < 2**31 - BLOCK:
+        return np.int32
+    if n < 2**32 - BLOCK:
+        return np.uint32
+    return np.int64
+
+
 def _swar_rank_count(words: jnp.ndarray, off: jnp.ndarray) -> jnp.ndarray:
     """Per-symbol prefix counts within one 128-symbol block.
 
@@ -72,11 +93,14 @@ def _swar_rank_count(words: jnp.ndarray, off: jnp.ndarray) -> jnp.ndarray:
 
 def _fuse_rows(packed_i32: np.ndarray, occ: np.ndarray) -> jnp.ndarray:
     """[NB, 24] i32 fused rank rows: packed words + occ6 + pad (see the
-    FMDIndex.fused field comment)."""
+    FMDIndex.fused field comment).  occ values are stored as their 32-bit
+    pattern (uint32-domain indexes reinterpret on gather), so any occ that
+    fits 32 bits fuses."""
     nb = packed_i32.shape[0]
     fused = np.zeros((nb, 24), np.int32)
     fused[:, :16] = packed_i32
-    fused[:, 16:22] = occ[:, :6].astype(np.int32)
+    fused[:, 16:22] = (occ[:, :6] & 0xFFFFFFFF).astype(np.uint32) \
+        .view(np.int32)
     return jnp.asarray(fused)
 
 
@@ -134,7 +158,7 @@ class FMDIndex:
         cnt = np.zeros(8, dtype=np.int64)
         cnt[1:7] = np.cumsum(mcnt[1:7])
         cnt[7] = cnt[6]
-        dtype = np.int32 if n < 2**31 - BLOCK else np.int64
+        dtype = _pick_idtype(n)
         # nibble-packed blocks: 8 symbols per int32 word, symbol at block
         # offset j*8+s lives in nibble s of word j.  Max nibble value is 6,
         # so words stay positive in int32.  Halves rank-gather rows to 64 B
@@ -150,7 +174,7 @@ class FMDIndex:
             cnt=jnp.asarray(cnt.astype(dtype)),
             mcnt=jnp.asarray(mcnt.astype(dtype)),
             bwt_packed=jnp.asarray(packed),
-            fused=_fuse_rows(packed, occ) if dtype == np.int32 else None,
+            fused=_fuse_rows(packed, occ) if dtype != np.int64 else None,
         )
 
     @staticmethod
@@ -199,14 +223,14 @@ class FMDIndex:
         cnt = np.zeros(8, dtype=np.int64)
         cnt[1:7] = np.cumsum(mcnt[1:7])
         cnt[7] = cnt[6]
-        dtype = np.int32 if n < 2**31 - BLOCK else np.int64
+        dtype = _pick_idtype(n)
         idx = FMDIndex(
             bwt_blocks=jnp.asarray(blocks),
             occ=jnp.asarray(occ8.astype(dtype)),
             cnt=jnp.asarray(cnt.astype(dtype)),
             mcnt=jnp.asarray(mcnt.astype(dtype)),
             bwt_packed=jnp.asarray(packed),
-            fused=_fuse_rows(packed, occ8) if dtype == np.int32 else None,
+            fused=_fuse_rows(packed, occ8) if dtype != np.int64 else None,
         )
         # pre-seed the native-engine cache (search.smem._native_index_arrays)
         idx._native_arrays = (blocks, occ8, cnt, int(mcnt[1]))
