@@ -57,6 +57,22 @@ for _c, _ds in ((4, (0,)), (3, (0, 4)), (2, (0, 4, 3)),
 _MC = jnp.asarray(_MC)
 
 
+def _dead_spread(n, n_total, idt, salt=1):
+    """Gather positions for DEAD interval slots.
+
+    All-dead-slots-at-0 funnels every dead lane's rank gather into block 0:
+    measured 49-51 ns/row vs 31.6 for bank-spread indices at [49152, 24]
+    (HBM bank conflicts), a 1.6x tax on the gather-bound pass-B body where
+    ~80% of slots are dead.  A loop-invariant pseudo-random spread keeps
+    dead gathers off each other's banks.  Positions stay in [0, n_total)
+    (mod in uint32 — for >4 Gsym indexes the spread covers the first 4 G,
+    which is all the bank-spreading needs)."""
+    v = (jnp.arange(n, dtype=jnp.uint32) + jnp.uint32(salt * 40503)) \
+        * jnp.uint32(2654435761)
+    nm = jnp.maximum(n_total.astype(jnp.uint32), jnp.uint32(1))
+    return (v % nm).astype(idt)
+
+
 def _excl_cumsum(m, axis=-1):
     s = jnp.cumsum(m.astype(jnp.int32), axis=axis)
     return s - m.astype(jnp.int32), s
@@ -121,6 +137,8 @@ def _smem_batch_impl(index, q, l, self_match: bool, max_len: int,
     done0 = (x0 >= ll0) | (jB >= NP)
     c0 = qat(x0, rid0)
     kb0, kf0, sz0 = set_intv(c0)
+    deadA = _dead_spread(B * W, index.mcnt[0], idt, salt=1).reshape(B, W)
+    deadB = _dead_spread(B * W, index.mcnt[0], idt, salt=2).reshape(B, W)
     Z_W = jnp.zeros((B, W), idt)
     Z_Wi = jnp.zeros((B, W), jnp.int32)
     NO = NP if pool else B              # output rows (per read)
@@ -211,8 +229,8 @@ def _smem_batch_impl(index, q, l, self_match: bool, max_len: int,
         c = jnp.where(bwd, c_b, c_f)
 
         primary = jnp.where(bwd[:, None], Ekb, Ekf)
-        primary = jnp.where(live, primary, 0)
-        hi = jnp.where(live, primary + Esz, 0)
+        primary = jnp.where(live, primary, deadA)
+        hi = jnp.where(live, primary + Esz, deadB)
         # one fused rank battery for both interval ends
         if _ablate == "norank":
             tkl = jnp.zeros((B, 2 * W, 6), idt)
@@ -553,6 +571,8 @@ def _smem_fwd_impl(index, q, l, self_match: bool, max_len: int,
     l = l.astype(jnp.int32)
     rid0 = jnp.minimum(jB, NP - 1)
     ll0 = l[rid0]
+    deadA = _dead_spread(B, index.mcnt[0], idt, salt=5)
+    deadB = _dead_spread(B, index.mcnt[0], idt, salt=6)
 
     def qat(pos, rid):
         safe = jnp.clip(pos, 0, max_len - 1)
@@ -600,8 +620,8 @@ def _smem_fwd_impl(index, q, l, self_match: bool, max_len: int,
         fw = ~done
         at_end = i >= ll
         c = _comp6(qat(jnp.minimum(i, ll - 1), rid).astype(jnp.int32))
-        kfm = jnp.where(done, 0, kf)
-        r = index.rank6(jnp.stack([kfm, kfm + jnp.where(done, 0, sz)],
+        kfm = jnp.where(done, deadA, kf)
+        r = index.rank6(jnp.stack([kfm, jnp.where(done, deadB, kfm + sz)],
                                   axis=0))                 # [2, B, 6]
         tk, tl = r[0], r[1]
         osz = tl - tk
@@ -810,6 +830,9 @@ def _smem_bwd_impl(index, q, OLkb, OLkf, OLsz, OLnfo, On, Ox,
         return out
 
     cnt6 = index.cnt[:6].astype(idt)
+    n_total = index.mcnt[0]
+    deadA = _dead_spread(B * W, n_total, idt, salt=1).reshape(B, W)
+    deadB = _dead_spread(B * W, n_total, idt, salt=2).reshape(B, W)
 
     def body(st):
         done, row, i = st["done"], st["row"], st["i"]
@@ -822,8 +845,8 @@ def _smem_bwd_impl(index, q, OLkb, OLkf, OLsz, OLnfo, On, Ox,
         c = jnp.where(i < 0, 0, qat(i, rid).astype(jnp.int32))
 
         live = jnp.where(done[:, None], False, Lal)
-        primary = jnp.where(live, Lkb, 0)
-        hi = jnp.where(live, primary + Lsz, 0)
+        primary = jnp.where(live, Lkb, deadA)
+        hi = jnp.where(live, primary + Lsz, deadB)
         tkl = index.rank6(jnp.concatenate([primary, hi], axis=1))
         tk, tl = tkl[:, :W], tkl[:, W:]
         osz = tl - tk
@@ -1002,6 +1025,8 @@ def _smem_bwd_impl(index, q, OLkb, OLkf, OLsz, OLnfo, On, Ox,
         npend = jnp.sum(Cflag.astype(jnp.int32))
         B2 = min(2048, NR)
         jB2 = jnp.arange(B2, dtype=jnp.int32)
+        deadA2 = _dead_spread(B2, n_total, idt, salt=3)
+        deadB2 = _dead_spread(B2, n_total, idt, salt=4)
         r0 = pend[jnp.minimum(jB2, NR - 1)]
         st2 = dict(
             done=jB2 >= npend, row=r0, nxt=jnp.int32(B2),
@@ -1024,8 +1049,8 @@ def _smem_bwd_impl(index, q, OLkb, OLkf, OLsz, OLnfo, On, Ox,
             rid = row // S
             seg = row - rid * S
             c = jnp.where(i < 0, 0, qat(i, rid).astype(jnp.int32))
-            pk = jnp.where(bw, kb, 0)
-            hi = jnp.where(bw, kb + sz, 0)
+            pk = jnp.where(bw, kb, deadA2)
+            hi = jnp.where(bw, kb + sz, deadB2)
             tkl = index.rank6(jnp.stack([pk, hi], axis=1))   # [B2, 2, 6]
             osz6 = tkl[:, 1] - tkl[:, 0]                     # [B2, 6]
             okc_sz = jnp.zeros_like(sz)
