@@ -682,13 +682,17 @@ def _smem_fwd_impl(index, q, l, self_match: bool, max_len: int,
             Lnfo, jnp.clip(n2 - 1, 0, W - 1)[:, None], 1)[:, 0]
         ret_seg = jnp.where(n2 > 0, last_nfo, x + 1)
 
-        # dump the finished segment's list
+        # dump the finished segment's list; columns >= n2 still hold the
+        # lane's PREVIOUS segment (lpush only writes the pushed slot), and
+        # pass B derives liveness from sz != 0 — mask the size column so
+        # stale entries read as dead
         srow = rid * S + jnp.minimum(seg, S - 1)
         dump = trans & (seg < S)
         tgt = jnp.where(dump, srow, NR)
         OLkb = st["OLkb"].at[tgt].set(Lkb, mode="drop")
         OLkf = st["OLkf"].at[tgt].set(Lkf, mode="drop")
-        OLsz = st["OLsz"].at[tgt].set(Lsz, mode="drop")
+        OLsz = st["OLsz"].at[tgt].set(
+            jnp.where(jW[None, :] < n2[:, None], Lsz, 0), mode="drop")
         OLnfo = st["OLnfo"].at[tgt].set(Lnfo, mode="drop")
         On = st["On"].at[tgt].set(n2, mode="drop")
         Ox = st["Ox"].at[tgt].set(x, mode="drop")
@@ -752,6 +756,15 @@ def _smem_bwd_impl(index, q, OLkb, OLkf, OLsz, OLnfo, On, Ox,
     within-segment, smem.c:50-66).  Emissions land in per-row buffers;
     the host concatenates a read's rows in order.
 
+    Two-stage pool cascade (tail=1): the per-iteration cost is dominated by
+    the [B, 2W]-row rank gather, while a row's LIVE interval count decays
+    fast — so the wide pool PARKS a row the moment its live count fits Wt
+    (8 or 16): the surviving intervals are compacted into [NR, Wt] buffers
+    together with the packed walk state, the lane refills, and a second
+    narrow pool (the same body at width Wt) drains the parked rows at
+    2W/2Wt times lower gather volume.  This replaced the scalar (one-
+    interval) tail loop of rounds 2-3.
+
     `rows` (optional): explicit row worklist (int32, LPT-sorted by the
     caller, padded with NR) with `n_rows` the real count — the width-tiered
     driver runs one narrow call over the shallow rows and one wide call
@@ -764,60 +777,19 @@ def _smem_bwd_impl(index, q, OLkb, OLkf, OLsz, OLnfo, On, Ox,
     NP = NR // S
     B = lanes
     n_seqs = index.mcnt[1].astype(idt)
-    jW = jnp.arange(W, dtype=jnp.int32)
-    jB = jnp.arange(B, dtype=jnp.int32)
+    n_total = index.mcnt[0]
+    cnt6 = index.cnt[:6].astype(idt)
     qflat = q.reshape(-1)
+    # parked width: every pool-B row whose live count decays to <= Wt moves
+    # to the narrow pool
+    Wt = 8 if W <= 64 else 16
 
     def qat(pos, rid):
         safe = jnp.clip(pos, 0, max_len - 1)
         return qflat[rid * max_len + safe]
 
-    # LPT scheduling: pools drain in refill rounds, and each round costs the
-    # LONGEST walk in it (straggler-bound; measured 260 round-iters vs ~93
-    # ideal at 2048 lanes).  Serving rows longest-first packs the short
-    # walks into the stragglers' shadow.
-    if rows is None:
-        rord = jnp.argsort(-Ox[:NR]).astype(jnp.int32)
-        n_real = jnp.int32(NR)
-        NSEL = NR
-    else:
-        rord = rows.astype(jnp.int32)
-        n_real = n_rows.astype(jnp.int32)
-        NSEL = rows.shape[0]
-    row0 = rord[jnp.minimum(jB, NSEL - 1)]
-    state = dict(
-        done=jB >= n_real,
-        row=row0, nxt=jnp.int32(B),
-        i=Ox[row0] - 1,
-        Lkb=OLkb[row0], Lkf=OLkf[row0], Lsz=OLsz[row0], Lnfo=OLnfo[row0],
-        Lal=jW[None, :] < On[row0][:, None],
-        gmn=jnp.zeros(B, jnp.int32),
-        last_ms=jnp.zeros(B, jnp.int32),
-        ovf=jnp.zeros(B, bool),
-        gkf=jnp.zeros(NR * M, idt),
-        gsz=jnp.zeros(NR * M, idt),
-        gmt=jnp.zeros(NR * M, jnp.int32),
-        out_info=jnp.zeros(NR, jnp.int32),
-    )
-    # dbg is a static arg (resolved by the caller from
-    # FERMI_TPU_SMEM_BWD_STATS) so the jit cache stays consistent.
-    if dbg:
-        state["it"] = jnp.int32(0)
-    if tail:
-        # single-interval continuation slots (filled by the wide loop's
-        # early exit, drained by the scalar tail loop below)
-        state.update(
-            Ckb=jnp.zeros(NR, idt), Ckf=jnp.zeros(NR, idt),
-            Csz=jnp.zeros(NR, idt), Cnfo=jnp.zeros(NR, jnp.int32),
-            Ci=jnp.zeros(NR, jnp.int32), Cgmn=jnp.zeros(NR, jnp.int32),
-            Clast=jnp.zeros(NR, jnp.int32), Covf=jnp.zeros(NR, bool),
-            Cflag=jnp.zeros(NR, bool))
-
-    def cond(st):
-        return ~jnp.all(st["done"])
-
     def shr(a, k, fill):
-        pad = jnp.full((B, k), fill, a.dtype)
+        pad = jnp.full((a.shape[0], k), fill, a.dtype)
         return jnp.concatenate([pad, a[:, :-k]], axis=1)
 
     def flipW(a):
@@ -829,305 +801,266 @@ def _smem_bwd_impl(index, q, OLkb, OLkf, OLsz, OLnfo, On, Ox,
             out = jnp.where((c == s)[:, None], X[:, :, s], out)
         return out
 
-    cnt6 = index.cnt[:6].astype(idt)
-    n_total = index.mcnt[0]
-    deadA = _dead_spread(B * W, n_total, idt, salt=1).reshape(B, W)
-    deadB = _dead_spread(B * W, n_total, idt, salt=2).reshape(B, W)
+    # resumable walk state, packed per row: gmn(11b, clamped) | last(10b)
+    # | i+1(10b) | ovf(1b).  max_len <= LONG_QUERY_LEN keeps last and i+1
+    # in 10 bits; matches per segment are bounded by ~2 max_len < 2047.
+    def pack_meta(gmn, last, i, ovf):
+        return (jnp.minimum(gmn, 2047) | (last << 11) | ((i + 1) << 21)
+                | (ovf.astype(jnp.int32) << 31))
 
-    def body(st):
-        done, row, i = st["done"], st["row"], st["i"]
-        Lkb, Lkf, Lsz, Lnfo = st["Lkb"], st["Lkf"], st["Lsz"], st["Lnfo"]
-        Lal, gmn, last_ms, ovf = (st["Lal"], st["gmn"], st["last_ms"],
-                                  st["ovf"])
-        bw = ~done
-        rid = row // S
-        seg = row - rid * S
-        c = jnp.where(i < 0, 0, qat(i, rid).astype(jnp.int32))
+    def unpack_meta(m):
+        return (m & 2047, (m >> 11) & 1023, ((m >> 21) & 1023) - 1,
+                ((m >> 31) & 1).astype(bool))
 
-        live = jnp.where(done[:, None], False, Lal)
-        primary = jnp.where(live, Lkb, deadA)
-        hi = jnp.where(live, primary + Lsz, deadB)
-        tkl = index.rank6(jnp.concatenate([primary, hi], axis=1))
-        tk, tl = tkl[:, :W], tkl[:, W:]
-        osz = tl - tk
-        okc_sz = sel6(osz, c)
-        ok0_sz = osz[..., 0]
-        cnt6_c = jnp.zeros_like(c, dtype=idt)
-        for s in range(6):
-            cnt6_c = jnp.where(c == s, cnt6[s], cnt6_c)
-        primary_c = cnt6_c[:, None] + sel6(tk, c)
-        mc_c = jnp.zeros((B, 6), idt)
-        for s in range(6):
-            mc_c = jnp.where((c == s)[:, None], _MC[s].astype(idt), mc_c)
-        other_c = Lkf + jnp.sum(osz * mc_c[:, None, :], axis=-1, dtype=idt)
-        okc_kb, okc_kf = primary_c, other_c
+    shared0 = dict(
+        gkf=jnp.zeros(NR * M, idt),
+        gsz=jnp.zeros(NR * M, idt),
+        gmt=jnp.zeros(NR * M, jnp.int32),
+        out_info=jnp.zeros(NR, jnp.int32),
+    )
+    park0 = dict(
+        Pkb=jnp.zeros((NR + 1, Wt), idt), Pkf=jnp.zeros((NR + 1, Wt), idt),
+        Psz=jnp.zeros((NR + 1, Wt), idt),
+        Pnfo=jnp.zeros((NR + 1, Wt), jnp.int32),
+        Pmeta=jnp.zeros(NR + 1, jnp.int32),
+    ) if tail else {}
 
-        valid = Lal & bw[:, None]
-        fl = (ok0_sz != 0) & (Lkf < n_seqs)
-        if self_match:
-            contv = okc_sz > 1
-        else:
-            contv = okc_sz != 0
-        keep = (~contv) | fl | (i == -1)[:, None]
-        cand = contv & valid
-
-        candF = flipW(cand)
-        szF = flipW(okc_sz)
-        hasF = candF
-        valF = jnp.where(candF, szF, 0)
-        k = 1
-        while k < W:
-            hasF_s = shr(hasF, k, False)
-            valF_s = shr(valF, k, 0)
-            valF = jnp.where(hasF, valF, valF_s)
-            hasF = hasF | hasF_s
-            k *= 2
-        prevF_has = shr(hasF, 1, False)
-        prevF_s = shr(valF, 1, 0)
-        do_currF = candF & (flipW(Lkf < n_seqs) | ~prevF_has
-                            | (szF != prevF_s))
-        do_curr = flipW(do_currF)
-        cnn = jnp.sum(do_curr, axis=1, dtype=jnp.int32)
-
-        cnF_before, _ = _excl_cumsum(do_currF, axis=1)
-        do_keepF = flipW(keep & valid) & ((cnF_before == 0) | flipW(fl))
-        base_ok = (gmn == 0) | ((i + 1) < last_ms)
-        abF_before, _ = _excl_cumsum(do_keepF, axis=1)
-        do_memF = do_keepF & (flipW(fl)
-                              | (base_ok[:, None] & (abF_before == 0)))
-        dmF_before, dmF_inc = _excl_cumsum(do_memF, axis=1)
-        do_mem = flipW(do_memF)
-        at = gmn[:, None] + flipW(dmF_before)
-        ovf = ovf | jnp.any(do_mem & (at >= M), axis=1)
-        meta = ((seg[:, None] << 21) | (Lnfo << 11)
-                | ((i + 1)[:, None] << 1)
-                | (ok0_sz != 0).astype(jnp.int32))
-        E = min(8, W)
-        ordn = flipW(dmF_before)
-        ovf = ovf | jnp.any(do_mem & (ordn >= E), axis=1)
-        onehot = (do_mem & (ordn < E))[:, :, None] & \
-            (ordn[:, :, None] == jnp.arange(E, dtype=jnp.int32))
-
-        def pick(v):
-            # keep the operand dtype: jnp.sum would promote int32 -> int64
-            # under x64, making the scatter below a FutureWarning/error
-            return jnp.sum(jnp.where(onehot, v[:, :, None], 0), axis=1,
-                           dtype=v.dtype)
-        e_kf = pick(Lkf)
-        e_sz = pick(Lsz)
-        e_meta = pick(meta.astype(jnp.int32))
-        e_has = jnp.any(onehot, axis=1)
-        e_at = gmn[:, None] + jnp.arange(E, dtype=jnp.int32)
-        tgt = jnp.where(e_has & (e_at < M),
-                        (row * M)[:, None] + jnp.minimum(e_at, M - 1),
-                        NR * M).reshape(-1)
-        gkf = st["gkf"].at[tgt].set(e_kf.reshape(-1), mode="drop")
-        gsz = st["gsz"].at[tgt].set(e_sz.reshape(-1), mode="drop")
-        gmt = st["gmt"].at[tgt].set(e_meta.reshape(-1), mode="drop")
-        n_mem = dmF_inc[:, -1]
-        last_ms = jnp.where(bw & (n_mem > 0), i + 1, last_ms)
-        gmn = jnp.where(bw, jnp.minimum(gmn + n_mem, M), gmn)
-
-        upd = bw[:, None] & do_curr
-        Lkb = jnp.where(upd, okc_kb, Lkb)
-        Lkf = jnp.where(upd, okc_kf, Lkf)
-        Lsz = jnp.where(upd, okc_sz, Lsz)
-        Lal = jnp.where(bw[:, None], do_curr, Lal)
-        i = jnp.where(bw, i - 1, i)
-
-        term = bw & ((i < -1) | (cnn == 0))
-        freed = term
-        nst_extra = {}
-        if tail:
-            # half of all row-iterations walk with exactly ONE live
-            # interval (measured live-by-age decay: ~20 at age 0, 1.0 by
-            # age ~11, then a tail up to ~100 steps) while paying the full
-            # [W] + [W] rank gather.  Hand such rows to the scalar tail
-            # loop: park the surviving interval in the continuation slots
-            # and free the lane.
-            sc = bw & ~term & (cnn == 1)
-            m1 = Lal & sc[:, None]
-            kb1 = jnp.sum(jnp.where(m1, Lkb, 0), axis=1, dtype=Lkb.dtype)
-            kf1 = jnp.sum(jnp.where(m1, Lkf, 0), axis=1, dtype=Lkf.dtype)
-            sz1 = jnp.sum(jnp.where(m1, Lsz, 0), axis=1, dtype=Lsz.dtype)
-            nfo1 = jnp.sum(jnp.where(m1, Lnfo, 0), axis=1,
-                           dtype=Lnfo.dtype)
-            ctgt = jnp.where(sc, row, NR)
-            nst_extra = dict(
-                Ckb=st["Ckb"].at[ctgt].set(kb1, mode="drop"),
-                Ckf=st["Ckf"].at[ctgt].set(kf1, mode="drop"),
-                Csz=st["Csz"].at[ctgt].set(sz1, mode="drop"),
-                Cnfo=st["Cnfo"].at[ctgt].set(nfo1, mode="drop"),
-                Ci=st["Ci"].at[ctgt].set(i, mode="drop"),
-                Cgmn=st["Cgmn"].at[ctgt].set(gmn, mode="drop"),
-                Clast=st["Clast"].at[ctgt].set(last_ms, mode="drop"),
-                Covf=st["Covf"].at[ctgt].set(ovf, mode="drop"),
-                Cflag=st["Cflag"].at[ctgt].set(True, mode="drop"))
-            freed = term | sc
-        # write the finished row's info, pull the next segment row
-        rtgt = jnp.where(term, row, NR)
-        out_info = st["out_info"].at[rtgt].set(
-            gmn | (ovf.astype(jnp.int32) << 30), mode="drop")
-        rank, inc = _excl_cumsum(freed)
-        row_new = st["nxt"] + rank
-        have = row_new < n_real
-        take = freed & have
-        done = done | (freed & ~have)
-        nxt = st["nxt"] + inc[-1]
-        rn = rord[jnp.minimum(row_new, NSEL - 1)]
-        row = jnp.where(take, rn, row)
-        # load the fresh row's segment list
-        tk_ = take[:, None]
-        Lkb = jnp.where(tk_, OLkb[rn], Lkb)
-        Lkf = jnp.where(tk_, OLkf[rn], Lkf)
-        Lsz = jnp.where(tk_, OLsz[rn], Lsz)
-        Lnfo = jnp.where(tk_, OLnfo[rn], Lnfo)
-        Lal = jnp.where(tk_, jW[None, :] < On[rn][:, None], Lal)
-        i = jnp.where(take, Ox[rn] - 1, i)
-        gmn = jnp.where(take, 0, gmn)
-        last_ms = jnp.where(take, 0, last_ms)
-        ovf = ovf & ~take
-
-        nst = dict(done=done, row=row, nxt=nxt, i=i,
-                   Lkb=Lkb, Lkf=Lkf, Lsz=Lsz, Lnfo=Lnfo, Lal=Lal,
-                   gmn=gmn, last_ms=last_ms, ovf=ovf,
-                   gkf=gkf, gsz=gsz, gmt=gmt, out_info=out_info)
-        nst.update(nst_extra)
+    def run_pool(Wp, SLkb, SLkf, SLsz, SLnfo, Smeta, rord_p, n_real_p,
+                 shared, park_st, park, unroll_p, salt):
+        """One refill pool at list width Wp.  Rows come from the SL*/Smeta
+        source buffers (SLsz != 0 marks live entries; Smeta packs the
+        resumable walk state).  park=True compacts decayed rows into the
+        park_st buffers instead of walking them to termination."""
+        jWp = jnp.arange(Wp, dtype=jnp.int32)
+        jBp = jnp.arange(B, dtype=jnp.int32)
+        jWt = jnp.arange(Wt, dtype=jnp.int32)
+        NSEL = rord_p.shape[0]
+        deadA = _dead_spread(B * Wp, n_total, idt, salt).reshape(B, Wp)
+        deadB = _dead_spread(B * Wp, n_total, idt, salt + 1).reshape(B, Wp)
+        row0 = rord_p[jnp.minimum(jBp, NSEL - 1)]
+        m0 = Smeta[row0]
+        g0, l0, i0, o0 = unpack_meta(m0)
+        state = dict(
+            done=jBp >= n_real_p,
+            row=row0, nxt=jnp.int32(B),
+            i=i0,
+            Lkb=SLkb[row0], Lkf=SLkf[row0], Lsz=SLsz[row0],
+            Lnfo=SLnfo[row0],
+            Lal=SLsz[row0] != 0,
+            gmn=g0, last_ms=l0, ovf=o0,
+        )
+        state.update(shared)
+        state.update(park_st)
         if dbg:
-            nst["it"] = st["it"] + 1
-        return nst
+            state["it"] = jnp.int32(0)
 
-    def body_n(st):
-        # Same amortization as the unified kernel's unroll (body_n above):
-        # the body is idempotent for done lanes and refill happens inside
-        # the body, so extra steps per while-iteration never change results
-        # — they only cut the per-iteration table re-staging / carry
-        # round-trip overhead k-fold.
-        for _ in range(max(1, unroll)):
-            st = body(st)
-        return st
+        def cond(st):
+            return ~jnp.all(st["done"])
 
-    st = jax.lax.while_loop(cond, body_n, state)
-
-    if tail:
-        # Scalar tail: drain the single-interval continuations.  Each lane
-        # carries one (kb, kf, sz) interval and walks backward with a
-        # [B2, 2]-row rank per step (vs [B, 2W] in the wide loop).  With a
-        # single list entry the reference sweep (smem.c:50-66) reduces to:
-        # always extend while extendable; emit (pre-extension interval)
-        # when the extension fails, on a full-length hit, or at i == -1.
-        Cflag = st["Cflag"]
-        # same LPT trick for the scalar drain: longest continuations first
-        # (remaining walk length = Ci + 2)
-        pend = jnp.argsort(
-            jnp.where(Cflag, -st["Ci"], jnp.int32(2 ** 31 - 1))
-        ).astype(jnp.int32)
-        npend = jnp.sum(Cflag.astype(jnp.int32))
-        B2 = min(2048, NR)
-        jB2 = jnp.arange(B2, dtype=jnp.int32)
-        deadA2 = _dead_spread(B2, n_total, idt, salt=3)
-        deadB2 = _dead_spread(B2, n_total, idt, salt=4)
-        r0 = pend[jnp.minimum(jB2, NR - 1)]
-        st2 = dict(
-            done=jB2 >= npend, row=r0, nxt=jnp.int32(B2),
-            i=st["Ci"][r0], kb=st["Ckb"][r0], kf=st["Ckf"][r0],
-            sz=st["Csz"][r0], nfo=st["Cnfo"][r0],
-            gmn=st["Cgmn"][r0], last=st["Clast"][r0], ovf=st["Covf"][r0],
-            gkf=st["gkf"], gsz=st["gsz"], gmt=st["gmt"],
-            out_info=st["out_info"])
-        if dbg:
-            st2["it"] = jnp.int32(0)
-
-        def cond2(s):
-            return ~jnp.all(s["done"])
-
-        def body2(s):
-            done, row, i = s["done"], s["row"], s["i"]
-            kb, kf, sz, nfo = s["kb"], s["kf"], s["sz"], s["nfo"]
-            gmn, last, ovf = s["gmn"], s["last"], s["ovf"]
+        def body(st):
+            done, row, i = st["done"], st["row"], st["i"]
+            Lkb, Lkf, Lsz, Lnfo = st["Lkb"], st["Lkf"], st["Lsz"], st["Lnfo"]
+            Lal, gmn, last_ms, ovf = (st["Lal"], st["gmn"], st["last_ms"],
+                                      st["ovf"])
             bw = ~done
             rid = row // S
             seg = row - rid * S
             c = jnp.where(i < 0, 0, qat(i, rid).astype(jnp.int32))
-            pk = jnp.where(bw, kb, deadA2)
-            hi = jnp.where(bw, kb + sz, deadB2)
-            tkl = index.rank6(jnp.stack([pk, hi], axis=1))   # [B2, 2, 6]
-            osz6 = tkl[:, 1] - tkl[:, 0]                     # [B2, 6]
-            okc_sz = jnp.zeros_like(sz)
+
+            live = jnp.where(done[:, None], False, Lal)
+            primary = jnp.where(live, Lkb, deadA)
+            hi = jnp.where(live, primary + Lsz, deadB)
+            tkl = index.rank6(jnp.concatenate([primary, hi], axis=1))
+            tk, tl = tkl[:, :Wp], tkl[:, Wp:]
+            osz = tl - tk
+            okc_sz = sel6(osz, c)
+            ok0_sz = osz[..., 0]
             cnt6_c = jnp.zeros_like(c, dtype=idt)
-            tk_c = jnp.zeros_like(sz)
-            mc_c = jnp.zeros((B2, 6), idt)
-            for s6 in range(6):
-                m = c == s6
-                okc_sz = jnp.where(m, osz6[:, s6], okc_sz)
-                cnt6_c = jnp.where(m, cnt6[s6], cnt6_c)
-                tk_c = jnp.where(m, tkl[:, 0, s6], tk_c)
-                mc_c = jnp.where(m[:, None], _MC[s6].astype(idt), mc_c)
-            okc_kb = cnt6_c + tk_c
-            okc_kf = kf + jnp.sum(osz6 * mc_c, axis=-1, dtype=idt)
-            ok0_sz = osz6[:, 0]
-            fl = (ok0_sz != 0) & (kf < n_seqs)
+            for s in range(6):
+                cnt6_c = jnp.where(c == s, cnt6[s], cnt6_c)
+            primary_c = cnt6_c[:, None] + sel6(tk, c)
+            mc_c = jnp.zeros((B, 6), idt)
+            for s in range(6):
+                mc_c = jnp.where((c == s)[:, None], _MC[s].astype(idt), mc_c)
+            other_c = Lkf + jnp.sum(osz * mc_c[:, None, :], axis=-1,
+                                    dtype=idt)
+            okc_kb, okc_kf = primary_c, other_c
+
+            valid = Lal & bw[:, None]
+            fl = (ok0_sz != 0) & (Lkf < n_seqs)
             if self_match:
                 contv = okc_sz > 1
             else:
                 contv = okc_sz != 0
-            keep = (~contv) | fl | (i == -1)
-            base_ok = (gmn == 0) | ((i + 1) < last)
-            do_mem = bw & keep & (fl | base_ok)
-            meta = ((seg << 21) | (nfo << 11) | ((i + 1) << 1)
+            keep = (~contv) | fl | (i == -1)[:, None]
+            cand = contv & valid
+
+            candF = flipW(cand)
+            szF = flipW(okc_sz)
+            hasF = candF
+            valF = jnp.where(candF, szF, 0)
+            k = 1
+            while k < Wp:
+                hasF_s = shr(hasF, k, False)
+                valF_s = shr(valF, k, 0)
+                valF = jnp.where(hasF, valF, valF_s)
+                hasF = hasF | hasF_s
+                k *= 2
+            prevF_has = shr(hasF, 1, False)
+            prevF_s = shr(valF, 1, 0)
+            do_currF = candF & (flipW(Lkf < n_seqs) | ~prevF_has
+                                | (szF != prevF_s))
+            do_curr = flipW(do_currF)
+            cnn = jnp.sum(do_curr, axis=1, dtype=jnp.int32)
+
+            cnF_before, _ = _excl_cumsum(do_currF, axis=1)
+            do_keepF = flipW(keep & valid) & ((cnF_before == 0) | flipW(fl))
+            base_ok = (gmn == 0) | ((i + 1) < last_ms)
+            abF_before, _ = _excl_cumsum(do_keepF, axis=1)
+            do_memF = do_keepF & (flipW(fl)
+                                  | (base_ok[:, None] & (abF_before == 0)))
+            dmF_before, dmF_inc = _excl_cumsum(do_memF, axis=1)
+            do_mem = flipW(do_memF)
+            at = gmn[:, None] + flipW(dmF_before)
+            ovf = ovf | jnp.any(do_mem & (at >= M), axis=1)
+            meta = ((seg[:, None] << 21) | (Lnfo << 11)
+                    | ((i + 1)[:, None] << 1)
                     | (ok0_sz != 0).astype(jnp.int32))
-            ovf = ovf | (do_mem & (gmn >= M))
-            tgt = jnp.where(do_mem & (gmn < M),
-                            row * M + jnp.minimum(gmn, M - 1), NR * M)
-            gkf = s["gkf"].at[tgt].set(kf, mode="drop")
-            gsz = s["gsz"].at[tgt].set(sz, mode="drop")
-            gmt = s["gmt"].at[tgt].set(meta, mode="drop")
-            last = jnp.where(do_mem, i + 1, last)
-            gmn = jnp.where(do_mem, jnp.minimum(gmn + 1, M), gmn)
-            upd = bw & contv
-            kb = jnp.where(upd, okc_kb, kb)
-            kf = jnp.where(upd, okc_kf, kf)
-            sz = jnp.where(upd, okc_sz, sz)
+            E = min(8, Wp)
+            ordn = flipW(dmF_before)
+            ovf = ovf | jnp.any(do_mem & (ordn >= E), axis=1)
+            onehot = (do_mem & (ordn < E))[:, :, None] & \
+                (ordn[:, :, None] == jnp.arange(E, dtype=jnp.int32))
+
+            def pick(v):
+                # keep the operand dtype: jnp.sum would promote int32 ->
+                # int64 under x64, making the scatter a FutureWarning/error
+                return jnp.sum(jnp.where(onehot, v[:, :, None], 0), axis=1,
+                               dtype=v.dtype)
+            e_kf = pick(Lkf)
+            e_sz = pick(Lsz)
+            e_meta = pick(meta.astype(jnp.int32))
+            e_has = jnp.any(onehot, axis=1)
+            e_at = gmn[:, None] + jnp.arange(E, dtype=jnp.int32)
+            tgt = jnp.where(e_has & (e_at < M),
+                            (row * M)[:, None] + jnp.minimum(e_at, M - 1),
+                            NR * M).reshape(-1)
+            gkf = st["gkf"].at[tgt].set(e_kf.reshape(-1), mode="drop")
+            gsz = st["gsz"].at[tgt].set(e_sz.reshape(-1), mode="drop")
+            gmt = st["gmt"].at[tgt].set(e_meta.reshape(-1), mode="drop")
+            n_mem = dmF_inc[:, -1]
+            last_ms = jnp.where(bw & (n_mem > 0), i + 1, last_ms)
+            gmn = jnp.where(bw, jnp.minimum(gmn + n_mem, M), gmn)
+
+            upd = bw[:, None] & do_curr
+            Lkb = jnp.where(upd, okc_kb, Lkb)
+            Lkf = jnp.where(upd, okc_kf, Lkf)
+            Lsz = jnp.where(upd, okc_sz, Lsz)
+            Lal = jnp.where(bw[:, None], do_curr, Lal)
             i = jnp.where(bw, i - 1, i)
-            term = bw & ((i < -1) | ~contv)
+
+            term = bw & ((i < -1) | (cnn == 0))
+            freed = term
+            nst_extra = {}
+            if park:
+                # live width fits the narrow pool: compact the surviving
+                # (post-update) entries to the first Wt slots, stash the
+                # packed walk state, free the lane
+                pkm = bw & ~term & (cnn <= Wt)
+                posn, _ = _excl_cumsum(do_curr, axis=1)
+                oh = (do_curr & pkm[:, None] & (posn < Wt))[:, :, None] & \
+                    (posn[:, :, None] == jWt)
+                def pickw(v):
+                    return jnp.sum(jnp.where(oh, v[:, :, None], 0), axis=1,
+                                   dtype=v.dtype)
+                ptgt = jnp.where(pkm, row, NR)
+                nst_extra = dict(
+                    Pkb=st["Pkb"].at[ptgt].set(pickw(Lkb), mode="drop"),
+                    Pkf=st["Pkf"].at[ptgt].set(pickw(Lkf), mode="drop"),
+                    Psz=st["Psz"].at[ptgt].set(pickw(Lsz), mode="drop"),
+                    Pnfo=st["Pnfo"].at[ptgt].set(pickw(Lnfo), mode="drop"),
+                    Pmeta=st["Pmeta"].at[ptgt].set(
+                        pack_meta(gmn, last_ms, i, ovf), mode="drop"))
+                freed = term | pkm
+            # write the finished row's info, pull the next source row
             rtgt = jnp.where(term, row, NR)
-            out_info = s["out_info"].at[rtgt].set(
+            out_info = st["out_info"].at[rtgt].set(
                 gmn | (ovf.astype(jnp.int32) << 30), mode="drop")
-            rank, inc = _excl_cumsum(term)
-            row_new = s["nxt"] + rank
-            have = row_new < npend
-            take = term & have
-            done = done | (term & ~have)
-            nxt = s["nxt"] + inc[-1]
-            pr = pend[jnp.minimum(row_new, NR - 1)]
-            row = jnp.where(take, pr, row)
-            kb = jnp.where(take, st["Ckb"][pr], kb)
-            kf = jnp.where(take, st["Ckf"][pr], kf)
-            sz = jnp.where(take, st["Csz"][pr], sz)
-            nfo = jnp.where(take, st["Cnfo"][pr], nfo)
-            i = jnp.where(take, st["Ci"][pr], i)
-            gmn = jnp.where(take, st["Cgmn"][pr], gmn)
-            last = jnp.where(take, st["Clast"][pr], last)
-            ovf = jnp.where(take, st["Covf"][pr], ovf)
-            nst2 = dict(done=done, row=row, nxt=nxt, i=i, kb=kb, kf=kf,
-                        sz=sz, nfo=nfo, gmn=gmn, last=last, ovf=ovf,
-                        gkf=gkf, gsz=gsz, gmt=gmt, out_info=out_info)
+            rank, inc = _excl_cumsum(freed)
+            row_new = st["nxt"] + rank
+            have = row_new < n_real_p
+            take = freed & have
+            done = done | (freed & ~have)
+            nxt = st["nxt"] + inc[-1]
+            rn = rord_p[jnp.minimum(row_new, NSEL - 1)]
+            row = jnp.where(take, rn, row)
+            tk_ = take[:, None]
+            Lkb = jnp.where(tk_, SLkb[rn], Lkb)
+            Lkf = jnp.where(tk_, SLkf[rn], Lkf)
+            Lsz = jnp.where(tk_, SLsz[rn], Lsz)
+            Lnfo = jnp.where(tk_, SLnfo[rn], Lnfo)
+            Lal = jnp.where(tk_, SLsz[rn] != 0, Lal)
+            mg, ml, mi, mo = unpack_meta(Smeta[rn])
+            i = jnp.where(take, mi, i)
+            gmn = jnp.where(take, mg, gmn)
+            last_ms = jnp.where(take, ml, last_ms)
+            ovf = jnp.where(take, mo, ovf)
+
+            nst = dict(done=done, row=row, nxt=nxt, i=i,
+                       Lkb=Lkb, Lkf=Lkf, Lsz=Lsz, Lnfo=Lnfo, Lal=Lal,
+                       gmn=gmn, last_ms=last_ms, ovf=ovf,
+                       gkf=gkf, gsz=gsz, gmt=gmt, out_info=out_info)
+            for k2 in park_st:
+                if k2 not in nst_extra:
+                    nst_extra[k2] = st[k2]
+            nst.update(nst_extra)
             if dbg:
-                nst2["it"] = s["it"] + 1
-            return nst2
+                nst["it"] = st["it"] + 1
+            return nst
 
-        def body2_n(s):
-            for _ in range(4):   # idempotent for done lanes
-                s = body2(s)
-            return s
+        def body_n(st):
+            # the body is idempotent for done lanes and refill happens
+            # inside it, so extra unrolled steps never change results —
+            # they only amortize the per-iteration staging/carry overhead
+            for _ in range(max(1, unroll_p)):
+                st = body(st)
+            return st
 
-        st2 = jax.lax.while_loop(cond2, body2_n, st2)
-        st = dict(st, gkf=st2["gkf"], gsz=st2["gsz"], gmt=st2["gmt"],
-                  out_info=st2["out_info"])
-        if dbg:
-            st["_dbg"] = (st["it"], st2["it"], npend)
+        st = jax.lax.while_loop(cond, body_n, state)
+        new_shared = {k2: st[k2] for k2 in shared}
+        new_park = {k2: st[k2] for k2 in park_st}
+        return new_shared, new_park, st.get("it", jnp.int32(0))
 
-    info = st["out_info"]
+    # LPT scheduling: pools drain in refill rounds, and each round costs the
+    # LONGEST walk in it (straggler-bound; measured 260 round-iters vs ~93
+    # ideal at 2048 lanes).  Serving rows longest-first packs the short
+    # walks into the stragglers' shadow.
+    if rows is None:
+        rord = jnp.argsort(-Ox[:NR]).astype(jnp.int32)
+        n_real = jnp.int32(NR)
+    else:
+        rord = rows.astype(jnp.int32)
+        n_real = n_rows.astype(jnp.int32)
+    fresh_meta = jnp.concatenate([Ox[:NR] << 21, jnp.zeros(1, jnp.int32)])
+
+    shared, parked, it0 = run_pool(
+        W, OLkb, OLkf, OLsz, OLnfo, fresh_meta, rord, n_real,
+        shared0, park0, bool(tail), unroll, salt=11)
+
+    npend = jnp.int32(0)
+    it1 = jnp.int32(0)
+    if tail:
+        # narrow pool over the parked rows, LPT by remaining walk length
+        has_p = parked["Psz"][:, 0] != 0
+        pi = (parked["Pmeta"] >> 21) & 1023
+        pend = jnp.argsort(
+            jnp.where(has_p, -pi, jnp.int32(2 ** 31 - 1))).astype(jnp.int32)
+        npend = jnp.sum(has_p.astype(jnp.int32))
+        shared, _, it1 = run_pool(
+            Wt, parked["Pkb"], parked["Pkf"], parked["Psz"], parked["Pnfo"],
+            parked["Pmeta"], pend, npend, shared, {}, False, 4, salt=13)
+
+    info = shared["out_info"]
     mn = jnp.minimum(info & ((1 << 30) - 1), M)
     valid = (jnp.arange(M, dtype=jnp.int32)[None, :]
              < mn[:, None]).reshape(-1)
@@ -1135,12 +1068,12 @@ def _smem_bwd_impl(index, q, OLkb, OLkf, OLsz, OLnfo, On, Ox,
     tot = pos[-1] + valid[-1].astype(jnp.int32)
     tgt = jnp.where(valid & (pos < compact), pos, compact)
     cvals = jnp.stack([
-        jnp.zeros(compact, idt).at[tgt].set(st["gkf"], mode="drop"),
-        jnp.zeros(compact, idt).at[tgt].set(st["gsz"], mode="drop"),
+        jnp.zeros(compact, idt).at[tgt].set(shared["gkf"], mode="drop"),
+        jnp.zeros(compact, idt).at[tgt].set(shared["gsz"], mode="drop"),
         jnp.zeros(compact, idt).at[tgt].set(
-            st["gmt"].astype(idt), mode="drop")], axis=-1)
+            shared["gmt"].astype(idt), mode="drop")], axis=-1)
     if dbg:
-        return cvals, info, tot, st.get("_dbg", (st.get("it", 0),))
+        return cvals, info, tot, (it0, it1, npend)
     return cvals, info, tot
 
 
