@@ -256,6 +256,23 @@ def _add_correct(sub):
     p.set_defaults(func=cmd_correct)
 
 
+def _load_host_or_device(path):
+    """Index loader mirroring the pipeline's platform dispatch: commands
+    whose engines run on the host (cpu / tunneled-axon platforms) get a
+    HostIndex and never pay the device upload; a directly-attached TPU
+    gets the device FMDIndex."""
+    from fermi_tpu.algos.correct import wants_device_collect
+
+    if wants_device_collect():
+        from fermi_tpu.index.fmd import FMDIndex
+
+        return FMDIndex.restore(path)
+    from fermi_tpu import rld
+    from fermi_tpu.algos.hostindex import HostIndex
+
+    return HostIndex.from_runs(rld.read_fmd(path))
+
+
 def cmd_correct(args):
     from fermi_tpu.index.fmd import FMDIndex
     from fermi_tpu.algos import correct as ec
@@ -265,7 +282,7 @@ def cmd_correct(args):
 
         idx = ensure_blk(args.fmd)
     else:
-        idx = FMDIndex.restore(args.fmd)
+        idx = _load_host_or_device(args.fmd)
     ec.ec_correct(idx, args.fastx, sys.stdout, w=args.w,
                   min_occ=args.min_occ, keep_bad=args.keep_bad,
                   is_paired=args.is_paired, max_corr=args.max_corr,
@@ -292,11 +309,18 @@ def cmd_seqsort(args):
                              n_threads=max(args.n_threads, 1))
         sys.stdout.buffer.write(arr.tobytes())
         return 0
-    from fermi_tpu.index.fmd import FMDIndex
-    from fermi_tpu.algos.seqsort import seqsort
+    from fermi_tpu.algos.correct import wants_device_collect
 
-    idx = FMDIndex.restore(args.fmd)
-    arr = seqsort(idx)
+    if wants_device_collect():
+        from fermi_tpu.index.fmd import FMDIndex
+        from fermi_tpu.algos.seqsort import seqsort
+
+        arr = seqsort(FMDIndex.restore(args.fmd))
+    else:
+        from fermi_tpu.algos.seqsort import seqsort_native
+
+        arr = seqsort_native(_load_host_or_device(args.fmd),
+                             n_threads=max(args.n_threads, 1))
     sys.stdout.buffer.write(arr.tobytes())
     return 0
 
@@ -516,7 +540,7 @@ def cmd_remap(args):
 
         idx = ensure_blk(args.fmd)
     else:
-        idx = FMDIndex.restore(args.fmd)
+        idx = _load_host_or_device(args.fmd)
     sorted_arr = None
     if args.rank_file:
         sorted_arr = np.fromfile(args.rank_file, np.uint64)

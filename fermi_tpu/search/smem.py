@@ -750,7 +750,7 @@ def _smem_bwd_impl(index, q, OLkb, OLkf, OLsz, OLnfo, On, Ox,
                    self_match: bool, max_len: int, maxi: int, segs: int,
                    maxm: int, lanes: int, compact: int, unroll: int = 1,
                    tail: int = 1, dbg: bool = False, rows=None,
-                   n_rows=None):
+                   n_rows=None, park: int = 0):
     """Phase-split pass B: backward sweeps only, pooled over SEGMENT rows
     (each row independent: the reference's contained-match suppression is
     within-segment, smem.c:50-66).  Emissions land in per-row buffers;
@@ -781,8 +781,8 @@ def _smem_bwd_impl(index, q, OLkb, OLkf, OLsz, OLnfo, On, Ox,
     cnt6 = index.cnt[:6].astype(idt)
     qflat = q.reshape(-1)
     # parked width: every pool-B row whose live count decays to <= Wt moves
-    # to the narrow pool
-    Wt = 8 if W <= 64 else 16
+    # to the narrow pool (park=0: auto)
+    Wt = min(park, W) if park else (8 if W <= 64 else 16)
 
     def qat(pos, rid):
         safe = jnp.clip(pos, 0, max_len - 1)
@@ -1084,7 +1084,7 @@ _smem_fwd = partial(jax.jit,
 _smem_bwd = partial(jax.jit,
                     static_argnames=("self_match", "max_len", "maxi",
                                      "segs", "maxm", "lanes", "compact",
-                                     "unroll", "tail", "dbg"))(
+                                     "unroll", "tail", "dbg", "park"))(
     _smem_bwd_impl)
 
 
@@ -1262,6 +1262,7 @@ def _smem_all_pool_split(index, seqs, self_match, maxi, maxm, lanes,
     lanes_b = int(os.environ.get("FERMI_TPU_SMEM_BWD_LANES", "512"))
     unroll_b = int(os.environ.get("FERMI_TPU_SMEM_BWD_UNROLL", "4"))
     tail_b = int(os.environ.get("FERMI_TPU_SMEM_TAIL", "1"))
+    park_b = int(os.environ.get("FERMI_TPU_SMEM_PARK", "0"))
     dbg_b = bool(os.environ.get("FERMI_TPU_SMEM_BWD_STATS"))
     tier_b = os.environ.get("FERMI_TPU_SMEM_BWD_TIER", "1") == "1"
     pendA = []
@@ -1284,7 +1285,7 @@ def _smem_all_pool_split(index, seqs, self_match, maxi, maxm, lanes,
             OLsz, OLnfo = OLsz[:, :wq], OLnfo[:, :wq]
         out = _smem_bwd(index, qd, OLkb, OLkf, OLsz, OLnfo, On, Ox,
                         self_match, max_len, wq, S, Ms, lanes_b, CAP,
-                        unroll_b, tail_b, dbg_b, rows, n_rows)
+                        unroll_b, tail_b, dbg_b, rows, n_rows, park_b)
         if dbg_b and len(out) > 3:
             its = [int(np.asarray(v)) for v in out[3]]
             print(f"[smem_bwd w={wq}] iters={its}", file=sys.stderr)
