@@ -1072,9 +1072,14 @@ def _smem_bwd_impl(index, q, OLkb, OLkf, OLsz, OLnfo, On, Ox,
         jnp.zeros(compact, idt).at[tgt].set(shared["gsz"], mode="drop"),
         jnp.zeros(compact, idt).at[tgt].set(
             shared["gmt"].astype(idt), mode="drop")], axis=-1)
+    # the returned per-row info is count|ovf packed into uint8 (counts are
+    # bounded by M<=64 in the split driver) — the info transfer rides a
+    # ~3.4 MB/s tunnel d2h on the dev setup, so width matters
+    info8 = (jnp.minimum(info & ((1 << 30) - 1), 127)
+             | ((info >> 30) << 7)).astype(jnp.uint8)
     if dbg:
-        return cvals, info, tot, (it0, it1, npend)
-    return cvals, info, tot
+        return cvals, info8, tot, (it0, it1, npend)
+    return cvals, info8, tot
 
 
 _smem_fwd = partial(jax.jit,
@@ -1264,8 +1269,20 @@ def _smem_all_pool_split(index, seqs, self_match, maxi, maxm, lanes,
     tail_b = int(os.environ.get("FERMI_TPU_SMEM_TAIL", "1"))
     park_b = int(os.environ.get("FERMI_TPU_SMEM_PARK", "0"))
     dbg_b = bool(os.environ.get("FERMI_TPU_SMEM_BWD_STATS"))
+    prof = bool(os.environ.get("FERMI_TPU_SMEM_PROF"))
+    tprof = {}
+
+    def _tp(key, t0):
+        if prof:
+            import time as _t
+            tprof[key] = tprof.get(key, 0.0) + (_t.perf_counter() - t0)
+
+    def _now():
+        import time as _t
+        return _t.perf_counter()
     tier_b = os.environ.get("FERMI_TPU_SMEM_BWD_TIER", "1") == "1"
     pendA = []
+    t0_ = _now()
     for lo in range(0, len(ids_all), NPc):
         ids = ids_all[lo: lo + NPc]
         q = np.zeros((NPc, max_len), np.uint8)
@@ -1277,6 +1294,7 @@ def _smem_all_pool_split(index, seqs, self_match, maxi, maxm, lanes,
         qd, ld = jnp.asarray(q), jnp.asarray(lens)
         fa = _smem_fwd(index, qd, ld, self_match, max_len, maxi, S, lanes)
         pendA.append((ids, qd, fa))
+    _tp("A_dispatch", t0_)
 
     def run_bwd(qd, fa, wq, rows=None, n_rows=None):
         OLkb, OLkf, OLsz, OLnfo, On, Ox = fa[:6]
@@ -1299,9 +1317,12 @@ def _smem_all_pool_split(index, seqs, self_match, maxi, maxm, lanes,
 
     pendB = []
     for ids, qd, fa in pendA:
+        t0_ = _now()
         On_h = np.asarray(fa[4])[:-1]
         Ox_h = np.asarray(fa[5])[:-1]
         nseg = np.asarray(fa[6])
+        _tp("A_sync+triage_d2h", t0_)
+        t0_ = _now()
         NRp = NPc * S
         real = np.zeros(NRp, bool)
         for t in range(len(ids)):
@@ -1330,19 +1351,47 @@ def _smem_all_pool_split(index, seqs, self_match, maxi, maxm, lanes,
         if not calls:
             calls.append(run_bwd(qd, fa, wq))
         pendB.append((ids, calls, narrow_mask, nseg, np.asarray(fa[7])))
+        _tp("B_triage+dispatch", t0_)
+
+    # phase 1: sync totals, dispatch the result slices, and start every
+    # d2h copy async so the transfers overlap each other and the decode
+    # CPU work below (the tunnel moves ~3.4 MB/s; serialized transfers
+    # were ~45% of wall)
+    t0_ = _now()
+    for ids, calls, narrow_mask, nseg, a_ovf in pendB:
+        for ci, (cvals_d, info_d, tot_d) in enumerate(calls):
+            tot = int(np.asarray(tot_d))
+            if tot > CAP:
+                calls[ci] = (None, None, tot)
+                continue
+            tpad = 16384
+            while tpad < min(tot, CAP):
+                tpad *= 2
+            tpad = min(tpad, CAP)
+            cv_d = cvals_d[:tpad]
+            try:
+                cv_d.copy_to_host_async()
+                info_d.copy_to_host_async()
+            except Exception:
+                pass
+            calls[ci] = (cv_d, info_d, tot)
+    _tp("B_tot_sync+slice", t0_)
 
     for ids, calls, narrow_mask, nseg, a_ovf in pendB:
         decs, infos, overcap = [], [], False
-        for cvals_d, info_d, tot_d in calls:
-            tot = int(np.asarray(tot_d))
+        for cvals_d, info_d, tot in calls:
             if tot > CAP:
                 overcap = True
                 break
+            t0_ = _now()
             info = np.asarray(info_d)
-            mn = np.minimum(info & ((1 << 30) - 1), Ms)
-            tpad = min(CAP, ((max(tot, 1) + 65535) // 65536) * 65536)
-            decs.append(_decode_compact(np.asarray(cvals_d[:tpad]), mn))
+            mn = np.minimum(info.astype(np.int32) & 127, Ms)
+            cv = np.asarray(cvals_d)
+            _tp("B_result_d2h", t0_)
+            t0_ = _now()
+            decs.append(_decode_compact(cv, mn))
             infos.append(info)
+            _tp("decode", t0_)
         if overcap:
             # extremely dense pool: redo everything through the ladder
             redo.extend(ids)
@@ -1353,7 +1402,7 @@ def _smem_all_pool_split(index, seqs, self_match, maxi, maxm, lanes,
             dec = [a if narrow_mask[r] else b
                    for r, (a, b) in enumerate(zip(decs[0], decs[1]))]
             info = np.where(narrow_mask, infos[0], infos[1])
-        b_ovf = (info >> 30).astype(bool).reshape(NPc, S).any(axis=1)
+        b_ovf = (info >> 7).astype(bool).reshape(NPc, S).any(axis=1)
         for t, si in enumerate(ids):
             if a_ovf[t] or b_ovf[t]:
                 redo.append(si)
@@ -1363,8 +1412,13 @@ def _smem_all_pool_split(index, seqs, self_match, maxi, maxm, lanes,
                     out.extend(dec[t * S + s_i])
                 results[si] = out
     _learn_maxi(index, len(redo), len(seqs), maxi)
+    t0_ = _now()
     _redo_ladder(index, seqs, redo, results, self_match, max_len, maxi,
                  maxm)
+    _tp("redo_ladder", t0_)
+    if prof:
+        print("[smem prof] " + " ".join(
+            f"{k}={v:.2f}s" for k, v in tprof.items()), file=sys.stderr)
     return results
 
 
