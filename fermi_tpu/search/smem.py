@@ -573,6 +573,7 @@ def _smem_fwd_impl(index, q, l, self_match: bool, max_len: int,
     ll0 = l[rid0]
     deadA = _dead_spread(B, index.mcnt[0], idt, salt=5)
     deadB = _dead_spread(B, index.mcnt[0], idt, salt=6)
+    KD = max(32, B // 16)  # compacted-dump staging slots per iteration
 
     def qat(pos, rid):
         safe = jnp.clip(pos, 0, max_len - 1)
@@ -652,6 +653,22 @@ def _smem_fwd_impl(index, q, l, self_match: bool, max_len: int,
         pushF1 = fw & at_end
         pushF2 = fw & at_end & (not self_match) & (f_ok0_sz != 0)
 
+        # OL dumps go through a KD-slot compacted staging block (a [B, W]
+        # scatter operand per list costs ~100 us/iter at B=2048 while only
+        # ~B/segment_length lanes transition per iteration).  A burst
+        # beyond KD STALLS the overflowing lanes: every update below is
+        # gated so a stalled lane repeats this exact step next iteration
+        # (the body is deterministic in the carried state, so pushes and
+        # rank queries recompute identically).
+        trans = fw & (dead | at_end)
+        dump = trans & (seg < S)
+        posd, _ = _excl_cumsum(dump)
+        stall = dump & (posd >= KD)
+        ok = ~stall
+        push1, push2 = push1 & ok, push2 & ok
+        pushF1, pushF2 = pushF1 & ok, pushF2 & ok
+        transd = trans & ok
+
         def lpush(Lkb, Lkf, Lsz, Lnfo, n, rovf, m, vkb, vkf, vsz, vnfo):
             at = jnp.minimum(n, W - 1)
             sel = m[:, None] & (jW[None, :] == at[:, None])
@@ -677,31 +694,35 @@ def _smem_fwd_impl(index, q, l, self_match: bool, max_len: int,
         kf = jnp.where(adv, f_kfc, kf)
         sz = jnp.where(adv, okc_sz, sz)
 
-        trans = fw & (dead | at_end)
         last_nfo = jnp.take_along_axis(
             Lnfo, jnp.clip(n2 - 1, 0, W - 1)[:, None], 1)[:, 0]
         ret_seg = jnp.where(n2 > 0, last_nfo, x + 1)
 
-        # dump the finished segment's list; columns >= n2 still hold the
-        # lane's PREVIOUS segment (lpush only writes the pushed slot), and
-        # pass B derives liveness from sz != 0 — mask the size column so
-        # stale entries read as dead
+        # compacted dump of the finished segments' lists (dumping lanes
+        # gathered into KD slots); columns >= n2 still hold the lane's
+        # PREVIOUS segment (lpush only writes the pushed slot), and pass B
+        # derives liveness from sz != 0 — mask the size column so stale
+        # entries read as dead
         srow = rid * S + jnp.minimum(seg, S - 1)
-        dump = trans & (seg < S)
-        tgt = jnp.where(dump, srow, NR)
-        OLkb = st["OLkb"].at[tgt].set(Lkb, mode="drop")
-        OLkf = st["OLkf"].at[tgt].set(Lkf, mode="drop")
-        OLsz = st["OLsz"].at[tgt].set(
-            jnp.where(jW[None, :] < n2[:, None], Lsz, 0), mode="drop")
-        OLnfo = st["OLnfo"].at[tgt].set(Lnfo, mode="drop")
-        On = st["On"].at[tgt].set(n2, mode="drop")
-        Ox = st["Ox"].at[tgt].set(x, mode="drop")
-        rovf = rovf | (trans & (seg >= S))
-        seg = seg + trans.astype(jnp.int32)
+        invd = jnp.full(KD, B, jnp.int32).at[
+            jnp.where(dump & ok, posd, KD)].set(jB, mode="drop")
+        invc = jnp.minimum(invd, B - 1)
+        tgt_c = jnp.where(invd < B, srow[invc], NR)
+        n2c = n2[invc]
+        OLkb = st["OLkb"].at[tgt_c].set(Lkb[invc], mode="drop")
+        OLkf = st["OLkf"].at[tgt_c].set(Lkf[invc], mode="drop")
+        OLsz = st["OLsz"].at[tgt_c].set(
+            jnp.where(jW[None, :] < n2c[:, None], Lsz[invc], 0),
+            mode="drop")
+        OLnfo = st["OLnfo"].at[tgt_c].set(Lnfo[invc], mode="drop")
+        On = st["On"].at[tgt_c].set(n2c, mode="drop")
+        Ox = st["Ox"].at[tgt_c].set(x[invc], mode="drop")
+        rovf = rovf | (transd & (seg >= S))
+        seg = seg + transd.astype(jnp.int32)
 
         # restart / read end / pool refill
         x_new = jnp.maximum(ret_seg, x + 1)
-        fin = trans & (x_new >= ll)
+        fin = transd & (x_new >= ll)
         rtgt = jnp.where(fin, rid, NP)
         Onseg = st["Onseg"].at[rtgt].set(jnp.minimum(seg, S), mode="drop")
         Oovf = st["Oovf"].at[rtgt].set(rovf, mode="drop")
@@ -713,7 +734,7 @@ def _smem_fwd_impl(index, q, l, self_match: bool, max_len: int,
         nxt = st["nxt"] + inc[-1]
         rid = jnp.where(take, jnp.minimum(rid_new, NP - 1), rid)
         ll = jnp.where(take, l[jnp.minimum(rid_new, NP - 1)], ll)
-        restart = (trans & ~fin) | take
+        restart = (transd & ~fin) | take
         x_new = jnp.where(take, 0, x_new)
         seg = jnp.where(take, 0, seg)
         rovf = rovf & ~take
@@ -725,7 +746,7 @@ def _smem_fwd_impl(index, q, l, self_match: bool, max_len: int,
         sz = jnp.where(restart, rsz, sz)
         n = jnp.where(restart, 0, n2)
         x = xr
-        i = jnp.where(restart, xr + 1, i + 1)
+        i = jnp.where(stall, i, jnp.where(restart, xr + 1, i + 1))
 
         return dict(done=done, rid=rid, ll=ll, nxt=nxt, x=x, i=i, seg=seg,
                     kb=kb, kf=kf, sz=sz, Lkb=Lkb, Lkf=Lkf, Lsz=Lsz,

@@ -172,3 +172,25 @@ def test_high_coverage_adaptive_maxi(tmp_path, ref_fermi):
     assert learned > 32, f"adaptation did not engage (learned={learned})"
     # second call starts at the learned width and stays exact
     assert _my_exact(idx, qreads, names, self_match=True) == ref
+
+
+def test_dump_stall_parity(tmp_path, ref_fermi):
+    """Very short queries make nearly every lane finish a segment every
+    iteration, overflowing pass A's KD-slot compacted-dump staging and
+    exercising the stall-retry path (smem.py _smem_fwd_impl)."""
+    idx_reads = random_reads(150, seed=41, with_genome=True, genome_len=3000)
+    rng = np.random.default_rng(42)
+    qry = []
+    for i in range(300):
+        src = idx_reads[rng.integers(0, len(idx_reads))]
+        L = int(rng.integers(2, 6))
+        p = int(rng.integers(0, len(src) - L))
+        qry.append(src[p:p + L])
+    fmd = str(tmp_path / "st.fmd")
+    build_my_fmd(idx_reads, fmd)
+    fa = str(tmp_path / "st.fa")
+    write_fasta(fa, qry)
+    idx = FMDIndex.restore(fmd)
+    my_out = _my_exact(idx, qry, [f"r{i}" for i in range(len(qry))])
+    ref_out = _ref_exact(ref_fermi, fmd, fa)
+    assert my_out == ref_out
