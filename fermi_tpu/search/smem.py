@@ -1374,12 +1374,13 @@ def _smem_all_pool_split(index, seqs, self_match, maxi, maxm, lanes,
         pendB.append((ids, calls, narrow_mask, nseg, np.asarray(fa[7])))
         _tp("B_triage+dispatch", t0_)
 
-    # phase 1: sync totals, dispatch the result slices, and start every
-    # d2h copy async so the transfers overlap each other and the decode
-    # CPU work below (the tunnel moves ~3.4 MB/s; serialized transfers
-    # were ~45% of wall)
-    t0_ = _now()
-    for ids, calls, narrow_mask, nseg, a_ovf in pendB:
+    # pipelined drain: for each pool, sync its totals, start its result
+    # transfers async, then decode the PREVIOUS pool while this pool's
+    # transfers (and later pools' device work) proceed — the decode CPU
+    # tail was ~0.7 s strictly serial before this
+    def _start_copies(entry):
+        ids, calls, narrow_mask, nseg, a_ovf = entry
+        t0_ = _now()
         for ci, (cvals_d, info_d, tot_d) in enumerate(calls):
             tot = int(np.asarray(tot_d))
             if tot > CAP:
@@ -1396,9 +1397,10 @@ def _smem_all_pool_split(index, seqs, self_match, maxi, maxm, lanes,
             except Exception:
                 pass
             calls[ci] = (cv_d, info_d, tot)
-    _tp("B_tot_sync+slice", t0_)
+        _tp("B_tot_sync+slice", t0_)
 
-    for ids, calls, narrow_mask, nseg, a_ovf in pendB:
+    def _finish_pool(entry):
+        ids, calls, narrow_mask, nseg, a_ovf = entry
         decs, infos, overcap = [], [], False
         for cvals_d, info_d, tot in calls:
             if tot > CAP:
@@ -1416,7 +1418,7 @@ def _smem_all_pool_split(index, seqs, self_match, maxi, maxm, lanes,
         if overcap:
             # extremely dense pool: redo everything through the ladder
             redo.extend(ids)
-            continue
+            return
         if len(decs) == 1:
             dec, info = decs[0], infos[0]
         else:
@@ -1432,6 +1434,15 @@ def _smem_all_pool_split(index, seqs, self_match, maxi, maxm, lanes,
                 for s_i in range(int(nseg[t])):
                     out.extend(dec[t * S + s_i])
                 results[si] = out
+
+    prev = None
+    for entry in pendB:
+        _start_copies(entry)
+        if prev is not None:
+            _finish_pool(prev)
+        prev = entry
+    if prev is not None:
+        _finish_pool(prev)
     _learn_maxi(index, len(redo), len(seqs), maxi)
     t0_ = _now()
     _redo_ladder(index, seqs, redo, results, self_match, max_len, maxi,
