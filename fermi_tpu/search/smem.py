@@ -801,9 +801,13 @@ def _smem_bwd_impl(index, q, OLkb, OLkf, OLsz, OLnfo, On, Ox,
     n_total = index.mcnt[0]
     cnt6 = index.cnt[:6].astype(idt)
     qflat = q.reshape(-1)
-    # parked width: every pool-B row whose live count decays to <= Wt moves
-    # to the narrow pool (park=0: auto)
-    Wt = min(park, W) if park else (8 if W <= 64 else 16)
+    # cascade widths: rows park to the next-narrower pool the moment
+    # their live count fits it (park forces the final width; 0 = auto).
+    # Wide tiers get a mid pool so the long decay tail never pays the
+    # full-width rank gather.
+    Wt = min(park, W) if park else 8
+    Wm = 16
+    use_mid = bool(tail) and W > 2 * Wm
 
     def qat(pos, rid):
         safe = jnp.clip(pos, 0, max_len - 1)
@@ -839,22 +843,24 @@ def _smem_bwd_impl(index, q, OLkb, OLkf, OLsz, OLnfo, On, Ox,
         gmt=jnp.zeros(NR * M, jnp.int32),
         out_info=jnp.zeros(NR, jnp.int32),
     )
-    park0 = dict(
-        Pkb=jnp.zeros((NR + 1, Wt), idt), Pkf=jnp.zeros((NR + 1, Wt), idt),
-        Psz=jnp.zeros((NR + 1, Wt), idt),
-        Pnfo=jnp.zeros((NR + 1, Wt), jnp.int32),
-        Pmeta=jnp.zeros(NR + 1, jnp.int32),
-    ) if tail else {}
+    def _park_bufs(wp):
+        return dict(
+            Pkb=jnp.zeros((NR + 1, wp), idt),
+            Pkf=jnp.zeros((NR + 1, wp), idt),
+            Psz=jnp.zeros((NR + 1, wp), idt),
+            Pnfo=jnp.zeros((NR + 1, wp), jnp.int32),
+            Pmeta=jnp.zeros(NR + 1, jnp.int32),
+        )
 
     def run_pool(Wp, SLkb, SLkf, SLsz, SLnfo, Smeta, rord_p, n_real_p,
-                 shared, park_st, park, unroll_p, salt):
+                 shared, park_st, park, unroll_p, salt, Wpark=0):
         """One refill pool at list width Wp.  Rows come from the SL*/Smeta
         source buffers (SLsz != 0 marks live entries; Smeta packs the
         resumable walk state).  park=True compacts decayed rows into the
         park_st buffers instead of walking them to termination."""
         jWp = jnp.arange(Wp, dtype=jnp.int32)
         jBp = jnp.arange(B, dtype=jnp.int32)
-        jWt = jnp.arange(Wt, dtype=jnp.int32)
+        jWk = jnp.arange(max(Wpark, 1), dtype=jnp.int32)
         NSEL = rord_p.shape[0]
         deadA = _dead_spread(B * Wp, n_total, idt, salt).reshape(B, Wp)
         deadB = _dead_spread(B * Wp, n_total, idt, salt + 1).reshape(B, Wp)
@@ -987,10 +993,10 @@ def _smem_bwd_impl(index, q, OLkb, OLkf, OLsz, OLnfo, On, Ox,
                 # live width fits the narrow pool: compact the surviving
                 # (post-update) entries to the first Wt slots, stash the
                 # packed walk state, free the lane
-                pkm = bw & ~term & (cnn <= Wt)
+                pkm = bw & ~term & (cnn <= Wpark)
                 posn, _ = _excl_cumsum(do_curr, axis=1)
-                oh = (do_curr & pkm[:, None] & (posn < Wt))[:, :, None] & \
-                    (posn[:, :, None] == jWt)
+                oh = (do_curr & pkm[:, None] & (posn < Wpark))[:, :, None] \
+                    & (posn[:, :, None] == jWk)
                 def pickw(v):
                     return jnp.sum(jnp.where(oh, v[:, :, None], 0), axis=1,
                                    dtype=v.dtype)
@@ -1064,22 +1070,36 @@ def _smem_bwd_impl(index, q, OLkb, OLkf, OLsz, OLnfo, On, Ox,
         n_real = n_rows.astype(jnp.int32)
     fresh_meta = jnp.concatenate([Ox[:NR] << 21, jnp.zeros(1, jnp.int32)])
 
-    shared, parked, it0 = run_pool(
-        W, OLkb, OLkf, OLsz, OLnfo, fresh_meta, rord, n_real,
-        shared0, park0, bool(tail), unroll, salt=11)
-
-    npend = jnp.int32(0)
-    it1 = jnp.int32(0)
-    if tail:
-        # narrow pool over the parked rows, LPT by remaining walk length
+    def _pend(parked):
+        # LPT worklist over the parked rows, by remaining walk length
         has_p = parked["Psz"][:, 0] != 0
         pi = (parked["Pmeta"] >> 21) & 1023
         pend = jnp.argsort(
             jnp.where(has_p, -pi, jnp.int32(2 ** 31 - 1))).astype(jnp.int32)
-        npend = jnp.sum(has_p.astype(jnp.int32))
-        shared, _, it1 = run_pool(
+        return pend, jnp.sum(has_p.astype(jnp.int32))
+
+    wpark0 = (Wm if use_mid else Wt) if tail else 0
+    shared, parked, it0 = run_pool(
+        W, OLkb, OLkf, OLsz, OLnfo, fresh_meta, rord, n_real,
+        shared0, _park_bufs(wpark0) if tail else {}, bool(tail), unroll,
+        salt=11, Wpark=wpark0)
+
+    npend = jnp.int32(0)
+    it1 = jnp.int32(0)
+    if tail:
+        if use_mid:
+            pend, npend = _pend(parked)
+            shared, parked, itm = run_pool(
+                Wm, parked["Pkb"], parked["Pkf"], parked["Psz"],
+                parked["Pnfo"], parked["Pmeta"], pend, npend, shared,
+                _park_bufs(Wt), True, 4, salt=13, Wpark=Wt)
+            it1 = it1 + itm
+        pend, npend2 = _pend(parked)
+        npend = jnp.maximum(npend, npend2)
+        shared, _, itn = run_pool(
             Wt, parked["Pkb"], parked["Pkf"], parked["Psz"], parked["Pnfo"],
-            parked["Pmeta"], pend, npend, shared, {}, False, 4, salt=13)
+            parked["Pmeta"], pend, npend2, shared, {}, False, 4, salt=15)
+        it1 = it1 + itn
 
     info = shared["out_info"]
     mn = jnp.minimum(info & ((1 << 30) - 1), M)
@@ -1286,6 +1306,7 @@ def _smem_all_pool_split(index, seqs, self_match, maxi, maxm, lanes,
     # (4.7k/4.0k/3.2k) — per-iteration vector cost grows faster than the
     # refill-round savings; unroll 4 ~= 2 > 8.
     lanes_b = int(os.environ.get("FERMI_TPU_SMEM_BWD_LANES", "512"))
+    unroll_a = int(os.environ.get("FERMI_TPU_SMEM_FWD_UNROLL", "1"))
     unroll_b = int(os.environ.get("FERMI_TPU_SMEM_BWD_UNROLL", "4"))
     tail_b = int(os.environ.get("FERMI_TPU_SMEM_TAIL", "1"))
     park_b = int(os.environ.get("FERMI_TPU_SMEM_PARK", "0"))
@@ -1313,7 +1334,8 @@ def _smem_all_pool_split(index, seqs, self_match, maxi, maxm, lanes,
             q[t, : len(s)] = s
             lens[t] = len(s)
         qd, ld = jnp.asarray(q), jnp.asarray(lens)
-        fa = _smem_fwd(index, qd, ld, self_match, max_len, maxi, S, lanes)
+        fa = _smem_fwd(index, qd, ld, self_match, max_len, maxi, S, lanes,
+                       unroll_a)
         pendA.append((ids, qd, fa))
     _tp("A_dispatch", t0_)
 
