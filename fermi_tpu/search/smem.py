@@ -805,9 +805,13 @@ def _smem_bwd_impl(index, q, OLkb, OLkf, OLsz, OLnfo, On, Ox,
     # their live count fits it (park forces the final width; 0 = auto).
     # Wide tiers get a mid pool so the long decay tail never pays the
     # full-width rank gather.
-    Wt = min(park, W) if park else 8
+    Wt = min(abs(park), W) if park else 8
     Wm = 16
-    use_mid = bool(tail) and W > 2 * Wm
+    # measured (202 Msym + 2 Gsym, tunneled v5e): the mid pool LOSES ~10%
+    # — its extra while/argsort/refill fixed costs outweigh the [B,2W] ->
+    # [B,32] gather cut on the decay tail.  Kept for wider-W workloads;
+    # enable with park=-16 style negative widths if ever needed.
+    use_mid = bool(tail) and W > 2 * Wm and park < 0
 
     def qat(pos, rid):
         safe = jnp.clip(pos, 0, max_len - 1)
