@@ -10,6 +10,7 @@
 // case but effectively linear for read-scale L; ~30x faster than the host
 // prefix-doubling path at 12M symbols.
 
+#include "oom.h"
 #include <fcntl.h>
 #include <sys/mman.h>
 #include <unistd.h>
@@ -377,8 +378,8 @@ int64_t fencode_frags(const uint8_t* data, const int64_t* starts,
     total += (int64_t)tF[t].size();
     nfrag += (int64_t)tfl[t].size();
   }
-  uint8_t* F = (uint8_t*)malloc(total + 1);
-  int64_t* offs = (int64_t*)malloc((nfrag + 1) * sizeof(int64_t));
+  uint8_t* F = (uint8_t*)fx_malloc(total + 1, "fbuild_text");
+  int64_t* offs = (int64_t*)fx_malloc((nfrag + 1) * sizeof(int64_t), "fbuild_text");
   int64_t fat = 0, oat = 0, acc = 0;
   for (int t = 0; t < T; ++t) {
     memcpy(F + fat, tF[t].data(), tF[t].size());
@@ -465,7 +466,7 @@ int64_t fbuild_text_ascii(const uint8_t* data, const int64_t* starts,
     }
     offs[oat] = acc;
   }
-  uint8_t* out = (uint8_t*)malloc(2 * total + 2 * nfrag + 1);
+  uint8_t* out = (uint8_t*)fx_malloc(2 * total + 2 * nfrag + 1, "frld_expand");
   int64_t n = fbuild_text(F.data(), offs.data(), nfrag, both_strands,
                           trim_palindrome, out);
   *out_text = out;
@@ -719,8 +720,8 @@ int64_t ffastq_frags(const char* path, int n_threads, uint8_t** F_out,
   }
   total = fbase[T];
   nfrag = obase[T];
-  uint8_t* F = (uint8_t*)malloc((size_t)total + 1);
-  int64_t* offs = (int64_t*)malloc(((size_t)nfrag + 1) * sizeof(int64_t));
+  uint8_t* F = (uint8_t*)fx_malloc((size_t)total + 1, "ffastq_frags");
+  int64_t* offs = (int64_t*)fx_malloc(((size_t)nfrag + 1) * sizeof(int64_t), "ffastq_frags");
   if (!F || !offs) { free(F); free(offs); return -4; }
   {
     std::vector<std::thread> th;

@@ -17,6 +17,7 @@
 // rld_enc() would (pending-run merging), so any run decomposition of the same
 // BWT string encodes to identical bytes.
 
+#include "oom.h"
 #include <fcntl.h>
 #include <sys/mman.h>
 #include <unistd.h>
@@ -582,8 +583,8 @@ int frld_decode_file(const char* path, int64_t** run_len, uint8_t** run_sym,
   int rc = dec.decode_file(path, &res);
   if (rc) return rc;
   *n_runs = (int64_t)res.run_len.size();
-  *run_len = (int64_t*)malloc(res.run_len.size() * sizeof(int64_t) + 1);
-  *run_sym = (uint8_t*)malloc(res.run_sym.size() + 1);
+  *run_len = (int64_t*)fx_malloc(res.run_len.size() * sizeof(int64_t) + 1, "fread_fmd");
+  *run_sym = (uint8_t*)fx_malloc(res.run_sym.size() + 1, "fread_fmd");
   memcpy(*run_len, res.run_len.data(), res.run_len.size() * sizeof(int64_t));
   memcpy(*run_sym, res.run_sym.data(), res.run_sym.size());
   for (int i = 0; i <= res.asize; ++i) mcnt_out[i] = res.mcnt[i];

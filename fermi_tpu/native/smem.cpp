@@ -6,6 +6,7 @@
 // contig-scale queries whose sets reach hundreds; this engine pays only the
 // true set sizes. Shares the blocked-occ index layout with unitig.cpp.
 
+#include "oom.h"
 #include <algorithm>
 #include <atomic>
 #include <cstdint>
@@ -185,7 +186,7 @@ static int64_t* fsmem_all_impl(const Index& e, const uint8_t* queries,
   int64_t total = 0;
   for (auto& v : per_q) total += (int64_t)v.size();
   *total_out = total;
-  int64_t* out = (int64_t*)malloc(sizeof(int64_t) * 5 * (total + 1));
+  int64_t* out = (int64_t*)fx_malloc(sizeof(int64_t) * 5 * (total + 1), "fsmem_all");
   size_t i = 0;
   for (auto& v : per_q)
     for (auto& m : v) {

@@ -5,6 +5,7 @@
 // this is the fast host path operating directly on the blocked-occ index
 // arrays. Output is the MAG text, byte-identical to the Python engine.
 
+#include "oom.h"
 #include <algorithm>
 #include <atomic>
 #include <cassert>
@@ -676,7 +677,7 @@ static char* unitig_threaded(const Index& idx, int min_match,
   for (auto& x : th) x.join();
   size_t total = 0;
   for (int t = 0; t < T; ++t) total += bs[t]->out.size();
-  char* p = (char*)malloc(total + 1);
+  char* p = (char*)fx_malloc(total + 1, "funitig");
   size_t at = 0;
   std::vector<size_t> seg(T, 0), from(T, 0);
   for (int64_t blk = 0;; ++blk) {
