@@ -1177,7 +1177,24 @@ def smem_all(index: FMDIndex, seqs: list[np.ndarray], self_match=False,
     if max_len > LONG_QUERY_LEN or not isinstance(index, FMDIndex):
         return smem_all_native(index, seqs, self_match)
     if maxi is None:
-        maxi = getattr(index, "_smem_maxi", 32)
+        maxi = getattr(index, "_smem_maxi", None)
+        if maxi is None and runner is None and B > 4096:
+            # cold-start probe: learn the coverage-adaptive width on a
+            # small slice first — a dense (25x) index otherwise rides the
+            # redo ladder for the WHOLE first call (wide-kernel compiles
+            # measured 100 s+ over the dev tunnel)
+            head = smem_all(index, seqs[:1024], self_match, None, maxm,
+                            batch, runner)
+            if getattr(index, "_smem_maxi", None) is None:
+                # probe saw <5% overflow: 32 is the right width — pin it
+                # so the recursion doesn't re-probe every 1024 reads
+                try:
+                    index._smem_maxi = 32
+                except Exception:
+                    pass
+            return head + smem_all(index, seqs[1024:], self_match, None,
+                                   maxm, batch, runner)
+        maxi = maxi or 32
     if runner is None:
         if os.environ.get("FERMI_TPU_SMEM_SPLIT", "1") == "1":
             return _smem_all_pool_split(index, seqs, self_match, maxi,
