@@ -763,8 +763,11 @@ def _smem_fwd_impl(index, q, l, self_match: bool, max_len: int,
         return st
 
     st = jax.lax.while_loop(cond, body_n, state)
-    return (st["OLkb"], st["OLkf"], st["OLsz"], st["OLnfo"], st["On"],
-            st["Ox"], st["Onseg"], st["Oovf"])
+    # On/Ox ride a ~3.4 MB/s d2h tunnel for the driver's width triage:
+    # uint16 halves the transfer (On <= W <= 256, Ox < max_len <= 512)
+    return (st["OLkb"], st["OLkf"], st["OLsz"], st["OLnfo"],
+            st["On"].astype(jnp.uint16), st["Ox"].astype(jnp.uint16),
+            st["Onseg"], st["Oovf"])
 
 
 def _smem_bwd_impl(index, q, OLkb, OLkf, OLsz, OLnfo, On, Ox,
@@ -1066,13 +1069,14 @@ def _smem_bwd_impl(index, q, OLkb, OLkf, OLsz, OLnfo, On, Ox,
     # LONGEST walk in it (straggler-bound; measured 260 round-iters vs ~93
     # ideal at 2048 lanes).  Serving rows longest-first packs the short
     # walks into the stragglers' shadow.
+    Oxi = Ox.astype(jnp.int32)
     if rows is None:
-        rord = jnp.argsort(-Ox[:NR]).astype(jnp.int32)
+        rord = jnp.argsort(-Oxi[:NR]).astype(jnp.int32)
         n_real = jnp.int32(NR)
     else:
         rord = rows.astype(jnp.int32)
         n_real = n_rows.astype(jnp.int32)
-    fresh_meta = jnp.concatenate([Ox[:NR] << 21, jnp.zeros(1, jnp.int32)])
+    fresh_meta = jnp.concatenate([Oxi[:NR] << 21, jnp.zeros(1, jnp.int32)])
 
     def _pend(parked):
         # LPT worklist over the parked rows, by remaining walk length
@@ -1382,8 +1386,8 @@ def _smem_all_pool_split(index, seqs, self_match, maxi, maxm, lanes,
     pendB = []
     for ids, qd, fa in pendA:
         t0_ = _now()
-        On_h = np.asarray(fa[4])[:-1]
-        Ox_h = np.asarray(fa[5])[:-1]
+        On_h = np.asarray(fa[4])[:-1].astype(np.int32)
+        Ox_h = np.asarray(fa[5])[:-1].astype(np.int32)
         nseg = np.asarray(fa[6])
         _tp("A_sync+triage_d2h", t0_)
         t0_ = _now()
