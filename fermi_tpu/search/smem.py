@@ -1201,8 +1201,10 @@ def smem_all(index: FMDIndex, seqs: list[np.ndarray], self_match=False,
         maxi = maxi or 32
     if runner is None:
         if os.environ.get("FERMI_TPU_SMEM_SPLIT", "1") == "1":
+            lanes_a = int(os.environ.get("FERMI_TPU_SMEM_FWD_LANES",
+                                         "2048"))
             return _smem_all_pool_split(index, seqs, self_match, maxi,
-                                        maxm, min(batch, 2048), max_len)
+                                        maxm, min(batch, lanes_a), max_len)
         return _smem_all_pool(index, seqs, self_match, maxi, maxm,
                               min(batch, 2048), max_len)
     results = [None] * B
