@@ -25,7 +25,7 @@ def main():
     fmd = sys.argv[1] if len(sys.argv) > 1 else \
         "/tmp/fermi_tpu_bench/scale_500000/my.ec.fmd"
     n_reads = int(sys.argv[2]) if len(sys.argv) > 2 else 20000
-    unrolls = [int(a) for a in sys.argv[3:]] or [1, 2, 4]
+    unrolls = [int(a) for a in sys.argv[3:] if a.isdigit()] or [1, 2, 4]
 
     import jax
     from fermi_tpu import rld
@@ -40,7 +40,14 @@ def main():
     idx.bwt_packed.block_until_ready()
     print(f"index: {int(np.asarray(idx.mcnt[0]))/1e6:.0f} Msym, "
           f"load {time.time()-t0:.1f}s", flush=True)
-    _, qfa = bench.ensure_files()
+    qfa = None
+    if len(sys.argv) > 4 and not sys.argv[4].isdigit():
+        qfa = sys.argv[4]
+    if qfa is None:
+        # MATCHED queries (reads of the indexed dataset) — querying a
+        # scale index with the bench genome's reads measures the redo
+        # ladder, not the kernel (round-4 notes)
+        _, qfa = bench.ensure_files()
     seqs = [dna.encode(r.seq) for r in fastx.read_fastx(qfa)][:n_reads]
 
     for unroll in unrolls:

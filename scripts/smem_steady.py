@@ -34,7 +34,12 @@ def main():
     idx.bwt_blocks.block_until_ready()
     print(f"index: {int(np.asarray(idx.mcnt[0]))/1e6:.0f} Msym "
           f"(idtype {idx.idtype}), load {time.time()-t0:.1f}s", flush=True)
-    _, qfa = bench.ensure_files()
+    qfa = sys.argv[4] if len(sys.argv) > 4 else None
+    if qfa is None:
+        # MATCHED queries (reads of the indexed dataset) — querying a
+        # scale index with the bench genome's reads measures the redo
+        # ladder, not the kernel (round-4 notes)
+        _, qfa = bench.ensure_files()
     seqs = [dna.encode(r.seq) for r in fastx.read_fastx(qfa)][:n_reads]
 
     for k in range(n_calls):
