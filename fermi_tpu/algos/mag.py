@@ -156,8 +156,8 @@ class Mag:
         self.v_del(p)
 
     def v_flip(self, p: MagVertex):
-        rc = bytes(p.seq).translate(_NT6_COMP)
-        p.seq = bytearray(rc[::-1])
+        p.seq.reverse()
+        p.seq = p.seq.translate(_NT6_COMP)
         p.cov.reverse()
         p.k[0], p.k[1] = p.k[1], p.k[0]
         p.nei[0], p.nei[1] = p.nei[1], p.nei[0]
@@ -187,14 +187,14 @@ class Mag:
         assert p.len >= ov and q.len >= ov
         p.nsr += q.nsr
         new_l = p.len + q.len - ov
-        i = p.len - ov
-        for j in range(q.len):
-            if i + j < p.len:
-                c = p.cov[i + j] + q.cov[j] - 33
-                p.cov[i + j] = 126 if c > 126 else c
-            else:
-                p.seq.append(q.seq[j])
-                p.cov.append(q.cov[j])
+        if ov:
+            # bulk cov merge over the overlap (mag.c:431-436 per-byte loop)
+            a = np.frombuffer(bytes(p.cov[p.len - ov:p.len]), np.uint8)
+            b = np.frombuffer(bytes(q.cov[:ov]), np.uint8)
+            merged = np.minimum(a.astype(np.int16) + b - 33, 126)
+            p.cov[p.len - ov:p.len] = merged.astype(np.uint8).tobytes()
+        p.seq += q.seq[ov:]
+        p.cov += q.cov[ov:]
         p.len = new_l
         p.nei[1] = q.nei[1]
         p.k[1] = q.k[1]
@@ -409,7 +409,7 @@ def mag_v_text(p: MagVertex) -> str:
             if not edge_is_del(a))
         parts.append(field_txt if p.nei[j] else ".")
     head = "\t".join(parts)
-    seq = bytes(p.seq).translate(_NT6_PRINT).decode("latin1")
+    seq = p.seq.translate(_NT6_PRINT).decode("latin1")
     cov = p.cov.decode("latin1")
     return f"{head}\n{seq}\n+\n{cov}\n"
 
