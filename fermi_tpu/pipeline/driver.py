@@ -26,6 +26,44 @@ def log(stage, msg):
     sys.stderr.flush()
 
 
+class _GzPipeWriter:
+    """Text sink compressing through an external `gzip -1` process, so the
+    deflate runs on its own core alongside the producing stage — the same
+    overlap the reference chain gets from `fermi clean ... | gzip -1` in
+    run-fermi.pl's Makefile.  Context-managed; raises if gzip fails."""
+
+    def __init__(self, path):
+        import subprocess
+        self._f = open(path, "wb")
+        self._proc = subprocess.Popen(
+            ["gzip", "-1", "-c"], stdin=subprocess.PIPE, stdout=self._f,
+            bufsize=1 << 20)
+        self._w = io.TextIOWrapper(self._proc.stdin, write_through=False)
+
+    def write(self, s):
+        self._w.write(s)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        self._w.close()
+        rc = self._proc.wait()
+        self._f.close()
+        if exc_type is None and rc != 0:
+            raise OSError(f"gzip exited with {rc}")
+        return False
+
+
+def _gz_text_writer(path):
+    """`gzip -1` subprocess writer when the binary exists, else in-process."""
+    import shutil
+
+    if shutil.which("gzip"):
+        return _GzPipeWriter(path)
+    return io.TextIOWrapper(gzip.open(path, "wb", 1))
+
+
 class Pipeline:
     def __init__(self, prefix, n_threads=8, unitig_k=50, paired=False,
                  trim_l=0, skip_ec=False, unitig_threads=None):
@@ -349,7 +387,7 @@ class Pipeline:
             idx = self._fmd(self._p("raw.fmd"))
         else:
             idx = self._host(self._p("raw.fmd"))
-        with io.TextIOWrapper(gzip.open(out + ".tmp", "wb", 1)) as fp:
+        with _gz_text_writer(out + ".tmp") as fp:
             # the reference corrects the concatenated input stream
             ec.ec_correct(idx, list(fastx_paths), fp, n_threads=self.t,
                           is_paired=self.paired, trim_l=self.trim_l)
@@ -420,7 +458,7 @@ class Pipeline:
         # FERMI_UNITIG_THREADS overrides the constructor's choice
         ut = int(os.environ.get("FERMI_UNITIG_THREADS",
                                 str(self.unitig_threads)))
-        with io.TextIOWrapper(gzip.open(out + ".tmp", "wb", 1)) as fp:
+        with _gz_text_writer(out + ".tmp") as fp:
             fm6_unitig(e, self.k, fp, sorted_arr, n_threads=ut)
         os.rename(out + ".tmp", out)
 
@@ -433,7 +471,7 @@ class Pipeline:
         opt.update(over)
         g = M.mag_read(self._p(src), opt)
         M.g_clean(g, opt)
-        with io.TextIOWrapper(gzip.open(self._p(dst) + ".tmp", "wb", 1)) as fp:
+        with _gz_text_writer(self._p(dst) + ".tmp") as fp:
             M.mag_print(g, fp)
         os.rename(self._p(dst) + ".tmp", self._p(dst))
 
@@ -453,7 +491,7 @@ class Pipeline:
         # so a device-resident index would only add full-BWT d2h transfers
         idx = self._host(self._p("ec.fmd"))
         sorted_arr = np.fromfile(self._p("ec.rank"), np.uint64)
-        with io.TextIOWrapper(gzip.open(out + ".tmp", "wb", 1)) as fp:
+        with _gz_text_writer(out + ".tmp") as fp:
             avg, std, cap = remap(idx, self._p("p2.mag.gz"), fp, sorted_arr)
         os.rename(out + ".tmp", out)
         with open(self._p("insert.json"), "w") as fp:
@@ -467,7 +505,7 @@ class Pipeline:
 
         stats = json.load(open(self._p("insert.json")))
         e = self._host(self._p("ec.fmd"))
-        with io.TextIOWrapper(gzip.open(out + ".tmp", "wb", 1)) as fp:
+        with _gz_text_writer(out + ".tmp") as fp:
             scaf_core(e, self._p("p3.mag.gz"), stats["avg"], stats["std"],
                       pr_links=True, out_fp=fp)
         os.rename(out + ".tmp", out)
@@ -481,7 +519,7 @@ class Pipeline:
         stats = json.load(open(self._p("insert.json")))
         idx = self._host(self._p("ec.fmd"))
         sorted_arr = np.fromfile(self._p("ec.rank"), np.uint64)
-        with io.TextIOWrapper(gzip.open(out + ".tmp", "wb", 1)) as fp:
+        with _gz_text_writer(out + ".tmp") as fp:
             remap(idx, self._p("p4.fa.gz"), fp, sorted_arr, min_pcv=2,
                   max_dist=stats["cap"])
         os.rename(out + ".tmp", out)
