@@ -19,6 +19,26 @@ class SeqRecord:
     comment: Optional[str] = None
 
 
+class _GzPipeReader(io.TextIOWrapper):
+    """Text stream decompressing through an external `gzip -dc` process:
+    the inflate runs on its own core, overlapped with the Python parse.
+    close() reaps the child even when the stream isn't fully consumed."""
+
+    def __init__(self, path):
+        import subprocess
+        self._proc = subprocess.Popen(
+            ["gzip", "-dc", path], stdout=subprocess.PIPE, bufsize=1 << 20)
+        super().__init__(self._proc.stdout)
+
+    def close(self):
+        try:
+            super().close()
+        finally:
+            if self._proc.poll() is None:
+                self._proc.kill()
+            self._proc.wait()
+
+
 def _open_text(path: str):
     if path == "-":
         return sys.stdin
@@ -26,6 +46,10 @@ def _open_text(path: str):
     magic = f.read(2)
     f.seek(0)
     if magic == b"\x1f\x8b":
+        import shutil
+        if shutil.which("gzip"):
+            f.close()
+            return _GzPipeReader(path)
         return io.TextIOWrapper(gzip.GzipFile(fileobj=f))
     return io.TextIOWrapper(f)
 
