@@ -27,16 +27,25 @@ class _GzPipeReader(io.TextIOWrapper):
     def __init__(self, path):
         import subprocess
         self._proc = subprocess.Popen(
-            ["gzip", "-dc", path], stdout=subprocess.PIPE, bufsize=1 << 20)
+            ["gzip", "-dc", "--", path], stdout=subprocess.PIPE, bufsize=1 << 20)
         super().__init__(self._proc.stdout)
 
     def close(self):
         try:
             super().close()
         finally:
-            if self._proc.poll() is None:
+            killed = self._proc.poll() is None
+            if killed:
+                # stream abandoned before EOF: reap without judging rc
                 self._proc.kill()
-            self._proc.wait()
+                self._proc.wait()
+            elif self._proc.wait() != 0:
+                # gzip exited nonzero after we consumed its whole output:
+                # the .gz was corrupt/truncated and the parse saw a silent
+                # partial EOF — fail loudly like gzip.GzipFile would
+                raise OSError(
+                    f"gzip -dc exited with {self._proc.returncode}: "
+                    "corrupt or truncated gzip input")
 
 
 def _open_text(path: str):

@@ -47,7 +47,16 @@ class _GzPipeWriter:
         return self
 
     def __exit__(self, exc_type, exc, tb):
-        self._w.close()
+        if exc_type is None:
+            self._w.close()
+        else:
+            # the stage is already unwinding; a dead gzip (disk full,
+            # killed) would raise BrokenPipeError here and mask the
+            # original exception
+            try:
+                self._w.close()
+            except (BrokenPipeError, ValueError, OSError):
+                pass
         rc = self._proc.wait()
         self._f.close()
         if exc_type is None and rc != 0:
