@@ -209,12 +209,16 @@ def contig_stats(path):
     return n, total
 
 
-def bench_paired(n_pairs=500_000):
+def bench_paired(n_pairs=500_000, rolls=2):
     """Headline: the full PAIRED chain (raw fmd -> correct -> ec fmd -> rank
     -> unitig -> clean x2 -> remap -> scaf -> remap -c2) at 1M reads, ours
-    vs the reference binary chain, fresh artifacts both sides."""
+    vs the reference binary chain, fresh artifacts both sides.
+
+    Interleaved A/B protocol (round-4 verdict: same-code rolls spread
+    1.13x-1.48x on this VM's memory weather): `rolls` rolls per side,
+    alternating my/ref/my/ref, median reported, all rolls in the JSON."""
     import glob
-    import shutil
+    import statistics
 
     sys.path.insert(0, os.path.join(os.path.dirname(
         os.path.abspath(__file__)), "scripts"))
@@ -225,18 +229,26 @@ def bench_paired(n_pairs=500_000):
     fq = os.path.join(wd, "reads.fq")
     if not os.path.exists(fq):
         scale_bench.make_pe(fq, n_pairs)
-    for f in glob.glob(os.path.join(wd, "my.*")):
-        os.remove(f)
-    t_my = scale_bench.run_mine(fq, os.path.join(wd, "my"))
+    have_ref = ensure_ref()
+    t_my, t_ref = [], []
+    for r in range(rolls):
+        for f in glob.glob(os.path.join(wd, "my.*")):
+            os.remove(f)
+        t_my.append(scale_bench.run_mine(fq, os.path.join(wd, "my")))
+        if have_ref:
+            t_ref.append(scale_bench.run_ref(fq, os.path.join(wd, "ref")))
+    med_my = statistics.median(t_my)
     vs = None
-    if ensure_ref():
-        t_ref = scale_bench.run_ref(fq, os.path.join(wd, "ref"))
-        vs = t_ref / t_my
+    if t_ref:
+        vs = statistics.median(t_ref) / med_my
     print(json.dumps({
         "metric": "paired end-to-end assembly throughput",
-        "value": round(2 * n_pairs / t_my, 1),
-        "unit": f"reads/s ({2*n_pairs} reads, paired chain to p5, 4 threads)",
+        "value": round(2 * n_pairs / med_my, 1),
+        "unit": f"reads/s ({2*n_pairs} reads, paired chain to p5, 4 threads; "
+                f"median of {rolls} interleaved rolls)",
         "vs_baseline": round(vs, 3) if vs is not None else None,
+        "rolls_mine_s": [round(t, 1) for t in t_my],
+        "rolls_ref_s": [round(t, 1) for t in t_ref],
     }))
 
 
@@ -244,8 +256,14 @@ def main():
     smem_mode = "--smem" in sys.argv
     if "--paired" in sys.argv or not (smem_mode or "--small" in sys.argv):
         if not smem_mode:
-            np_arg = [a for a in sys.argv[1:] if a.isdigit()]
-            bench_paired(int(np_arg[0]) if np_arg else 500_000)
+            argv = sys.argv[1:]
+            rolls = 2
+            if "--rolls" in argv:
+                i = argv.index("--rolls")
+                rolls = int(argv[i + 1])
+                del argv[i:i + 2]
+            np_arg = [a for a in argv if a.isdigit()]
+            bench_paired(int(np_arg[0]) if np_arg else 500_000, rolls=rolls)
             return
     if smem_mode:
         fmd, qfa = ensure_files()
