@@ -83,3 +83,40 @@ def test_link_record_fields():
     assert 0 <= kb < int(e.n_seqs) and 0 <= kf < int(e.n_seqs) and sz >= 1
     for (nkb, nkf, nsz, ov, ext) in lk.nei:
         assert ov >= 25 and ext >= 1 and nsz >= 1
+
+
+def test_device_links_match_host_and_stitch(tmp_path):
+    """Device kernel (search/unitig_links.py) vs the host spec, record by
+    record, then full-chain MAG byte parity through the stitch."""
+    from fermi_tpu.index.fmd import FMDIndex
+    from fermi_tpu.search.unitig_links import compute_links_device
+
+    rng = np.random.default_rng(7)
+    glen, L = 2000, 80
+    genome = rng.integers(0, 4, glen)
+    comp = np.array([3, 2, 1, 0])
+    reads = []
+    for _ in range(glen * 15 // L):
+        p = int(rng.integers(0, glen - L))
+        r = genome[p:p + L].copy()
+        if rng.random() < 0.5:
+            r = comp[r][::-1]
+        reads.append("".join("ACGT"[c] for c in r))
+    reads += reads[:10]
+    fmd = str(tmp_path / "d.fmd")
+    e = _build(reads, fmd)
+    idx = FMDIndex.restore(fmd)
+    mm = 30
+    seqs, ks = UB.retrieve_all(e)
+    links_h = UB.compute_links_host(e, seqs, mm)
+    store = compute_links_device(idx, seqs, mm, batch=256)
+    assert int(store.redo.sum()) == 0
+    for x in range(len(seqs)):
+        lh, ld = links_h[x], store[x]
+        assert (lh.ok, lh.ret, lh.intv0, lh.has_ovlp, lh.nei, lh.forked,
+                lh.sbits) == (ld.ok, ld.ret, ld.intv0, ld.has_ovlp, ld.nei,
+                              ld.forked, ld.sbits), x
+    b1, b2 = io.StringIO(), io.StringIO()
+    UnitigBuilder(e, mm).run(b1)
+    UB.stitch(e, store, seqs, ks, mm, b2)
+    assert b1.getvalue() == b2.getvalue()
