@@ -109,10 +109,18 @@ def _seg_cummin(v, b):
     return out
 
 
-@partial(jax.jit, static_argnums=(7, 8))
+@partial(jax.jit, static_argnums=(7, 8, 9))
 def _getnei_phase(index, ov_kb, ov_kf, ov_sz, ov_off, ovn, lens,
-                  jmax, maxr):
-    """fm6_get_nei rounds (unitig.c:109-155) for B rows at once."""
+                  jmax, maxr, ncand):
+    """fm6_get_nei rounds (unitig.c:109-155) for B rows at once.
+
+    `ncand` is the number of packed candidate slots per lane for the
+    backward sentinel test (the reference tests all four bases plus the
+    sentinel; on genomic data almost every lane has a single live base,
+    so 2 slots + overflow-redo cuts the gather volume ~2x).  Rows that
+    exceed any static budget (jmax lanes, ncand candidates, NMAX/SBMAX
+    records, maxr rounds) are redo-flagged and rerun by the wrapper's
+    ladder with wider budgets."""
     B, Lmax = ov_kb.shape
     idt = index.idtype
     rows = jnp.arange(B)
@@ -156,15 +164,29 @@ def _getnei_phase(index, ov_kb, ov_kf, ov_sz, ov_off, ovn, lens,
         KB = KB.reshape(B, jmax, 6)
         KF = KF.reshape(B, jmax, 6)
         SZ = SZ.reshape(B, jmax, 6)
-        # backward sentinel test of candidate columns 0..4
-        cs = jnp.arange(5)
-        fkb = KB[:, :, :5].reshape(-1)
-        fkf = KF[:, :, :5].reshape(-1)
-        fsz = SZ[:, :, :5].reshape(-1)
-        BKB, BKF, BSZ = index.extend6(fkb, fkf, fsz, True)
-        BKB0 = BKB[:, 0].reshape(B, jmax, 5)
-        BKF0 = BKF[:, 0].reshape(B, jmax, 5)
-        BSZ0 = BSZ[:, 0].reshape(B, jmax, 5)
+        # pack the first `ncand` live candidate bases (ascending c) of
+        # each lane; redo rows where a processed lane has more
+        cn = SZ[:, :, 1:5] > 0                               # [B, J, 4]
+        cbase = jnp.broadcast_to(
+            jnp.arange(1, 5, dtype=jnp.int32)[None, None, :], cn.shape)
+        dead8 = (~cn).astype(jnp.int8)
+        _, sKB, sKF, sSZ, scc = jax.lax.sort(
+            (dead8, KB[:, :, 1:5], KF[:, :, 1:5], SZ[:, :, 1:5], cbase),
+            dimension=2, num_keys=1, is_stable=True)
+        cval = sSZ[:, :, :ncand] > 0
+        cKB = sKB[:, :, :ncand]
+        cKF = sKF[:, :, :ncand]
+        cSZ = jnp.where(cval, sSZ[:, :, :ncand], 0)
+        cidx = scc[:, :, :ncand] - 1
+        # backward sentinel test: sentinel column + packed candidates
+        bkb = jnp.concatenate([KB[:, :, 0:1], cKB], axis=2)
+        bkf = jnp.concatenate([KF[:, :, 0:1], cKF], axis=2)
+        bsz = jnp.concatenate([SZ[:, :, 0:1], cSZ], axis=2)
+        BKB, BKF, BSZ = index.extend6(
+            bkb.reshape(-1), bkf.reshape(-1), bsz.reshape(-1), True)
+        BKB0 = BKB[:, 0].reshape(B, jmax, 1 + ncand)
+        BKF0 = BKF[:, 0].reshape(B, jmax, 1 + ncand)
+        BSZ0 = BSZ[:, 0].reshape(B, jmax, 1 + ncand)
 
         ok0 = SZ[:, :, 0]
         sbkb, sbkf, sbsz = BKB0[:, :, 0], BKF0[:, :, 0], BSZ0[:, :, 0]
@@ -181,49 +203,71 @@ def _getnei_phase(index, ov_kb, ov_kf, ov_sz, ov_off, ovn, lens,
         process = alive & ~killed
         append = full & (lane[None, :] == ff)
         partial_sb = process & sent & ~full
+        st["redo"] = st["redo"] | jnp.any(
+            process & (jnp.sum(cn, axis=2) > ncand), axis=1)
 
-        # neighbor records, in lane order (matches the j loop order)
-        apos = st["nein"][:, None] + jnp.cumsum(append, axis=1) - append
-        slot = jnp.where(append, jnp.minimum(apos, NMAX), NMAX)
-        st["nei_kb"] = st["nei_kb"].at[rows[:, None], slot].set(sbkb)
-        st["nei_kf"] = st["nei_kf"].at[rows[:, None], slot].set(sbkf)
-        st["nei_sz"] = st["nei_sz"].at[rows[:, None], slot].set(sbsz)
-        st["nei_ov"] = st["nei_ov"].at[rows[:, None], slot].set(
-            lens[:, None] - st["off"])
-        st["nei_ext"] = st["nei_ext"].at[rows[:, None], slot].set(
-            st["appended"][:, None])
-        nadd = jnp.sum(append, axis=1).astype(jnp.int32)
-        st["redo"] = st["redo"] | (st["nein"] + nadd > NMAX)
-        st["nein"] = st["nein"] + nadd
+        # neighbor / used-bit records: at most a couple of events per
+        # round per row, landed with dense one-hot writes (TPU scatter
+        # is serial; a [B, J, NMAX] masked reduce is pure VPU work)
+        def land(bufs, vals, mask, cnt, width):
+            pos = cnt[:, None] + jnp.cumsum(mask, axis=1) - mask
+            oh = (mask[:, :, None]
+                  & (pos[:, :, None]
+                     == jnp.arange(width, dtype=jnp.int32)[None, None, :]))
+            hit = jnp.any(oh, axis=1)
+            out = []
+            for buf, v in zip(bufs, vals):
+                w = jnp.sum(jnp.where(oh, v[:, :, None], 0), axis=1,
+                            dtype=buf.dtype)
+                out.append(jnp.where(hit, w, buf[:, :width]))
+            add = jnp.sum(mask, axis=1).astype(jnp.int32)
+            return out, cnt + add, add
 
-        # used-bit records (partial sentinel matches), lane order
-        spos = st["sbn"][:, None] + jnp.cumsum(partial_sb, axis=1) - partial_sb
-        slot = jnp.where(partial_sb, jnp.minimum(spos, SBMAX), SBMAX)
-        st["sb_kb"] = st["sb_kb"].at[rows[:, None], slot].set(sbkb)
-        st["sb_kf"] = st["sb_kf"].at[rows[:, None], slot].set(sbkf)
-        st["sb_sz"] = st["sb_sz"].at[rows[:, None], slot].set(sbsz)
-        sadd = jnp.sum(partial_sb, axis=1).astype(jnp.int32)
-        st["redo"] = st["redo"] | (st["sbn"] + sadd > SBMAX)
-        st["sbn"] = st["sbn"] + sadd
+        (nkb, nkf, nsz, nov, nex), nein, nadd = land(
+            (st["nei_kb"], st["nei_kf"], st["nei_sz"], st["nei_ov"],
+             st["nei_ext"]),
+            (sbkb, sbkf, sbsz,
+             jnp.broadcast_to(lens[:, None], sbkb.shape) - st["off"],
+             jnp.broadcast_to(st["appended"][:, None], sbkb.shape)),
+            append, st["nein"], NMAX)
+        st["redo"] = st["redo"] | (nein > NMAX)
+        pad = st["nei_kb"][:, NMAX:]
+        st["nei_kb"] = jnp.concatenate([nkb, pad], axis=1)
+        st["nei_kf"] = jnp.concatenate([nkf, pad], axis=1)
+        st["nei_sz"] = jnp.concatenate([nsz, pad], axis=1)
+        padi = st["nei_ov"][:, NMAX:]
+        st["nei_ov"] = jnp.concatenate([nov, padi], axis=1)
+        st["nei_ext"] = jnp.concatenate([nex, padi], axis=1)
+        st["nein"] = nein
 
-        # children: (j major, c minor), key = (cat, c, off)
-        cmask = (process[:, :, None] & (SZ[:, :, 1:5] > 0)
-                 & (BSZ0[:, :, 1:5] > 0))                    # [B, J, 4]
-        ckey = (st["cat"][:, :, None] << 13
-                | (cs[1:5][None, None, :]).astype(jnp.int32) << 10
+        (skb_, skf_, ssz_), sbn, sadd = land(
+            (st["sb_kb"], st["sb_kf"], st["sb_sz"]),
+            (sbkb, sbkf, sbsz), partial_sb, st["sbn"], SBMAX)
+        st["redo"] = st["redo"] | (sbn > SBMAX)
+        pad = st["sb_kb"][:, SBMAX:]
+        st["sb_kb"] = jnp.concatenate([skb_, pad], axis=1)
+        st["sb_kf"] = jnp.concatenate([skf_, pad], axis=1)
+        st["sb_sz"] = jnp.concatenate([ssz_, pad], axis=1)
+        st["sbn"] = sbn
+
+        # children: (j major, c minor -- packing preserves ascending c),
+        # key = (cat, c, off)
+        cmask = process[:, :, None] & cval & (BSZ0[:, :, 1:] > 0)
+        cc = (cidx + 1).astype(jnp.int32)
+        ckey = (st["cat"][:, :, None] << 13 | cc << 10
                 | st["off"][:, :, None]).astype(jnp.int32)
-        ckey = jnp.where(cmask, ckey, _I32MAX).reshape(B, jmax * 4)
-        ckb = KB[:, :, 1:5].reshape(B, jmax * 4)
-        ckf = KF[:, :, 1:5].reshape(B, jmax * 4)
-        csz = SZ[:, :, 1:5].reshape(B, jmax * 4)
-        order = jnp.argsort(ckey, axis=1)[:, :jmax]
-        skey = jnp.take_along_axis(ckey, order, axis=1)
+        W = jmax * ncand
+        ckey = jnp.where(cmask, ckey, _I32MAX).reshape(B, W)
+        skey, skb2, skf2, ssz2 = jax.lax.sort(
+            (ckey, cKB.reshape(B, W), cKF.reshape(B, W),
+             cSZ.reshape(B, W)), dimension=1, num_keys=1)
+        skey = skey[:, :jmax]
         nvalid = skey != _I32MAX
-        ncnt = jnp.sum(cmask.reshape(B, jmax * 4), axis=1)
+        ncnt = jnp.sum(cmask.reshape(B, W), axis=1)
         st["redo"] = st["redo"] | (ncnt > jmax)
-        st["kb"] = jnp.take_along_axis(ckb, order, axis=1)
-        st["kf"] = jnp.take_along_axis(ckf, order, axis=1)
-        st["sz"] = jnp.take_along_axis(csz, order, axis=1)
+        st["kb"] = skb2[:, :jmax]
+        st["kf"] = skf2[:, :jmax]
+        st["sz"] = ssz2[:, :jmax]
         st["off"] = (skey & 0x3ff).astype(jnp.int32)
         # category renumber: group = runs of equal (cat, c) = key >> 10
         khi = skey >> 10
@@ -253,16 +297,17 @@ class LinkStore:
     """SoA link records for n stored sequences (device outputs, host
     arrays); indexable like the list compute_links_host returns."""
 
-    def __init__(self, n):
+    def __init__(self, n, idt=np.int64):
         self.n = n
         self.valid = np.zeros(n, bool)
         self.ret = np.zeros(n, np.int8)
         self.intv0 = np.zeros((n, 3), np.int64)
         self.has_ovlp = np.zeros(n, bool)
-        self.nei = [None] * n      # filled lazily from buffers
-        self.nei_buf = None        # (kb, kf, sz, ov, ext) [n, NMAX]
+        self.nei_buf = tuple(
+            np.zeros((n, NMAX), idt if i < 3 else np.int32)
+            for i in range(5))     # (kb, kf, sz, ov, ext)
         self.nein = np.zeros(n, np.int32)
-        self.sb_buf = None         # (kb, kf, sz) [n, SBMAX]
+        self.sb_buf = tuple(np.zeros((n, SBMAX), idt) for _ in range(3))
         self.sbn = np.zeros(n, np.int32)
         self.forked = np.zeros(n, bool)
         self.redo = np.zeros(n, bool)
@@ -297,79 +342,148 @@ class LinkStore:
         return self.n
 
 
-def compute_links_device(index, seqs, min_match, batch=2048, jmax=None,
-                         verbose=False):
+def _pack_rows(seqs, idxs, lens, lmax, batch):
+    """[B, lmax] uint8 matrix of the selected reads, padded to `batch`
+    rows, without a per-read Python loop."""
+    B = len(idxs)
+    R = np.zeros((batch, lmax), np.uint8)
+    if B:
+        flat = np.concatenate([seqs[i] for i in idxs])
+        rows = np.repeat(np.arange(B), lens[:B])
+        offs = np.concatenate([[0], np.cumsum(lens[:B])[:-1]])
+        cols = np.arange(len(flat)) - np.repeat(offs, lens[:B])
+        R[rows, cols] = flat
+    return R
+
+
+def compute_links_device(index, seqs, min_match, batch=2048, verbose=False,
+                         jmax_primary=32, ncand_primary=2, maxr_primary=22):
     """Bulk device link computation for all of `seqs` (list of nt6
-    arrays).  Returns a LinkStore; rows whose buffers overflowed are
-    flagged .redo for exact host recomputation by the stitch."""
+    arrays).  Returns a LinkStore; rows whose buffers overflowed even
+    in the wide ladder pass stay .redo for exact host recomputation by
+    the stitch.
+
+    Cascade: dedup identical sequences -> walk phase -> primary get_nei
+    (tight budgets: jmax_primary lanes, ncand_primary candidate slots,
+    maxr_primary rounds -- sized for the common case so the while_loop
+    is not held hostage by straggler rows) -> ladder rerun of
+    overflowed rows with full budgets."""
+    import sys
+
     n = len(seqs)
-    store = LinkStore(n)
-    lmax_all = max((len(s) for s in seqs), default=0)
-    if jmax is None:
-        jmax = 1 << max(3, int(np.ceil(np.log2(
-            max(lmax_all - min_match + 2, 8)))))
-        jmax = min(jmax, 128)
-    neis = [None] * 5
-    sbs = [None] * 3
-    nei_parts = [[] for _ in range(5)]
-    sb_parts = [[] for _ in range(3)]
-    order = np.argsort([len(s) for s in seqs], kind="stable")
-    # process in length buckets to keep Lmax tight per batch
-    for b0 in range(0, n, batch):
-        idxs = order[b0:b0 + batch]
-        B = len(idxs)
-        lens = np.array([len(seqs[i]) for i in idxs], np.int32)
-        lmax = max(int(lens.max()), min_match + 2)
-        R = np.zeros((B, lmax), np.uint8)
-        for r, i in enumerate(idxs):
-            R[r, :lens[r]] = seqs[i]
-        # pad batch to full size for jit shape stability
-        if B < batch:
-            pad = batch - B
-            R = np.vstack([R, np.zeros((pad, lmax), np.uint8)])
-            lens = np.concatenate([lens, np.full(pad, 1, np.int32)])
-        Rd = jnp.asarray(R)
-        ld = jnp.asarray(lens)
-        ovkb, ovkf, ovsz, ovoff, ovn, ret, intv0 = _walk_phase(
-            index, Rd, ld, min_match)
-        outs = _getnei_phase(index, ovkb, ovkf, ovsz, ovoff, ovn, ld,
-                             jmax, lmax + 2)
+    idt_np = np.int32 if index.idtype == jnp.int32 else np.int64
+    store = LinkStore(n, idt_np)
+    if n == 0:
+        return store
+    # dedup: identical sequences share identical records
+    first = {}
+    rep = np.arange(n)
+    for i, s in enumerate(seqs):
+        j = first.setdefault(s.tobytes(), i)
+        rep[i] = j
+    reps = np.flatnonzero(rep == np.arange(n))
+    lens_r = np.array([len(seqs[i]) for i in reps], np.int32)
+    order = reps[np.argsort(lens_r, kind="stable")]
+    lmax_g = int(lens_r.max())
+    if lmax_g >= 1024:
+        raise ValueError("unitig link kernel requires read length < 1024")
+
+    def harvest(idxs, lens, ovn, ret, intv0, outs):
         (nkb, nkf, nsz, nov, nex, nein,
          skb, skf, ssz, sbn, forked, redo) = [np.asarray(o) for o in outs]
-        ovn_h = np.asarray(ovn)
-        ret_h = np.asarray(ret)
-        i0 = np.asarray(intv0[0])
-        i1 = np.asarray(intv0[1])
-        i2 = np.asarray(intv0[2])
-        valid = lens > min_match
-        store.valid[idxs] = valid[:B]
-        store.ret[idxs] = ret_h[:B]
-        store.intv0[idxs, 0] = i0[:B]
-        store.intv0[idxs, 1] = i1[:B]
-        store.intv0[idxs, 2] = i2[:B]
-        store.has_ovlp[idxs] = ovn_h[:B] > 0
+        B = len(idxs)
+        store.valid[idxs] = lens[:B] > min_match
+        store.ret[idxs] = np.asarray(ret)[:B]
+        for d in range(3):
+            store.intv0[idxs, d] = np.asarray(intv0[d])[:B]
+        store.has_ovlp[idxs] = np.asarray(ovn)[:B] > 0
         store.nein[idxs] = nein[:B]
         store.sbn[idxs] = sbn[:B]
         store.forked[idxs] = forked[:B]
         store.redo[idxs] = redo[:B]
-        for li, a in zip(nei_parts, (nkb, nkf, nsz, nov, nex)):
-            li.append((idxs, a[:B]))
-        for li, a in zip(sb_parts, (skb, skf, ssz)):
-            li.append((idxs, a[:B]))
+        for buf, a in zip(store.nei_buf, (nkb, nkf, nsz, nov, nex)):
+            buf[idxs] = a[:B]
+        for buf, a in zip(store.sb_buf, (skb, skf, ssz)):
+            buf[idxs] = a[:B]
+        return redo[:B]
+
+    ladder = []   # (idxs, ov rows on host, ovn, lens)
+    done = 0
+    for b0 in range(0, len(order), batch):
+        idxs = order[b0:b0 + batch]
+        B = len(idxs)
+        lens = np.full(batch, 1, np.int32)
+        lens[:B] = [len(seqs[i]) for i in idxs]
+        lmax = -(-max(int(lens[:B].max()), min_match + 2) // 32) * 32
+        R = _pack_rows(seqs, idxs, lens, lmax, batch)
+        Rd, ld = jnp.asarray(R), jnp.asarray(lens)
+        ovkb, ovkf, ovsz, ovoff, ovn, ret, intv0 = _walk_phase(
+            index, Rd, ld, min_match)
+        outs = _getnei_phase(index, ovkb, ovkf, ovsz, ovoff, ovn, ld,
+                             jmax_primary, maxr_primary, ncand_primary)
+        redo = harvest(idxs, lens, ovn, ret, intv0, outs)
+        if redo.any():
+            w = np.flatnonzero(redo)
+            ladder.append((idxs[w],
+                           [np.asarray(a)[w] for a in
+                            (ovkb, ovkf, ovsz, ovoff)],
+                           np.asarray(ovn)[w], lens[w],
+                           np.asarray(ret)[w],
+                           [np.asarray(v)[w] for v in intv0]))
+        done += B
+        if verbose and (b0 // batch) % 32 == 0:
+            sys.stderr.write(f"[unitig_links] {done}/{len(order)} uniq "
+                             f"(+ladder {sum(len(t[0]) for t in ladder)})\n")
+
+    # ladder: rerun overflowed rows with full budgets
+    if ladder:
+        l_idx = np.concatenate([t[0] for t in ladder])
+        lW = max(t[1][0].shape[1] for t in ladder)
+        lb = 512
+        jmax_l = 128
         if verbose:
-            import sys
-            sys.stderr.write(
-                f"[unitig_links] {min(b0+batch, n)}/{n} "
-                f"(redo {int(store.redo.sum())})\n")
-    # assemble full buffers
-    def _assemble(parts, dtype):
-        out = np.zeros((n, parts[0][1].shape[1]), dtype)
-        for idxs, a in parts:
-            out[idxs] = a
-        return out
-    if n:
-        store.nei_buf = tuple(
-            _assemble(p, np.int64 if i < 3 else np.int32)
-            for i, p in enumerate(nei_parts))
-        store.sb_buf = tuple(_assemble(p, np.int64) for p in sb_parts)
+            sys.stderr.write(f"[unitig_links] ladder: {len(l_idx)} rows\n")
+        ovs = [np.zeros((len(l_idx), lW), a.dtype)
+               for a in ladder[0][1]]
+        ovn_l = np.concatenate([t[2] for t in ladder])
+        lens_l = np.concatenate([t[3] for t in ladder])
+        ret_l = np.concatenate([t[4] for t in ladder])
+        intv_l = [np.concatenate([t[5][d] for t in ladder])
+                  for d in range(3)]
+        p = 0
+        for t in ladder:
+            m, w = len(t[0]), t[1][0].shape[1]
+            for d in range(4):
+                ovs[d][p:p + m, :w] = t[1][d]
+            p += m
+        for b0 in range(0, len(l_idx), lb):
+            sl = slice(b0, min(b0 + lb, len(l_idx)))
+            B = sl.stop - sl.start
+            pad = lb - B
+            args = [jnp.asarray(np.vstack([a[sl], np.zeros((pad, lW),
+                                                           a.dtype)]))
+                    for a in ovs]
+            ovn_b = jnp.asarray(np.concatenate(
+                [ovn_l[sl], np.zeros(pad, ovn_l.dtype)]))
+            lens_b = jnp.asarray(np.concatenate(
+                [lens_l[sl], np.ones(pad, np.int32)]))
+            outs = _getnei_phase(index, *args, ovn_b, lens_b,
+                                 jmax_l, lmax_g + 2, 4)
+            harvest(l_idx[sl], np.asarray(lens_b), ovn_b,
+                    np.concatenate([ret_l[sl], np.zeros(pad, np.int8)]),
+                    [np.concatenate([intv_l[d][sl], np.zeros(pad,
+                     intv_l[d].dtype)]) for d in range(3)], outs)
+
+    # duplicates copy their representative's record
+    dups = np.flatnonzero(rep != np.arange(n))
+    if len(dups):
+        r = rep[dups]
+        for f in ("valid", "ret", "has_ovlp", "nein", "sbn",
+                  "forked", "redo"):
+            getattr(store, f)[dups] = getattr(store, f)[r]
+        store.intv0[dups] = store.intv0[r]
+        for buf in store.nei_buf:
+            buf[dups] = buf[r]
+        for buf in store.sb_buf:
+            buf[dups] = buf[r]
     return store
