@@ -357,3 +357,108 @@ def fm6_unitig_bulk(e, min_match, out_fp, sorted_arr=None, links=None,
     if links is None:
         links = compute_links_host(e, seqs, min_match)
     return stitch(e, links, seqs, own_ks, min_match, out_fp, sorted_arr)
+
+
+def stitch_native(e, store, seqs, own_ks, min_match, sorted_arr=None):
+    """C++ stitch (native/unitig.cpp funitig_stitch) over a LinkStore:
+    the production pass-2.  Byte-identical to stitch() (tested); redo
+    rows and check_left run in the native engine.  Returns (mag_text,
+    n_recover)."""
+    import ctypes
+
+    from fermi_tpu import native
+
+    lib = native.get_lib()
+    n = int(e.n_seqs)
+    flat = np.concatenate(seqs) if n else np.zeros(0, np.uint8)
+    flat = np.ascontiguousarray(flat, np.uint8)
+    offs = np.zeros(n + 1, np.int64)
+    np.cumsum([len(s) for s in seqs], out=offs[1:])
+    ks = np.ascontiguousarray(np.asarray(own_ks[:n], np.int64))
+    srt_ptr = None
+    if sorted_arr is not None:
+        sorted_arr = np.ascontiguousarray(sorted_arr, dtype=np.uint64)
+        srt_ptr = sorted_arr.ctypes.data_as(ctypes.c_void_p)
+    blocks = np.ascontiguousarray(e.blocks)
+    occ = getattr(e, "occ8", None)
+    if occ is None:
+        occ6 = e.occ.astype(np.int64, copy=False)
+        occ = np.zeros((occ6.shape[0], 8), np.int64)
+        occ[:, : occ6.shape[1]] = occ6
+    cnt8 = np.zeros(8, np.int64)
+    cnt8[:7] = np.asarray(e.cnt, np.int64)[:7]
+    cnt8[7] = cnt8[6]
+    idt64 = 1 if store.nei_buf[0].dtype == np.int64 else 0
+    nmax = store.nei_buf[0].shape[1]
+    sbmax = store.sb_buf[0].shape[1]
+
+    def p(a, t):
+        return np.ascontiguousarray(a).ctypes.data_as(ctypes.POINTER(t))
+
+    out_len = ctypes.c_int64()
+    n_rec = ctypes.c_int64()
+    u8, i8, i32, i64 = (ctypes.c_uint8, ctypes.c_int8, ctypes.c_int32,
+                        ctypes.c_int64)
+    ptr = lib.funitig_stitch(
+        p(blocks, u8), p(occ, i64), blocks.shape[0], p(cnt8, i64), n,
+        min_match, srt_ptr, p(flat, u8), p(offs, i64), p(ks, i64),
+        p(store.valid.view(np.uint8), u8), p(store.ret, i8),
+        p(store.intv0, i64), p(store.has_ovlp.view(np.uint8), u8),
+        np.ascontiguousarray(store.nei_buf[0]).ctypes.data_as(ctypes.c_void_p),
+        np.ascontiguousarray(store.nei_buf[1]).ctypes.data_as(ctypes.c_void_p),
+        np.ascontiguousarray(store.nei_buf[2]).ctypes.data_as(ctypes.c_void_p),
+        p(store.nei_buf[3], i32), p(store.nei_buf[4], i32),
+        p(store.nein, i32), nmax,
+        np.ascontiguousarray(store.sb_buf[0]).ctypes.data_as(ctypes.c_void_p),
+        np.ascontiguousarray(store.sb_buf[1]).ctypes.data_as(ctypes.c_void_p),
+        np.ascontiguousarray(store.sb_buf[2]).ctypes.data_as(ctypes.c_void_p),
+        p(store.sbn, i32), sbmax,
+        p(store.redo.view(np.uint8), u8), idt64,
+        ctypes.byref(out_len), ctypes.byref(n_rec))
+    try:
+        text = ctypes.string_at(ptr, out_len.value).decode("latin1")
+    finally:
+        lib.frld_free(ptr)
+    return text, int(n_rec.value)
+
+
+def fm6_unitig_device(e, fmd_path, min_match, out_fp, sorted_arr=None,
+                      batch=4096, verbose=True):
+    """Device unitig: TPU bulk link records (pass 1) + native C++ stitch
+    (pass 2).  Byte-identical to fm6_unitig(..., n_threads=1).
+
+    `e` is the host index (for the stitch's check_left/redo paths);
+    `fmd_path` names the same .fmd for the device index.  See the module
+    docstring for the reformulation; the single-chip economics are in
+    BENCH_NOTES.md (the HBM random-gather roofline bounds pass 1)."""
+    import sys
+    import time
+
+    from fermi_tpu.index.fmd import FMDIndex
+    from fermi_tpu.search.extend import retrieve_strings
+    from fermi_tpu.search.unitig_links import compute_links_device
+
+    def log(m):
+        if verbose:
+            sys.stderr.write(f"[unitig_device] {m}\n")
+
+    idx = FMDIndex.restore(fmd_path)
+    n = int(idx.n_seqs)
+    t0 = time.time()
+    seqs, own_ks = [], np.zeros(n, np.int64)
+    rb = 1 << 16
+    for b0 in range(0, n, rb):
+        ids = np.arange(b0, min(b0 + rb, n), dtype=np.int64)
+        ss, ks = retrieve_strings(idx, ids, max_len=1 << 10)
+        seqs.extend(ss)
+        own_ks[b0:b0 + len(ids)] = ks
+    t1 = time.time()
+    log(f"retrieve {n} seqs: {t1 - t0:.1f}s")
+    store = compute_links_device(idx, seqs, min_match, batch=batch,
+                                 verbose=verbose)
+    t2 = time.time()
+    log(f"device links: {t2 - t1:.1f}s (redo {int(store.redo.sum())})")
+    text, nrec = stitch_native(e, store, seqs, own_ks, min_match,
+                               sorted_arr=sorted_arr)
+    log(f"native stitch: {time.time() - t2:.1f}s (recoveries {nrec})")
+    out_fp.write(text)

@@ -5,6 +5,7 @@ reference so pipelines (and parity tests) can swap binaries.
 """
 
 import argparse
+import os
 import sys
 
 import numpy as np
@@ -349,6 +350,13 @@ def cmd_unitig(args):
     sorted_arr = None
     if args.rank_file:
         sorted_arr = np.fromfile(args.rank_file, np.uint64, e.n_seqs)
+    if os.environ.get("FERMI_TPU_DEVICE_UNITIG", "0") == "1" \
+            and not args.mmap:
+        from fermi_tpu.algos.unitig_bulk import fm6_unitig_device
+
+        fm6_unitig_device(e, args.fmd, args.min_match, sys.stdout,
+                          sorted_arr)
+        return 0
     fm6_unitig(e, args.min_match, sys.stdout, sorted_arr,
                n_threads=args.n_threads)
     return 0

@@ -83,6 +83,39 @@ def get_lib() -> ctypes.CDLL:
                 ctypes.c_int,
                 ctypes.POINTER(ctypes.c_int64),
             ]
+            lib.funitig_stitch.restype = ctypes.c_void_p
+            lib.funitig_stitch.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),   # blocks
+                ctypes.POINTER(ctypes.c_int64),   # occ
+                ctypes.c_int64,                   # n_rows
+                ctypes.POINTER(ctypes.c_int64),   # cnt
+                ctypes.c_int64,                   # n_seqs
+                ctypes.c_int,                     # min_match
+                ctypes.c_void_p,                  # sorted
+                ctypes.POINTER(ctypes.c_uint8),   # seq_flat
+                ctypes.POINTER(ctypes.c_int64),   # seq_offs
+                ctypes.POINTER(ctypes.c_int64),   # own_ks
+                ctypes.POINTER(ctypes.c_uint8),   # valid
+                ctypes.POINTER(ctypes.c_int8),    # ret
+                ctypes.POINTER(ctypes.c_int64),   # intv0
+                ctypes.POINTER(ctypes.c_uint8),   # has_ovlp
+                ctypes.c_void_p,                  # nkb
+                ctypes.c_void_p,                  # nkf
+                ctypes.c_void_p,                  # nsz
+                ctypes.POINTER(ctypes.c_int32),   # nov
+                ctypes.POINTER(ctypes.c_int32),   # nex
+                ctypes.POINTER(ctypes.c_int32),   # nein
+                ctypes.c_int,                     # nmax
+                ctypes.c_void_p,                  # skb
+                ctypes.c_void_p,                  # skf
+                ctypes.c_void_p,                  # ssz
+                ctypes.POINTER(ctypes.c_int32),   # sbn
+                ctypes.c_int,                     # sbmax
+                ctypes.POINTER(ctypes.c_uint8),   # redo
+                ctypes.c_int,                     # idt64
+                ctypes.POINTER(ctypes.c_int64),   # out_len
+                ctypes.POINTER(ctypes.c_int64),   # n_recover
+            ]
             lib.fsmem_all.restype = ctypes.POINTER(ctypes.c_int64)
             lib.fsmem_all.argtypes = [
                 ctypes.POINTER(ctypes.c_uint8),

@@ -775,6 +775,266 @@ static char* unitig_with_index(const Index& idx, int min_match,
 
 }  // namespace
 
+// ---------------------------------------------------------------------------
+// Bulk-link stitch (round-5 device-unitig path).
+//
+// Pass 2 of the bulk-link reformulation (fermi_tpu/algos/unitig_bulk.py):
+// replays unitig1 / unitig_unidir (reference unitig.c:227-357) in exact
+// t=1 seed order over per-sequence link records precomputed on the TPU
+// (fermi_tpu/search/unitig_links.py).  Index queries remain only for
+// check_left verification, redo-flagged rows (device buffer overflow) and
+// the rare member-miss fallback -- all served by the Builder machinery
+// above, so those paths are byte-exact by construction.
+
+struct LinkArrays {
+  const uint8_t* valid;
+  const int8_t* ret;
+  const int64_t* intv0;     // [n*3] kb,kf,sz
+  const uint8_t* has_ovlp;
+  const void* nkb;          // [n*nmax] idtype
+  const void* nkf;
+  const void* nsz;
+  const int32_t* nov;       // [n*nmax]
+  const int32_t* nex;
+  const int32_t* nein;
+  const void* skb;          // [n*sbmax] idtype
+  const void* skf;
+  const void* ssz;
+  const int32_t* sbn;
+  const uint8_t* redo;
+  int nmax, sbmax;
+  int idt64;                // nonzero: buffers are int64, else int32
+  inline int64_t rd(const void* p, int64_t x, int w, int i) const {
+    return idt64 ? ((const int64_t*)p)[x * w + i]
+                 : (int64_t)((const int32_t*)p)[x * w + i];
+  }
+};
+
+struct Stitcher {
+  Builder<PlainBits> b;
+  const LinkArrays& la;
+  const uint8_t* seq_flat;
+  const int64_t* seq_offs;   // [n+1]
+  const int64_t* own_ks;     // [n]
+  std::vector<int64_t> inv;  // preceding-sentinel rank -> sequence index
+  int64_t n_recover = 0;     // member-miss fallbacks (expected ~0)
+
+  Stitcher(const Index& idx, int mm, const uint64_t* srt,
+           const LinkArrays& links, const uint8_t* flat, const int64_t* offs,
+           const int64_t* ks)
+      : b(idx, mm, srt), la(links), seq_flat(flat), seq_offs(offs),
+        own_ks(ks) {
+    inv.resize(idx.n_seqs);
+    for (int64_t x = 0; x < idx.n_seqs; ++x) inv[own_ks[x]] = x;
+  }
+
+  inline const uint8_t* seq(int64_t x, int64_t* len) const {
+    *len = seq_offs[x + 1] - seq_offs[x];
+    return seq_flat + seq_offs[x];
+  }
+
+  void apply_sbits(int64_t x) {
+    int m = la.sbn[x];
+    for (int i = 0; i < m; ++i)
+      b.set_bits(la.rd(la.skb, x, la.sbmax, i), la.rd(la.skf, x, la.sbmax, i),
+                 la.rd(la.ssz, x, la.sbmax, i));
+  }
+
+  void load_nei(int64_t x, std::vector<Intv>& nei) {
+    nei.clear();
+    int m = la.nein[x];
+    for (int i = 0; i < m; ++i)
+      nei.push_back({la.rd(la.nkb, x, la.nmax, i),
+                     la.rd(la.nkf, x, la.nmax, i),
+                     la.rd(la.nsz, x, la.nmax, i),
+                     (uint64_t)la.nov[x * la.nmax + i]});
+  }
+
+  // the consumed read: the neighbor-interval member equal to the tip
+  int64_t find_member(const Intv& n0, int ext, const std::vector<uint8_t>& s,
+                      int rbeg) {
+    int64_t want = (int64_t)(n0.info & 0xffffffffULL) + ext;
+    int64_t tip = (int64_t)s.size() - rbeg;
+    for (int64_t i = 0; i < n0.sz; ++i) {
+      int64_t y = inv[n0.kb + i];
+      int64_t ly;
+      const uint8_t* sy = seq(y, &ly);
+      if (ly != want) continue;
+      bool eq = true;
+      for (int64_t t = 0; t < tip; ++t)
+        if (sy[t] != s[rbeg + t]) { eq = false; break; }
+      if (eq) return y;
+    }
+    return -1;
+  }
+
+  // unitig_unidir over link records; cur_x < 0 means "no precomputed
+  // record: run the Builder's exact get_nei for this tip"
+  int unidir(std::vector<uint8_t>& s, std::vector<uint8_t>& cov, int beg0,
+             int64_t k0, int64_t* end, bool* is_loop, std::vector<Intv>& nei,
+             int64_t cur_x) {
+    int beg = beg0, ori_l = (int)s.size(), n_reads = 0;
+    *is_loop = false;
+    nei.clear();
+    std::vector<Intv> empty_prev;
+    while (true) {
+      int rbeg;
+      int64_t next_x = -1;
+      bool synth = cur_x < 0 || la.redo[cur_x];
+      if (synth) {
+        // exact on-demand get_nei (applies its own used bits)
+        empty_prev.clear();
+        rbeg = b.get_nei(beg, s, nei, empty_prev);
+        if (rbeg < 0) break;
+        if (nei.size() == 1) {
+          int ext = (int)s.size() - ori_l;
+          next_x = find_member(nei[0], ext, s, rbeg);
+        }
+      } else {
+        apply_sbits(cur_x);
+        load_nei(cur_x, nei);
+        if (nei.empty()) break;
+        rbeg = ori_l - (int)(nei[0].info & 0xffffffffULL);
+        if (nei.size() == 1) {
+          int ext = la.nex[cur_x * la.nmax];
+          next_x = find_member(nei[0], ext, s, rbeg);
+          if (next_x >= 0) {
+            // reference get_nei grows s to the consumed read's end
+            // before the caller's checks (unitig.c:155)
+            int64_t ly;
+            const uint8_t* sy = seq(next_x, &ly);
+            for (int64_t t = ori_l - rbeg; t < ly; ++t)
+              s.push_back(sy[t]);
+          } else {
+            // no member equals the tip: recover exactly (rare; the
+            // device sbits for this call are already applied, and the
+            // Builder re-applies the same bits -- idempotent)
+            ++n_recover;
+            std::vector<Intv> nei2;
+            empty_prev.clear();
+            int rb2 = b.get_nei(beg, s, nei2, empty_prev);
+            (void)rb2;
+            nei = nei2;
+            if (nei.size() == 1) {
+              int ext = (int)s.size() - ori_l;
+              next_x = find_member(nei[0], ext, s, rbeg);
+            }
+          }
+        }
+      }
+      if (nei.size() > 1) {
+        b.bits.set_bend(*end);
+        break;
+      }
+      int64_t k = nei[0].kb;
+      if (k == *end) break;
+      if (b.bits.bend_at(k) || b.check_left(beg, rbeg, s, nei) < 0) {
+        b.bits.set_bend(k);
+        break;
+      }
+      if (k == k0) {
+        *is_loop = true;
+        break;
+      }
+      if (nei[0].kf == *end) {
+        nei.clear();
+        break;
+      }
+      *end = nei[0].kf;
+      b.set_bits(nei[0].kb, nei[0].kf, nei[0].sz);
+      ++n_reads;
+      while (cov.size() < s.size()) cov.push_back('"');
+      cov.resize(s.size());
+      for (int i = rbeg; i < ori_l; ++i)
+        if (cov[i] != '~') ++cov[i];
+      for (size_t i = ori_l; i < s.size(); ++i) cov[i] = '"';
+      beg = rbeg;
+      ori_l = (int)s.size();
+      cur_x = next_x;
+    }
+    s.resize(ori_l);
+    cov.resize(ori_l);
+    return n_reads;
+  }
+
+  // the direction-1 tip: any member of the RC side of intv0 storing
+  // exactly RC(seed)
+  int64_t rc_rank(const int64_t* iv, const std::vector<uint8_t>& rc) {
+    for (int64_t i = 0; i < iv[2]; ++i) {
+      int64_t y = inv[iv[1] + i];
+      int64_t ly;
+      const uint8_t* sy = seq(y, &ly);
+      if (ly != (int64_t)rc.size()) continue;
+      bool eq = true;
+      for (size_t t = 0; t < rc.size(); ++t)
+        if (sy[t] != rc[t]) { eq = false; break; }
+      if (eq) return y;
+    }
+    return -1;
+  }
+
+  bool unitig1(int64_t seed, std::vector<uint8_t>& s, std::vector<uint8_t>& cov,
+               int64_t k_out[2], std::vector<Intv> nei_out[2], int* nsr) {
+    if (b.sorted && b.bits.used_at(seed)) return false;
+    int64_t slen;
+    const uint8_t* sp = seq(seed, &slen);
+    if (slen <= b.min_match) return false;
+    if (!b.sorted && b.bits.used_at(own_ks[seed])) return false;
+    const int64_t* iv = la.intv0 + seed * 3;
+    b.set_bits(iv[0], iv[1], iv[2]);
+    if (la.ret[seed] < 0) return false;
+    *nsr = 1;
+    s.assign(sp, sp + slen);
+    int seed_len = (int)slen;
+    cov.assign(slen, '"');
+    k_out[0] = iv[1];
+    k_out[1] = iv[0];
+    nei_out[0].clear();
+    nei_out[1].clear();
+    std::vector<Intv> nei;
+    if (la.has_ovlp[seed]) {
+      bool is_loop;
+      int nr = unidir(s, cov, 0, iv[0], &k_out[0], &is_loop, nei, seed);
+      *nsr += nr;
+      nei_out[0] = nei;
+      if (is_loop) {
+        nei_out[1].clear();
+        nei_out[1].push_back({k_out[0], 0, 0, nei[0].info});
+        return true;
+      }
+    }
+    std::reverse(s.begin(), s.end());
+    for (auto& c : s) c = (uint8_t)comp6(c);
+    std::reverse(cov.begin(), cov.end());
+    std::vector<uint8_t> rc(s.end() - seed_len, s.end());
+    int64_t rx = rc_rank(iv, rc);
+    bool is_loop;
+    int nr = unidir(s, cov, (int)s.size() - seed_len, iv[1], &k_out[1],
+                    &is_loop, nei, rx);
+    *nsr += nr;
+    nei_out[1] = nei;
+    return true;
+  }
+
+  void run() {
+    int64_t n1 = b.e.n_seqs;
+    std::vector<uint8_t> s, cov;
+    for (int64_t j = 0; j <= (n1 >> 2); ++j) {
+      for (int64_t i = (j << 2) | 1; i < (j << 2) + 4 && i < n1; i += 2) {
+        int64_t k_out[2];
+        std::vector<Intv> nei_out[2];
+        int nsr = 0;
+        if (!unitig1(i, s, cov, k_out, nei_out, &nsr)) continue;
+        if (b.bits.visited_at(k_out[0]) || b.bits.visited_at(k_out[1]))
+          continue;
+        b.bits.set_visited(k_out[0]);
+        b.bits.set_visited(k_out[1]);
+        b.write_mag(s, cov, k_out, nei_out, nsr);
+      }
+    }
+  }
+};
+
 extern "C" {
 
 // Runs unitig construction; returns malloc'd MAG text (caller frees with
@@ -806,6 +1066,37 @@ char* funitig_run_blk(const char* blk_path, int min_match,
   if (n_threads > 1)
     return unitig_threaded(idx, min_match, sorted, n_threads, out_len);
   return unitig_with_index(idx, min_match, sorted, out_len);
+}
+
+
+// Bulk-link stitch over device-precomputed link records (see Stitcher).
+// seqs are passed as a flat uint8 buffer + [n+1] offsets; link buffers
+// may be int32 or int64 (idt64 flag).  Returns malloc'd MAG text.
+char* funitig_stitch(const uint8_t* blocks, const int64_t* occ,
+                     int64_t n_rows, const int64_t* cnt, int64_t n_seqs,
+                     int min_match, const uint64_t* sorted,
+                     const uint8_t* seq_flat, const int64_t* seq_offs,
+                     const int64_t* own_ks, const uint8_t* valid,
+                     const int8_t* ret, const int64_t* intv0,
+                     const uint8_t* has_ovlp, const void* nkb,
+                     const void* nkf, const void* nsz, const int32_t* nov,
+                     const int32_t* nex, const int32_t* nein, int nmax,
+                     const void* skb, const void* skf, const void* ssz,
+                     const int32_t* sbn, int sbmax, const uint8_t* redo,
+                     int idt64, int64_t* out_len, int64_t* n_recover) {
+  Index idx;
+  idx.setup(blocks, occ, n_rows, cnt, n_seqs);
+  LinkArrays la{valid, ret, intv0, has_ovlp, nkb, nkf, nsz, nov, nex,
+                nein, skb, skf, ssz, sbn, redo, nmax, sbmax, idt64};
+  Stitcher st(idx, min_match, sorted, la, seq_flat, seq_offs, own_ks);
+  st.run();
+  if (n_recover) *n_recover = st.n_recover;
+  size_t len = st.b.out.size();
+  char* p = (char*)fx_malloc(len + 1, "funitig_stitch");
+  memcpy(p, st.b.out.data(), len);
+  p[len] = 0;
+  *out_len = (int64_t)len;
+  return p;
 }
 
 }  // extern "C"

@@ -120,3 +120,39 @@ def test_device_links_match_host_and_stitch(tmp_path):
     UnitigBuilder(e, mm).run(b1)
     UB.stitch(e, store, seqs, ks, mm, b2)
     assert b1.getvalue() == b2.getvalue()
+
+
+def test_native_stitch_and_cli_device_path(tmp_path, monkeypatch, capsys):
+    """stitch_native == Python stitch byte-for-byte, and the CLI device
+    dispatch (FERMI_TPU_DEVICE_UNITIG=1) produces the oracle MAG."""
+    from fermi_tpu.index.fmd import FMDIndex
+    from fermi_tpu.search.unitig_links import compute_links_device
+
+    rng = np.random.default_rng(13)
+    glen, L = 1500, 80
+    genome = rng.integers(0, 4, glen)
+    comp = np.array([3, 2, 1, 0])
+    reads = []
+    for _ in range(glen * 12 // L):
+        p = int(rng.integers(0, glen - L))
+        r = genome[p:p + L].copy()
+        if rng.random() < 0.5:
+            r = comp[r][::-1]
+        reads.append("".join("ACGT"[c] for c in r))
+    fmd = str(tmp_path / "cs.fmd")
+    e = _build(reads, fmd)
+    idx = FMDIndex.restore(fmd)
+    mm = 30
+    seqs, ks = UB.retrieve_all(e)
+    store = compute_links_device(idx, seqs, mm, batch=256)
+    b1 = io.StringIO()
+    UnitigBuilder(e, mm).run(b1)
+    txt, nrec = UB.stitch_native(e, store, seqs, ks, mm)
+    assert txt == b1.getvalue()
+    # CLI dispatch
+    from fermi_tpu.cli import main as climain
+    monkeypatch.setenv("FERMI_TPU_DEVICE_UNITIG", "1")
+    rc = climain.main(["unitig", "-l", str(mm), fmd])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out == b1.getvalue()
