@@ -286,6 +286,13 @@ def ec_correct(index: FMDIndex, fastx_path: str, out_fp, w: int = -1,
     table = SolidTable(w, cls, key, val)
     opt = dict(w=w, min_occ=min_occ, keep_bad=keep_bad, is_paired=is_paired,
                max_corr=max_corr, trim_l=trim_l, step=step)
+    # device beam fix (search/ecfix_device.py): FERMI_TPU_DEVICE_FIX=1;
+    # flagged reads fall back to the native engine for exact parity
+    dev_table = None
+    if os.environ.get("FERMI_TPU_DEVICE_FIX", "0") == "1":
+        from fermi_tpu.search.ecfix_device import (build_device_table,
+                                                   fix_reads_device)
+        dev_table = build_device_table(cls, key, val, w)
 
     BATCH = 1_000_000
     pending_s, pending_q, base_id = [], [], 0
@@ -294,8 +301,17 @@ def ec_correct(index: FMDIndex, fastx_path: str, out_fp, w: int = -1,
         nonlocal base_id
         if not pending_s:
             return
-        seqs, quals, info, _ = fix_reads(table, opt, pending_s, pending_q,
-                                         n_threads)
+        if dev_table is not None:
+            seqs, quals, info, st = fix_reads_device(
+                dev_table, opt, pending_s, pending_q, native_table=table,
+                n_threads=n_threads)
+            if verbose:
+                sys.stderr.write(
+                    f"[M::ec_correct] device fix: {st['n']} reads, "
+                    f"{st['n_redo']} native redos\n")
+        else:
+            seqs, quals, info, _ = fix_reads(table, opt, pending_s,
+                                             pending_q, n_threads)
         emit(out_fp, seqs, quals, info, base_id, opt)
         base_id += len(pending_s)
         pending_s.clear()

@@ -1,0 +1,450 @@
+"""Device (TPU) error-correction fix: bounded-beam search.
+
+The reference ec_fix1 (correct.c:121-220) is a best-first search with a
+256-capped heap per read.  SURVEY §7 plans the device version as a
+width-K masked beam.  The exact-equivalence argument this kernel rests
+on:
+
+- the sequential search pops states in ascending y = (score, insertion
+  order, position); the first two TERMINALS popped are the two
+  globally-minimal-score terminals, and `score_diff` equals
+  min(s2 - s1, kMaxScDiff) whether or not the early-break at
+  s1 + kMaxScDiff fires;
+- therefore a round-synchronous "flood" that expands every live state
+  once per round, retires terminals, and keeps the two best terminal
+  scores computes the identical result — PROVIDED no state the
+  sequential search would explore is dropped and no score tie makes the
+  winner order-dependent.
+
+Every condition that could break that proviso flags the read for exact
+native redo: beam overflow (> K live lanes needed), total-push count
+near the reference's 256-entry heap cap (where its drop branches
+engage), a tie for the best terminal score, a round-budget overrun, or
+a read with no hash hit at all (the `no_hits` bit depends on the
+explored set).  Flagged reads re-run through native/ec.cpp from the
+original bases; measured redo rates are ~0-2% (tests assert byte
+parity of the combined output).
+
+Per round, per live lane: one hash lookup (a statically-bounded
+open-addressing probe over a device-resident table) + child generation
++ beam prune; the skip fast-forward of correct.c:176-199 runs as a lane
+mode advancing at one lookup per round.  Lookups are 8-16 B gathers,
+bounded by the measured HBM gather roofline (BENCH_NOTES.md round 5).
+"""
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+# reference constants (correct.c / native/ec.cpp)
+RATIO_FACTOR = 10
+DIFF_FACTOR = 13
+MAX_HEAP = 256
+MAX_SC_DIFF = 60
+MAX_QUAL = 40
+MISS_PENALTY = 10
+MIN_OCC = 5
+MIN_OCC_RATIO = 0.8
+BIG = np.int32(1 << 30)
+
+
+def build_device_table(cls, key, val, w, max_probe=8):
+    """Open-addressing table over (cls,key,val) for device lookups.
+
+    Identity of an entry is the full w-mer packed exactly as the search
+    state x: id = (key>>2) << 2*suf_len | cls.  Linear probing; the
+    salt is chosen so the longest probe sequence <= max_probe, making
+    the device probe loop statically bounded."""
+    suf_len = w - 15 if w > 15 else 1
+    n = len(key)
+    ids = ((key.astype(np.int64) >> 2) << (2 * suf_len)) | cls.astype(np.int64)
+    vals = (val.astype(np.int32) << 2) | (key.astype(np.int32) & 3)
+    logt = max(int(np.ceil(np.log2(max(n, 1) * 2.5))), 10)
+    for salt in range(32):
+        T = 1 << logt
+        mask = T - 1
+        mult = np.uint64(0x9E3779B97F4A7C15 + 2 * salt)
+        h = ((ids.view(np.uint64) * mult) >> np.uint64(64 - logt)).astype(
+            np.int64) & mask
+        slots = np.full(T, -1, np.int64)
+        sval = np.zeros(T, np.int32)
+        ok = True
+        for j in range(n):
+            p = int(h[j])
+            d = 0
+            while slots[p] != -1:
+                p = (p + 1) & mask
+                d += 1
+                if d >= max_probe:
+                    ok = False
+                    break
+            if not ok:
+                break
+            slots[p] = ids[j]
+            sval[p] = vals[j]
+        if ok:
+            return dict(slots=jnp.asarray(slots), vals=jnp.asarray(sval),
+                        logt=logt, mult=int(mult.view(np.int64)),
+                        probes=max_probe, suf_len=suf_len, w=w)
+        logt += 1
+    raise RuntimeError("ec device table: probe bound not met")
+
+
+def _lookup(slots, vals, logt, mult, probes, x):
+    """Batch lookup: x int64 [...] -> (hit bool, best int32, v int32).
+
+    Entries are unique, so probing a fixed `probes` steps and matching
+    by id is exact (an existing id always lies before the first empty
+    slot of its run, which is within the build-time probe bound)."""
+    mask = (1 << logt) - 1
+    m = jnp.asarray(np.uint64(np.int64(mult).view(np.uint64)
+                              if mult < 0 else np.uint64(mult)))
+    h = ((x.astype(jnp.uint64) * m)
+         >> np.uint64(64 - logt)).astype(jnp.int64) & mask
+    found = jnp.zeros(x.shape, bool)
+    res = jnp.zeros(x.shape, jnp.int32)
+    for d in range(probes):
+        p = (h + d) & mask
+        hit = ~found & (slots[p] == x)
+        res = jnp.where(hit, vals[p], res)
+        found = found | hit
+    return found, res & 3, res >> 2
+
+
+@partial(jax.jit, static_argnums=(4, 5))
+def _fix_wave(tbl_slots, tbl_vals, S, Q, K, opt):
+    """One ec_fix1 strand for B reads in lockstep.
+
+    S: [B, L] nt6 (1..4, 5=N, 0 pad).  Q: [B, L] ascii quals.
+    opt = (logt, mult, probes, w, step) (static).  Returns
+    (ret int32 [B], S', Q', redo bool [B])."""
+    logt, mult, probes, w, step = opt
+    B, L = S.shape
+    shift = (w - 1) << 1
+    rows = jnp.arange(B)
+    lens = jnp.sum(S > 0, axis=1).astype(jnp.int32)
+
+    def lk(x):
+        return _lookup(tbl_slots, tbl_vals, logt, mult, probes, x)
+
+    # seed state (correct.c:134-143): trailing w-mer, N resets the run
+    def seed_body(t, stt):
+        x, i, l, done = stt
+        j = lens - 1 - t
+        act = ~done & (j > 0)
+        c = S[rows, jnp.maximum(j, 0)].astype(jnp.int64)
+        isn = c == 5
+        x = jnp.where(act, jnp.where(isn, 0, (c - 1) << shift | (x >> 2)), x)
+        l = jnp.where(act, jnp.where(isn, 0, l + 1), l)
+        i = jnp.where(act, j - 1, i)
+        done = done | (l >= w) | ~act
+        return x, i, l, done
+
+    x0, i0, l0, _ = jax.lax.fori_loop(
+        0, L, seed_body,
+        (jnp.zeros(B, jnp.int64), lens - 1, jnp.zeros(B, jnp.int32),
+         jnp.zeros(B, bool)))
+    valid = (lens > w) & (i0 > 0) & (l0 >= w)
+
+    z = jnp.zeros((B, K), jnp.int64).at[:, 0].set(x0)
+    pos = jnp.full((B, K), -1, jnp.int32).at[:, 0].set(
+        jnp.where(valid, i0 + 1, -1))
+    score = jnp.full((B, K), BIG, jnp.int32).at[:, 0].set(
+        jnp.where(valid, 0, BIG))
+    st = dict(
+        z=z, pos=pos, score=score,
+        mode=jnp.zeros((B, K), jnp.int32),      # 1 = skip fast-forward
+        skx=jnp.zeros((B, K), jnp.int64),       # committed z0.x
+        skp=jnp.zeros((B, K), jnp.int32),       # committed z0 pos
+        skocc=jnp.zeros((B, K), jnp.int32),     # occ_last
+        path=jnp.zeros((B, K, L), jnp.uint8),   # c<<2 | has_match<<1 | 1
+        s1=jnp.full(B, BIG, jnp.int32), s2=jnp.full(B, BIG, jnp.int32),
+        best_path=jnp.zeros((B, L), jnp.uint8),
+        redo=jnp.zeros(B, bool), hit_any=jnp.zeros(B, bool),
+        pushes=jnp.ones(B, jnp.int32), r=jnp.int32(0))
+
+    def cond(stt):
+        return jnp.any(stt["pos"] > 0) & (stt["r"] < 4 * L + 16)
+
+    def body(st):
+        alive = st["pos"] > 0
+        i = jnp.maximum(st["pos"] - 1, 0)
+        sq = S[rows[:, None], i].astype(jnp.int32)
+        q = jnp.clip(Q[rows[:, None], i].astype(jnp.int32) - 33, 3, MAX_QUAL)
+        normal = alive & (st["mode"] == 0)
+        skipm = alive & (st["mode"] == 1)
+
+        # --- skip-mode: roll up to `step` bases, then one lookup and a
+        # commit-or-break decision (correct.c:176-199)
+        def roll(t, cst):
+            x, p, stop = cst
+            j = p - 1
+            can = ~stop & (j >= 1)
+            c = S[rows[:, None], jnp.maximum(j, 0)].astype(jnp.int64)
+            bad = c >= 5
+            x = jnp.where(can & ~bad, (c - 1) << shift | (x >> 2), x)
+            p = jnp.where(can & ~bad, p - 1, p)
+            stop = stop | bad | (j <= 1)
+            return x, p, stop
+
+        rx, rp, _ = jax.lax.fori_loop(0, step, roll,
+                                      (st["z"], st["pos"], ~skipm))
+        ri = jnp.maximum(rp - 1, 0)
+        rnext = S[rows[:, None], ri].astype(jnp.int32)
+        sk_hit, sk_best, sk_v = lk(rx)
+        occ = jnp.where((sk_v & 7) > 0, (sk_v & 7) * ((sk_v >> 3) + 1),
+                        sk_v >> 3)
+        good = (skipm & (rnext != 5) & sk_hit & (rnext == sk_best + 1)
+                & ((sk_v & 7) <= 1) & (occ >= MIN_OCC)
+                & (occ.astype(jnp.float32)
+                   >= MIN_OCC_RATIO * st["skocc"].astype(jnp.float32)))
+        new_skx = jnp.where(good, rx, st["skx"])
+        new_skp = jnp.where(good, rp, st["skp"])
+        new_skocc = jnp.where(good, occ, st["skocc"])
+        sk_cont = skipm & good & (new_skp > 1)
+        sk_end = skipm & ~sk_cont
+        sk_ci = jnp.maximum(new_skp - 1, 0)
+        sk_c = jnp.maximum(
+            S[rows[:, None], sk_ci].astype(jnp.int32) - 1, 0)
+
+        # --- normal-mode expansion (correct.c:151-207)
+        hit, best, v = lk(st["z"])
+        hit = hit & normal
+        st["hit_any"] = st["hit_any"] | jnp.any(hit, axis=1)
+        match = hit & (sq == best + 1)
+        mism = hit & ~match
+        miss = normal & ~hit
+        mx = jnp.where((v & 7) > 0, (v & 7) * (v >> 3), v >> 3)
+        pen = jnp.where(mx - (v & 7) < 1, 1, (mx - (v & 7)) * DIFF_FACTOR)
+        pen = jnp.minimum(pen, jnp.where((v & 7) > 0,
+                                         (v >> 3) * RATIO_FACTOR, 10000))
+        pen = jnp.maximum(jnp.minimum(pen, (7 - (v & 7)) * DIFF_FACTOR), 1)
+        isn5 = sq == 5
+        occ_last0 = jnp.where((v & 7) > 0, (v & 7) * ((v >> 3) + 1), v >> 3)
+        enter_skip = match & ((v & 7) <= 0) & (step > 1) & (st["pos"] > 1)
+        match_emit = match & ~enter_skip
+        ms_sc = MISS_PENALTY + (MAX_QUAL - q)
+
+        # --- child slots [B, K, 2]
+        # slot0: single-emit (match/miss/sk_end) | mism keep-own | carry
+        # slot1: mism take-best
+        single = match_emit | miss | sk_end
+        carry = sk_cont | enter_skip
+        s0_valid = single | (mism & ~isn5) | carry
+        s0_c = jnp.where(sk_end, sk_c, jnp.maximum(sq - 1, 0))
+        s0_sc = jnp.where(miss, ms_sc, jnp.where(mism, pen, 0))
+        s0_hm = jnp.where(miss, 0, 1)
+        # parent x/pos of the emitted child (sk_end emits from the
+        # committed z0); carried lanes reuse these as their next state
+        s0_bx = jnp.where(skipm, new_skx, st["z"])
+        s0_bp = jnp.where(skipm, new_skp, st["pos"])
+        # carried skip registers: fresh entry commits the current state
+        s0_skx = jnp.where(enter_skip, st["z"], new_skx)
+        s0_skp = jnp.where(enter_skip, st["pos"], new_skp)
+        s0_skocc = jnp.where(enter_skip, occ_last0, new_skocc)
+        s1_valid = mism
+        ch_valid = jnp.stack([s0_valid, s1_valid], axis=2)
+        ch_carry = jnp.stack([carry, jnp.zeros_like(carry)], axis=2)
+        ch_c = jnp.stack([s0_c, best], axis=2)
+        ch_sc = st["score"][:, :, None] + jnp.stack([s0_sc, q], axis=2)
+        ch_hm = jnp.stack([s0_hm, jnp.ones_like(s0_hm)], axis=2)
+        ch_bx = jnp.stack([s0_bx, st["z"]], axis=2)
+        ch_bp = jnp.stack([s0_bp, st["pos"]], axis=2)
+        c_skx = jnp.stack([s0_skx, st["z"]], axis=2)
+        c_skp = jnp.stack([s0_skp, st["pos"]], axis=2)
+        c_skocc = jnp.stack([s0_skocc, occ_last0], axis=2)
+        cx = jnp.where(ch_carry, ch_bx,
+                       (ch_c.astype(jnp.int64) << shift) | (ch_bx >> 2))
+        cpos = jnp.where(ch_carry, ch_bp, ch_bp - 1)
+
+        # cap check vs the reference's 256-entry heap
+        nchild = jnp.sum(jnp.where(alive[:, :, None], ch_valid & ~ch_carry,
+                                   False), axis=(1, 2))
+        st["pushes"] = st["pushes"] + nchild.astype(jnp.int32)
+        st["redo"] = st["redo"] | (st["pushes"] > MAX_HEAP - 8)
+
+        # prune to K (stable by score; ties among kept lanes are fine,
+        # drops are not -- redo on overflow)
+        W = K * 2
+        ckey = jnp.where(ch_valid, ch_sc, BIG).reshape(B, W)
+        corder = jnp.argsort(ckey, axis=1, stable=True)
+        csel = jnp.take_along_axis(ckey, corder, axis=1)[:, :K]
+        ntot = jnp.sum(ch_valid.reshape(B, W), axis=1)
+        st["redo"] = st["redo"] | (ntot > K)
+        nvalid = csel < BIG
+
+        def pick(a):
+            return jnp.take_along_axis(a.reshape(B, W), corder,
+                                       axis=1)[:, :K]
+
+        nx = pick(cx)
+        npos = pick(cpos)
+        ncarry = pick(ch_carry) & nvalid
+        nskx = pick(c_skx)
+        nskp = pick(c_skp)
+        nskocc = pick(c_skocc)
+        ei = jnp.maximum(pick(ch_bp) - 1, 0)
+        entry = (pick(ch_c).astype(jnp.uint8) << 2
+                 | pick(ch_hm).astype(jnp.uint8) << 1 | 1)
+        par_idx = corder[:, :K] // 2
+        ppath = jnp.take_along_axis(st["path"], par_idx[:, :, None], axis=1)
+        oh = (jnp.arange(L, dtype=jnp.int32)[None, None, :]
+              == ei[:, :, None])
+        npath = jnp.where(oh & (nvalid & ~ncarry)[:, :, None],
+                          jnp.broadcast_to(entry[:, :, None], ppath.shape),
+                          ppath)
+
+        # terminals: emitted children that reached pos 0
+        term = nvalid & ~ncarry & (npos == 0)
+        tsc = jnp.where(term, csel, BIG)
+        t_arg = jnp.argmin(tsc, axis=1)
+        t_min = tsc[rows, t_arg]
+        tsc2 = tsc.at[rows, t_arg].set(BIG)
+        t_min2 = jnp.min(tsc2, axis=1)
+        better = t_min < st["s1"]
+        st["s2"] = jnp.where(better, jnp.minimum(st["s1"], t_min2),
+                             jnp.minimum(st["s2"], t_min))
+        st["best_path"] = jnp.where(better[:, None], npath[rows, t_arg],
+                                    st["best_path"])
+        st["s1"] = jnp.where(better, t_min, st["s1"])
+        st["redo"] = st["redo"] | ((st["s2"] == st["s1"]) & (st["s1"] < BIG))
+
+        live = nvalid & ~term
+        st["z"] = nx
+        st["score"] = jnp.where(live, csel, BIG)
+        st["pos"] = jnp.where(live, npos, -1)
+        st["mode"] = ncarry.astype(jnp.int32)
+        st["skx"] = nskx
+        st["skp"] = nskp
+        st["skocc"] = nskocc
+        st["path"] = npath
+        st["r"] = st["r"] + 1
+        return st
+
+    st = jax.lax.while_loop(cond, body, st)
+    st["redo"] = st["redo"] | jnp.any(st["pos"] > 0, axis=1)
+    st["redo"] = st["redo"] | (~st["hit_any"] & valid)
+    # decode (correct.c:209-219)
+    s1, s2 = st["s1"], st["s2"]
+    found = valid & (s1 < BIG)
+    sdiff = jnp.where(s2 >= BIG, MAX_SC_DIFF,
+                      jnp.minimum(s2 - s1, MAX_SC_DIFF))
+    bp = st["best_path"]
+    present = (bp & 1) > 0
+    pc = (bp >> 2).astype(jnp.int32)
+    hm = (bp >> 1) & 1
+    act = found[:, None] & (s1 > 0)[:, None]
+    corr = present & (pc + 1 != S) & act
+    S2 = jnp.where(corr, (pc + 1).astype(S.dtype), S)
+    qsum = jnp.sum(jnp.where(corr, Q.astype(jnp.int32) - 33, 0), axis=1)
+    bump = present & (hm > 0) & ~corr & (Q < 37) & act
+    Q2 = jnp.where(bump, jnp.uint8(37), Q)
+    ret = jnp.where(~valid, 0xffff,
+                    jnp.where(s1 >= BIG, MAX_SC_DIFF << 18,
+                              jnp.where(s1 == 0, sdiff << 18,
+                                        qsum | (sdiff << 18))))
+    return ret, S2, Q2, st["redo"] & valid
+
+
+def _pack(seqs, quals, L):
+    from fermi_tpu.core.dna import encode
+    B = len(seqs)
+    S = np.zeros((B, L), np.uint8)
+    Q = np.zeros((B, L), np.uint8)
+    for r, (s, q) in enumerate(zip(seqs, quals)):
+        e = encode(s.decode("latin1")) if isinstance(s, bytes) else s
+        S[r, :len(e)] = e
+        Q[r, :len(q)] = np.frombuffer(q, np.uint8)
+    return S, Q
+
+
+_COMP6 = np.array([0, 4, 3, 2, 1, 5, 6, 7], np.uint8)
+
+
+def fix_reads_device(table_dev, opt, seqs, quals, native_table=None,
+                     n_threads=4):
+    """Device ec_fix over a batch of reads: both strands (RC first, then
+    forward over the mutated bases — reference correct.c:229-243), exact
+    native redo for flagged reads, host ASCII casing.
+
+    Returns (seqs, quals, info, stats) matching algos.correct.fix_reads.
+    """
+    from fermi_tpu.algos.correct import fix_reads
+
+    n = len(seqs)
+    L = max((len(s) for s in seqs), default=1)
+    L = -(-max(L, 8) // 32) * 32
+    S, Q = _pack(seqs, quals, L)
+    lens = np.array([len(s) for s in seqs], np.int32)
+    orig = S.copy()
+    optt = (table_dev["logt"], table_dev["mult"], table_dev["probes"],
+            table_dev["w"], opt.get("step", 5))
+    K = 16
+    # strand 1: reverse complement
+    Sr = np.zeros_like(S)
+    Qr = np.zeros_like(Q)
+    for r in range(n):
+        m = lens[r]
+        Sr[r, :m] = _COMP6[S[r, :m][::-1]]
+        Qr[r, :m] = Q[r, :m][::-1]
+    r0, S1d, Q1d, redo0 = _fix_wave(table_dev["slots"], table_dev["vals"],
+                                    jnp.asarray(Sr), jnp.asarray(Qr), K, optt)
+    r0 = np.asarray(r0)
+    S1 = np.array(S1d)
+    Q1 = np.array(Q1d)
+    redo = np.asarray(redo0)
+    # un-reverse
+    for r in range(n):
+        m = lens[r]
+        S1[r, :m] = _COMP6[S1[r, :m][::-1]]
+        Q1[r, :m] = Q1[r, :m][::-1]
+    # strand 2 skipped for 0xffff reads (reference correct.c:258)
+    r1, S2d, Q2d, redo1 = _fix_wave(table_dev["slots"], table_dev["vals"],
+                                    jnp.asarray(S1), jnp.asarray(Q1), K, optt)
+    r1 = np.asarray(r1)
+    S2 = np.asarray(S2d)
+    Q2 = np.asarray(Q2d)
+    redo = redo | np.asarray(redo1)
+    info = np.zeros(n, np.int32)
+    short = r0 == 0xffff
+    info[short] = 0xffff
+    ok = ~short
+    sd = np.minimum(r0 >> 18, r1 >> 18)
+    info[ok] = (((r0[ok] & 0xffff) + (r1[ok] & 0xffff)) | (sd[ok] << 18))
+    both_nohit = ((r0 >> 17) & 1) & ((r1 >> 17) & 1)
+    info[ok & (both_nohit > 0)] |= 1 << 16
+    # host ASCII casing (reference correct.c:245-254 / fix_read tail)
+    out_s, out_q = [], []
+    for r in range(n):
+        m = lens[r]
+        so = np.frombuffer(seqs[r], np.uint8)
+        fin = S2[r, :m]
+        eq = orig[r, :m] == fin
+        up = np.char.upper(so.view("S1")).view(np.uint8)
+        low6 = np.frombuffer(b"$acgtn", np.uint8)
+        res = np.where(eq, up, low6[fin])
+        qf = Q2[r, :m].copy()
+        lower = ~eq
+        qf[lower] = 36
+        nl = int(lower.sum())
+        if nl / max(m, 1) > opt.get("max_corr", 0.3):
+            info[r] |= 1 << 16
+        if info[r] >> 18 <= 10:
+            info[r] |= 1 << 16
+        out_s.append(res.tobytes())
+        out_q.append(qf.tobytes())
+    # exact native redo for flagged reads
+    n_redo = int(redo.sum())
+    if n_redo and native_table is not None:
+        idxs = np.flatnonzero(redo)
+        rs = [seqs[i] for i in idxs]
+        rq = [quals[i] for i in idxs]
+        fs, fq, fi, _ = fix_reads(native_table, opt, rs, rq, n_threads)
+        for j, i in enumerate(idxs):
+            out_s[i] = fs[j]
+            out_q[i] = fq[j]
+            info[i] = fi[j]
+    return out_s, out_q, info, dict(n_redo=n_redo, n=n)

@@ -97,3 +97,57 @@ def test_native_collect_matches_device(tmp_path, ref_fermi):
     a = sorted(zip(c1.tolist(), k1.tolist(), v1.tolist()))
     b = sorted(zip(c2.tolist(), k2.tolist(), v2.tolist()))
     assert a == b
+
+
+def test_device_fix_beam_byte_parity(tmp_path, monkeypatch):
+    """Device bounded-beam ec fix (search/ecfix_device.py) vs the native
+    engine: byte-identical ec.fq through ec_correct, including Ns, junk
+    reads, short reads and the redo fallback."""
+    import io
+
+    from fermi_tpu.algos import correct as C
+    from fermi_tpu.algos.hostindex import HostIndex
+    from fermi_tpu.construct import suffix
+    from fermi_tpu.core import dna
+    from fermi_tpu import rld
+    from tests.util import write_fastq
+
+    rng = np.random.default_rng(17)
+    glen, L = 5000, 80
+    genome = rng.integers(0, 4, glen)
+    comp = np.array([3, 2, 1, 0])
+    reads, quals = [], []
+    for i in range(glen * 20 // L):
+        p = int(rng.integers(0, glen - L))
+        r = genome[p:p + L].copy()
+        qv = np.full(L, 38 + 33, np.uint8)
+        ne = rng.binomial(L, 0.01)
+        if ne:
+            pos = rng.integers(0, L, ne)
+            r[pos] = (r[pos] + rng.integers(1, 4, ne)) % 4
+            qv[pos] = 14 + 33
+        if rng.random() < 0.5:
+            r = comp[r][::-1]
+            qv = qv[::-1].copy()
+        s = "".join("ACGT"[c] for c in r)
+        if i % 23 == 0:
+            k = int(rng.integers(0, L))
+            s = s[:k] + "N" + s[k + 1:]
+        reads.append(s)
+        quals.append(qv.tobytes().decode("latin1"))
+    for _ in range(10):  # junk + short
+        reads.append("".join("ACGT"[c] for c in rng.integers(0, 4, L)))
+        quals.append(chr(60) * L)
+    reads.append("ACGTACGT")
+    quals.append(chr(60) * 8)
+    fq = str(tmp_path / "r.fq")
+    write_fastq(fq, reads, quals)
+    text = suffix.build_text([dna.encode(s) for s in reads])
+    runs = rld.Runs.from_bwt(suffix.multistring_bwt(text))
+    e = HostIndex(runs.expand())
+    b1, b2 = io.StringIO(), io.StringIO()
+    monkeypatch.delenv("FERMI_TPU_DEVICE_FIX", raising=False)
+    C.ec_correct(e, fq, b1, min_occ=3, verbose=False)
+    monkeypatch.setenv("FERMI_TPU_DEVICE_FIX", "1")
+    C.ec_correct(e, fq, b2, min_occ=3, verbose=False)
+    assert b1.getvalue() == b2.getvalue()

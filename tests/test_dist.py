@@ -157,3 +157,26 @@ def test_interleave_device_matches_numpy():
     mesh = sh.make_mesh(dp=8, tp=1)
     got = sh.interleave_device(mesh, bwt0, bwt1, bits)
     assert np.array_equal(got, merge_bwts(bwt0, bwt1, bits))
+
+
+def test_build_fmd_distributed_byte_parity():
+    """dp-sharded block build + hierarchical mesh merges == direct build
+    of the concatenation (SURVEY P2)."""
+    from fermi_tpu.construct import suffix
+    from fermi_tpu.core import dna
+    from fermi_tpu.dist.sharded import build_fmd_distributed
+    from tests.util import random_reads
+
+    reads = random_reads(60, min_len=40, max_len=70, seed=3,
+                         with_genome=True, genome_len=900)
+    enc = [dna.encode(s) for s in reads]
+    # reference: one build over all reads (reads + rc interleaved)
+    whole = suffix.build_text(enc)
+    want = suffix.multistring_bwt(whole)
+    # 4 shards in order
+    per = (len(enc) + 3) // 4
+    shards = [suffix.build_text(enc[i * per:(i + 1) * per])
+              for i in range(4) if enc[i * per:(i + 1) * per]]
+    mesh = sh.make_mesh(dp=4, tp=2)
+    got = build_fmd_distributed(shards, mesh)
+    assert np.array_equal(got, want)
