@@ -252,7 +252,67 @@ def bench_paired(n_pairs=500_000, rolls=2):
     }))
 
 
+def bench_device_chain(n_pairs=100_000):
+    """Forced-device pipeline A/B (round-4 verdict next #5): the full
+    paired chain with every device stage engaged (build, EC collect,
+    EC fix beam, unitig links, device SMEM) vs the default platform
+    dispatch, same dataset, stage times to stderr."""
+    import glob
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "scripts"))
+    import scale_bench
+
+    wd = os.path.join(CACHE, f"scale_{n_pairs}")
+    os.makedirs(wd, exist_ok=True)
+    fq = os.path.join(wd, "reads.fq")
+    if not os.path.exists(fq):
+        scale_bench.make_pe(fq, n_pairs)
+    results = {}
+    outs = {}
+    for name, env in (("host-dispatch", {}),
+                      ("device-chain", {"FERMI_TPU_DEVICE_BUILD": "1",
+                                        "FERMI_TPU_DEVICE_COLLECT": "1",
+                                        "FERMI_TPU_DEVICE_FIX": "1",
+                                        "FERMI_TPU_DEVICE_UNITIG": "1"})):
+        for f in glob.glob(os.path.join(wd, "my.*")):
+            os.remove(f)
+        old = {k: os.environ.get(k) for k in env}
+        os.environ.update(env)
+        try:
+            results[name] = scale_bench.run_mine(
+                fq, os.path.join(wd, "my"))
+            outs[name] = open(os.path.join(wd, "my.p5.fq"), "rb").read() \
+                if os.path.exists(os.path.join(wd, "my.p5.fq")) else None
+            import gzip as _g
+            gz = os.path.join(wd, "my.p5.fq.gz")
+            if os.path.exists(gz):
+                outs[name] = _g.open(gz).read()
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+    same = (outs["host-dispatch"] is not None
+            and outs["host-dispatch"] == outs["device-chain"])
+    print(json.dumps({
+        "metric": "device-chain paired pipeline",
+        "value": round(2 * n_pairs / results["device-chain"], 1),
+        "unit": f"reads/s ({2*n_pairs} reads, all device stages forced)",
+        "vs_baseline": round(results["host-dispatch"]
+                             / results["device-chain"], 3),
+        "host_dispatch_s": round(results["host-dispatch"], 1),
+        "device_chain_s": round(results["device-chain"], 1),
+        "p5_identical": bool(same),
+    }))
+
+
 def main():
+    if "--device-chain" in sys.argv:
+        np_arg = [a for a in sys.argv[1:] if a.isdigit()]
+        bench_device_chain(int(np_arg[0]) if np_arg else 100_000)
+        return
     smem_mode = "--smem" in sys.argv
     if "--paired" in sys.argv or not (smem_mode or "--small" in sys.argv):
         if not smem_mode:

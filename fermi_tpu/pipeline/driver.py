@@ -468,7 +468,13 @@ class Pipeline:
         ut = int(os.environ.get("FERMI_UNITIG_THREADS",
                                 str(self.unitig_threads)))
         with _gz_text_writer(out + ".tmp") as fp:
-            fm6_unitig(e, self.k, fp, sorted_arr, n_threads=ut)
+            if os.environ.get("FERMI_TPU_DEVICE_UNITIG", "0") == "1":
+                from fermi_tpu.algos.unitig_bulk import fm6_unitig_device
+
+                fm6_unitig_device(e, self._p("ec.fmd"), self.k, fp,
+                                  sorted_arr=sorted_arr)
+            else:
+                fm6_unitig(e, self.k, fp, sorted_arr, n_threads=ut)
         os.rename(out + ".tmp", out)
 
     def _clean(self, src, dst, **over):
