@@ -487,3 +487,30 @@ def compute_links_device(index, seqs, min_match, batch=2048, verbose=False,
         for buf in store.sb_buf:
             buf[dups] = buf[r]
     return store
+
+
+def save_store(store: LinkStore, path: str):
+    """Persist a LinkStore (checkpoint for long runs)."""
+    np.savez_compressed(
+        path, valid=store.valid, ret=store.ret, intv0=store.intv0,
+        has_ovlp=store.has_ovlp, nein=store.nein, sbn=store.sbn,
+        forked=store.forked, redo=store.redo,
+        nb0=store.nei_buf[0], nb1=store.nei_buf[1], nb2=store.nei_buf[2],
+        nb3=store.nei_buf[3], nb4=store.nei_buf[4],
+        sb0=store.sb_buf[0], sb1=store.sb_buf[1], sb2=store.sb_buf[2])
+
+
+def load_store(path: str) -> LinkStore:
+    z = np.load(path)
+    st = LinkStore(len(z["valid"]), z["nb0"].dtype)
+    st.valid = z["valid"]
+    st.ret = z["ret"]
+    st.intv0 = z["intv0"]
+    st.has_ovlp = z["has_ovlp"]
+    st.nein = z["nein"]
+    st.sbn = z["sbn"]
+    st.forked = z["forked"]
+    st.redo = z["redo"]
+    st.nei_buf = tuple(z[f"nb{i}"] for i in range(5))
+    st.sb_buf = tuple(z[f"sb{i}"] for i in range(3))
+    return st
