@@ -23,6 +23,36 @@ import time
 
 import numpy as np
 
+def _chip_health_guard():
+    """The tunneled dev chip can wedge (grant lost upstream): device
+    enumeration still works but the first compute hangs forever.  Probe
+    compute in a subprocess with a hard timeout; on failure, pin this
+    process to CPU jax so the bench (whose hot paths are the host
+    engines) still completes and reports."""
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        return
+    try:
+        subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp;"
+             "print(float(jnp.arange(8).sum()))"],
+            timeout=120, check=True, capture_output=True)
+    except Exception:
+        sys.stderr.write("[bench] WARNING: device compute probe failed; "
+                         "falling back to JAX_PLATFORMS=cpu\n")
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        try:
+            # the axon sitecustomize pins jax_platforms at interpreter
+            # start; override it like tests/conftest.py does
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+
+
+_chip_health_guard()
+
 GENOME_LEN = 2_000_000
 N_INDEX_READS = 60_000
 N_QUERY_READS = 20_000
