@@ -383,13 +383,19 @@ def fix_reads_device(table_dev, opt, seqs, quals, native_table=None,
     optt = (table_dev["logt"], table_dev["mult"], table_dev["probes"],
             table_dev["w"], opt.get("step", 5))
     K = 16
-    # strand 1: reverse complement
+    # strand 1: reverse complement (vectorized when all reads share a
+    # length -- the pipeline's common case)
+    uniform = bool(n) and (lens == lens[0]).all() and lens[0] == L
     Sr = np.zeros_like(S)
     Qr = np.zeros_like(Q)
-    for r in range(n):
-        m = lens[r]
-        Sr[r, :m] = _COMP6[S[r, :m][::-1]]
-        Qr[r, :m] = Q[r, :m][::-1]
+    if uniform:
+        Sr = _COMP6[S[:, ::-1]]
+        Qr = Q[:, ::-1].copy()
+    else:
+        for r in range(n):
+            m = lens[r]
+            Sr[r, :m] = _COMP6[S[r, :m][::-1]]
+            Qr[r, :m] = Q[r, :m][::-1]
     r0, S1d, Q1d, redo0 = _fix_wave(table_dev["slots"], table_dev["vals"],
                                     jnp.asarray(Sr), jnp.asarray(Qr), K, optt)
     r0 = np.asarray(r0)
@@ -397,10 +403,14 @@ def fix_reads_device(table_dev, opt, seqs, quals, native_table=None,
     Q1 = np.array(Q1d)
     redo = np.asarray(redo0)
     # un-reverse
-    for r in range(n):
-        m = lens[r]
-        S1[r, :m] = _COMP6[S1[r, :m][::-1]]
-        Q1[r, :m] = Q1[r, :m][::-1]
+    if uniform:
+        S1 = _COMP6[S1[:, ::-1]]
+        Q1 = Q1[:, ::-1].copy()
+    else:
+        for r in range(n):
+            m = lens[r]
+            S1[r, :m] = _COMP6[S1[r, :m][::-1]]
+            Q1[r, :m] = Q1[r, :m][::-1]
     # strand 2 skipped for 0xffff reads (reference correct.c:258)
     r1, S2d, Q2d, redo1 = _fix_wave(table_dev["slots"], table_dev["vals"],
                                     jnp.asarray(S1), jnp.asarray(Q1), K, optt)
