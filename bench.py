@@ -51,8 +51,6 @@ def _chip_health_guard():
             pass
 
 
-_chip_health_guard()
-
 GENOME_LEN = 2_000_000
 N_INDEX_READS = 60_000
 N_QUERY_READS = 20_000
@@ -339,6 +337,7 @@ def bench_device_chain(n_pairs=100_000):
 
 
 def main():
+    _chip_health_guard()
     if "--device-chain" in sys.argv:
         np_arg = [a for a in sys.argv[1:] if a.isdigit()]
         bench_device_chain(int(np_arg[0]) if np_arg else 100_000)

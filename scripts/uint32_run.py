@@ -59,9 +59,8 @@ def main():
     assert total >= (1 << 31), "index not in the uint32 domain"
     assert "uint32" in str(idx.idtype), f"unexpected idtype {idx.idtype}"
 
-    # chkbwt-style spot check: rank6 at sampled positions vs host count
-    from fermi_tpu.algos.hostindex import HostIndex
-
+    # chkbwt-style spot check: rank6 at sampled positions vs one host
+    # scan accumulating counts at the sorted sample points
     blocks = np.asarray(idx.bwt_blocks)
     rng = np.random.default_rng(0)
     ks = np.sort(rng.integers(0, total, 64).astype(np.int64))
@@ -69,14 +68,16 @@ def main():
 
     dev = np.asarray(idx.rank6(jnp.asarray(ks)))
     flat = blocks.reshape(-1)
-    okc = 0
+    want = np.zeros((len(ks), 6), np.int64)
+    acc = np.zeros(6, np.int64)
+    prev = 0
     for t, k in enumerate(ks):
-        want = np.bincount(flat[:k], minlength=6)[:6]
-        if np.array_equal(dev[t], want):
-            okc += 1
-        else:
-            log(f"MISMATCH rank6({k}): {dev[t]} vs {want}")
+        acc = acc + np.bincount(flat[prev:k], minlength=6)[:6]
+        want[t] = acc
+        prev = k
+    okc = int((dev[:, :6] == want).all(axis=1).sum())
     log(f"chkbwt spot-check: {okc}/{len(ks)} positions exact")
+    assert okc == len(ks)
 
     # device SMEM vs native on 20k 1%-error reads
     from fermi_tpu.core import dna, fastx
