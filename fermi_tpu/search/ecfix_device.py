@@ -365,16 +365,33 @@ _COMP6 = np.array([0, 4, 3, 2, 1, 5, 6, 7], np.uint8)
 
 
 def fix_reads_device(table_dev, opt, seqs, quals, native_table=None,
-                     n_threads=4):
+                     n_threads=4, wave=16384):
     """Device ec_fix over a batch of reads: both strands (RC first, then
     forward over the mutated bases — reference correct.c:229-243), exact
     native redo for flagged reads, host ASCII casing.
+
+    Batches larger than `wave` are chunked so lane state stays a few
+    hundred MB and straggler rounds are amortized per chunk.
 
     Returns (seqs, quals, info, stats) matching algos.correct.fix_reads.
     """
     from fermi_tpu.algos.correct import fix_reads
 
     n = len(seqs)
+    if n > wave:
+        out_s, out_q = [], []
+        info = np.zeros(n, np.int32)
+        n_redo = 0
+        for lo in range(0, n, wave):
+            hi = min(lo + wave, n)
+            s_, q_, i_, st = fix_reads_device(
+                table_dev, opt, seqs[lo:hi], quals[lo:hi],
+                native_table=native_table, n_threads=n_threads, wave=wave)
+            out_s.extend(s_)
+            out_q.extend(q_)
+            info[lo:hi] = i_
+            n_redo += st["n_redo"]
+        return out_s, out_q, info, dict(n_redo=n_redo, n=n)
     L = max((len(s) for s in seqs), default=1)
     L = -(-max(L, 8) // 32) * 32
     S, Q = _pack(seqs, quals, L)
