@@ -384,12 +384,18 @@ def fix_reads_device(table_dev, opt, seqs, quals, native_table=None,
         n_redo = 0
         for lo in range(0, n, wave):
             hi = min(lo + wave, n)
+            cs, cq = seqs[lo:hi], quals[lo:hi]
+            pad = wave - len(cs)
+            if pad:  # keep (B, L) static so the jit does not respecialize
+                cs = list(cs) + [b"A"] * pad
+                cq = list(cq) + [b"!"] * pad
             s_, q_, i_, st = fix_reads_device(
-                table_dev, opt, seqs[lo:hi], quals[lo:hi],
+                table_dev, opt, cs, cq,
                 native_table=native_table, n_threads=n_threads, wave=wave)
-            out_s.extend(s_)
-            out_q.extend(q_)
-            info[lo:hi] = i_
+            m = hi - lo
+            out_s.extend(s_[:m])
+            out_q.extend(q_[:m])
+            info[lo:hi] = i_[:m]
             n_redo += st["n_redo"]
         return out_s, out_q, info, dict(n_redo=n_redo, n=n)
     L = max((len(s) for s in seqs), default=1)
