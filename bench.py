@@ -259,25 +259,32 @@ def bench_paired(n_pairs=500_000, rolls=2):
         scale_bench.make_pe(fq, n_pairs)
     have_ref = ensure_ref()
     t_my, t_ref = [], []
+
+    def report():
+        # emitted after every roll so a driver-killed run still leaves a
+        # parseable (interim) JSON line as the output tail
+        med_my = statistics.median(t_my)
+        vs = None
+        if t_ref:
+            vs = statistics.median(t_ref) / med_my
+        print(json.dumps({
+            "metric": "paired end-to-end assembly throughput",
+            "value": round(2 * n_pairs / med_my, 1),
+            "unit": f"reads/s ({2*n_pairs} reads, paired chain to p5, "
+                    f"4 threads; median of {len(t_my)}/{rolls} interleaved "
+                    f"rolls)",
+            "vs_baseline": round(vs, 3) if vs is not None else None,
+            "rolls_mine_s": [round(t, 1) for t in t_my],
+            "rolls_ref_s": [round(t, 1) for t in t_ref],
+        }), flush=True)
+
     for r in range(rolls):
         for f in glob.glob(os.path.join(wd, "my.*")):
             os.remove(f)
         t_my.append(scale_bench.run_mine(fq, os.path.join(wd, "my")))
         if have_ref:
             t_ref.append(scale_bench.run_ref(fq, os.path.join(wd, "ref")))
-    med_my = statistics.median(t_my)
-    vs = None
-    if t_ref:
-        vs = statistics.median(t_ref) / med_my
-    print(json.dumps({
-        "metric": "paired end-to-end assembly throughput",
-        "value": round(2 * n_pairs / med_my, 1),
-        "unit": f"reads/s ({2*n_pairs} reads, paired chain to p5, 4 threads; "
-                f"median of {rolls} interleaved rolls)",
-        "vs_baseline": round(vs, 3) if vs is not None else None,
-        "rolls_mine_s": [round(t, 1) for t in t_my],
-        "rolls_ref_s": [round(t, 1) for t in t_ref],
-    }))
+        report()
 
 
 def bench_device_chain(n_pairs=100_000):
