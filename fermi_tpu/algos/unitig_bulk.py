@@ -423,7 +423,7 @@ def stitch_native(e, store, seqs, own_ks, min_match, sorted_arr=None):
 
 
 def fm6_unitig_device(e, fmd_path, min_match, out_fp, sorted_arr=None,
-                      batch=4096, verbose=True):
+                      batch=8192, verbose=True):
     """Device unitig: TPU bulk link records (pass 1) + native C++ stitch
     (pass 2).  Byte-identical to fm6_unitig(..., n_threads=1).
 
