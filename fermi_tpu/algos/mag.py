@@ -313,17 +313,59 @@ class Mag:
 # I/O
 # ---------------------------------------------------------------------------
 
+def _iter_mag_records(path):
+    """4-line MAG records as (header_str, seq_bytes, cov_bytes).
+
+    Bytes-mode reader: assembly-scale MAG files hold megabase seq/cov
+    lines, and routing them through a utf-8 TextIOWrapper was most of
+    the clean stage's parse time (BENCH_NOTES round 5).  Only the small
+    header line is decoded."""
+    import shutil
+    import subprocess
+
+    f = open(path, "rb")
+    magic = f.read(2)
+    f.seek(0)
+    proc = None
+    if magic == b"\x1f\x8b":
+        if shutil.which("gzip"):
+            f.close()
+            proc = subprocess.Popen(["gzip", "-dc", "--", path],
+                                    stdout=subprocess.PIPE, bufsize=1 << 22)
+            f = proc.stdout
+        else:
+            import gzip as _g
+            f = _g.GzipFile(fileobj=f)
+    try:
+        while True:
+            hdr = f.readline()
+            if not hdr:
+                break
+            if hdr[:1] != b"@":
+                continue
+            seq = f.readline().rstrip(b"\n")
+            f.readline()                      # '+'
+            cov = f.readline().rstrip(b"\n")
+            yield hdr[1:].rstrip(b"\n").decode(), seq, cov
+    finally:
+        f.close()
+        if proc is not None:
+            if proc.poll() is None:
+                proc.kill()
+                proc.wait()
+            elif proc.wait() != 0:
+                raise OSError(f"gzip -dc exited with {proc.returncode}")
+
+
 def mag_read(path, opt) -> Mag:
     """Parse a MAG file applying read-time filters (mag.c:190-285)."""
-    from fermi_tpu.core import fastx
-
     g = Mag()
     is_mod = False
-    for rec in fastx.read_fastx(path):
+    for header, seq_b, cov_b in _iter_mag_records(path):
         p = MagVertex()
-        k0, k1 = rec.name.split(":")
+        name, *fields = header.split("\t")
+        k0, k1 = name.split(":")
         p.k = [int(k0), int(k1)]
-        fields = rec.comment.split("\t")
         p.nsr = int(fields[0])
         q_fields = fields[1:3]
         for j in range(2):
@@ -353,13 +395,13 @@ def mag_read(path, opt) -> Mag:
                     is_mod = True
                     v128_cap(nei, opt["max_arc"])
             p.nei[j] = nei
-        p.len = len(rec.seq)
+        p.len = len(seq_b)
         if not opt["flag_read_ori"] and (not p.nei[0] or not p.nei[1]) \
            and p.len < opt["min_elen"] and p.nsr == 1:
             is_mod = True
             continue
-        p.seq = bytearray(dna.encode(rec.seq).tobytes())
-        p.cov = bytearray(rec.qual.encode() if rec.qual else b'"' * p.len)
+        p.seq = bytearray(seq_b.translate(dna.NT6_BYTES))
+        p.cov = bytearray(cov_b if cov_b else b'"' * p.len)
         g.v.append(p)
     g.build_hash()
     if is_mod or not opt["flag_no_amend"]:

@@ -13,6 +13,10 @@ for _i, _b in enumerate("ACGT"):
 
 NT6_TO_ASCII = np.frombuffer(b"$ACGTN", dtype=np.uint8)
 
+# the same ASCII->nt6 map as a bytes.translate table (C-speed encode of
+# megabase lines without a numpy round-trip)
+NT6_BYTES = NT6_TABLE.tobytes()
+
 
 def encode(seq: bytes | str) -> np.ndarray:
     """ASCII sequence -> nt6 uint8 array."""
