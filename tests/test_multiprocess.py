@@ -98,8 +98,22 @@ assert made["max"] <= L + 64, (
     f"interleave materialized a {made['max']} B slice; "
     f"per-shard bound is {L} B")
 
+# dp-sharded hierarchical build across processes (SURVEY P2): both
+# processes hold the same deterministic inputs; the pairwise mesh
+# merges run collectives over the process boundary
+per = (len(r0) + 3) // 4
+shard_texts = [suffix.build_text([dna.encode(s)
+                                  for s in r0[i * per:(i + 1) * per]],
+                                 trim_palindrome=False)
+               for i in range(4)]
+built = sh.build_fmd_distributed(shard_texts, mesh)
+want_built = suffix.multistring_bwt(
+    suffix.build_text([dna.encode(s) for s in r0], trim_palindrome=False))
+assert np.array_equal(built, want_built), "distributed build mismatch"
+
 if pid == 0:
-    print("MULTIPROC_OK", len(got), int(got_bwt.size), made["max"])
+    print("MULTIPROC_OK", len(got), int(got_bwt.size), made["max"],
+          int(built.size))
 jax.distributed.shutdown()
 """
 
