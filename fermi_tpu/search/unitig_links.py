@@ -158,8 +158,13 @@ def _getnei_phase(index, ov_kb, ov_kf, ov_sz, ov_off, ovn, lens,
     def body(st):
         alive = st["alive"]
         msz = jnp.where(alive, st["sz"], 0)
+        # dead lanes gather at position 0 (one cached row) instead of
+        # their stale positions: masked gathers are the dominant round
+        # cost otherwise (BENCH_NOTES round-5 ablation)
+        mkb = jnp.where(alive, st["kb"], 0)
+        mkf = jnp.where(alive, st["kf"], 0)
         KB, KF, SZ = index.extend6(
-            st["kb"].reshape(-1), st["kf"].reshape(-1), msz.reshape(-1),
+            mkb.reshape(-1), mkf.reshape(-1), msz.reshape(-1),
             False)
         KB = KB.reshape(B, jmax, 6)
         KF = KF.reshape(B, jmax, 6)
@@ -178,10 +183,20 @@ def _getnei_phase(index, ov_kb, ov_kf, ov_sz, ov_off, ovn, lens,
         cKF = sKF[:, :, :ncand]
         cSZ = jnp.where(cval, sSZ[:, :, :ncand], 0)
         cidx = scc[:, :, :ncand] - 1
-        # backward sentinel test: sentinel column + packed candidates
-        bkb = jnp.concatenate([KB[:, :, 0:1], cKB], axis=2)
-        bkf = jnp.concatenate([KF[:, :, 0:1], cKF], axis=2)
-        bsz = jnp.concatenate([SZ[:, :, 0:1], cSZ], axis=2)
+        # backward sentinel test: sentinel column + packed candidates.
+        # Route unused slots to position 0: the sentinel slot matters
+        # only for live lanes past round 0 with a live sentinel branch,
+        # candidate slots only where a live base exists
+        ok0_live = (alive & (st["appended"][:, None] > 0)
+                    & (SZ[:, :, 0] > 0))
+        bkb = jnp.concatenate(
+            [jnp.where(ok0_live, KB[:, :, 0], 0)[:, :, None],
+             jnp.where(cval, cKB, 0)], axis=2)
+        bkf = jnp.concatenate(
+            [jnp.where(ok0_live, KF[:, :, 0], 0)[:, :, None],
+             jnp.where(cval, cKF, 0)], axis=2)
+        bsz = jnp.concatenate(
+            [jnp.where(ok0_live, SZ[:, :, 0], 0)[:, :, None], cSZ], axis=2)
         BKB, BKF, BSZ = index.extend6(
             bkb.reshape(-1), bkf.reshape(-1), bsz.reshape(-1), True)
         BKB0 = BKB[:, 0].reshape(B, jmax, 1 + ncand)
