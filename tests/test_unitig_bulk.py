@@ -156,3 +156,36 @@ def test_native_stitch_and_cli_device_path(tmp_path, monkeypatch, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert out == b1.getvalue()
+
+
+def test_device_links_high_coverage(tmp_path):
+    """45x coverage with short overlaps: stresses wide interval sets,
+    the redo ladder, and dense category groups; full-chain byte parity
+    (device links -> native stitch vs the sequential oracle)."""
+    from fermi_tpu.index.fmd import FMDIndex
+    from fermi_tpu.search.unitig_links import compute_links_device
+
+    rng = np.random.default_rng(43)
+    glen, L, mm, cov = 1200, 92, 28, 42
+    genome = rng.integers(0, 4, glen)
+    comp = np.array([3, 2, 1, 0])
+    reads = []
+    for _ in range(glen * cov // L):
+        p = int(rng.integers(0, glen - L))
+        r = genome[p:p + L].copy()
+        ne = rng.binomial(L, rng.uniform(0, 0.02))
+        if ne:
+            pos = rng.integers(0, L, ne)
+            r[pos] = (r[pos] + rng.integers(1, 4, ne)) % 4
+        if rng.random() < 0.5:
+            r = comp[r][::-1]
+        reads.append("".join("ACGT"[c] for c in r))
+    fmd = str(tmp_path / "hc.fmd")
+    e = _build(reads, fmd)
+    idx = FMDIndex.restore(fmd)
+    seqs, ks = UB.retrieve_all(e)
+    store = compute_links_device(idx, seqs, mm, batch=512)
+    b1 = io.StringIO()
+    UnitigBuilder(e, mm).run(b1)
+    txt, nrec = UB.stitch_native(e, store, seqs, ks, mm)
+    assert txt == b1.getvalue()
